@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet output
+against the DuckDB oracle SQL and diff (columns sorted by name, rows sorted,
+floats compared to 1e-9 relative).
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = canon(pd.read_parquet(f"{outdir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            duck_df = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1
+            continue
+        bad = 0
+        first = None
+        for c in spark_df.columns:
+            sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                if not values_equal(a, b):
+                    bad += 1
+                    if first is None:
+                        first = (c, i, a, b)
+                    break
+        if bad:
+            c, i, a, b = first
+            print(f"FAIL {name}: value mismatch col={c} row={i} spark={a!r} duck={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

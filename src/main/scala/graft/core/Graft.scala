@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table plumbing for the graft engine.
+  *
+  * Mirrors the operating envelope of the reference service entry point
+  * (`/root/reference/apps/kafka-to-nexus.cpp:187-412`) translated to Spark:
+  * one SparkSession is the "service", tables stand in for topics.
+  */
+object Graft {
+
+  /** Build a local session tuned for the test harness (local[N], AQE on,
+    * shuffle partitions sized to cores — NOT the 200 default, which at
+    * local scale just multiplies task overhead; on a real cluster this
+    * is set per deployment).
+    */
+  def session(appName: String = "graft", cpus: String = "32"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // the driver's synthetic events table stores TIMESTAMP(NANOS) which
+      // Spark 4 otherwise rejects; reading it as raw ns-since-epoch Long
+      // matches the reference's i64-ns timestamp model exactly
+      // (/root/reference/src/Stream/SourceFilter.cpp:68-71)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the driver-provided parquet tables. Defensively sets the
+    * nanos-as-long flag so this also works on sessions the harness created
+    * without [[session]] (the flag is dynamic SQLConf).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The per-stream filter kernel of the engine — the Spark re-expression of
+  * the reference's `SourceFilter` + `PartitionFilter` semantics
+  * (`/root/reference/src/Stream/SourceFilter.cpp`,
+  * `/root/reference/src/Stream/PartitionFilter.cpp`).
+  *
+  * A "stream" is the set of rows sharing the source-key columns (the
+  * reference keys streams by `hash(schema_id + source_name)`,
+  * `src/FlatbufferMessage.cpp:36-39`); arrival order is the offset column
+  * (Kafka partition offset in the reference, `src/Msg.h`).
+  *
+  * Scale notes: every transform here is a single hash-shuffle on the
+  * source key followed by a within-partition sort — the minimum possible
+  * data movement for order-sensitive semantics. Nothing is collected to
+  * the driver; all predicates are codegen-friendly `Column` expressions.
+  */
+object StreamKernel {
+
+  private def streamWindow(sourceCols: Seq[String], offsetCol: String) =
+    Window.partitionBy(sourceCols.map(col): _*).orderBy(col(offsetCol))
+
+  /** F1 — source routing: keep only rows of one configured stream.
+    * Reference drops messages whose srcHash doesn't match
+    * (`src/Stream/SourceFilter.cpp:75-78`); with columnar decode the hash
+    * is unnecessary — plain equality predicates push to the scan.
+    */
+  def routeSource(df: DataFrame, predicates: (String, Any)*): DataFrame =
+    predicates.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+
+  /** F4 — consecutive repeated-timestamp dedup: drop a row when its
+    * timestamp equals the previous row's timestamp in arrival order,
+    * unless the module accepts repeats (only ev44 does).
+    * Reference: `src/Stream/SourceFilter.cpp:90-95`.
+    */
+  def dedupConsecutive(
+      df: DataFrame,
+      sourceCols: Seq[String],
+      offsetCol: String,
+      tsCol: String,
+      acceptRepeats: Boolean = false
+  ): DataFrame =
+    if (acceptRepeats) df
+    else {
+      val prev = lag(col(tsCol), 1).over(streamWindow(sourceCols, offsetCol))
+      df.withColumn("__prev_ts", prev)
+        .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col(tsCol))
+        .drop("__prev_ts")
+    }
+
+  /** F2 + F3 — time-window filter with last-value-before-start buffering.
+    *
+    * Keeps rows with `start <= ts <= stop` (flagged `is_buffered=false`)
+    * plus, per stream, the single latest-arriving row with `ts < start`
+    * (flagged `is_buffered=true`) — the reference's guarantee that a
+    * slow-updating value has at least one sample in the output
+    * (`src/Stream/SourceFilter.cpp:101-118`, buffer at 102-110).
+    * ev44 sets `emitBuffered=false` (it ignores buffered messages,
+    * `src/WriterModule/ev44/ev44_Writer.cpp:94-97`).
+    */
+  def windowWithBuffer(
+      df: DataFrame,
+      sourceCols: Seq[String],
+      offsetCol: String,
+      tsCol: String,
+      startTs: Long,
+      stopTs: Long,
+      emitBuffered: Boolean = true
+  ): DataFrame = {
+    val inWindow = df
+      .filter(col(tsCol) >= lit(startTs) && col(tsCol) <= lit(stopTs))
+      .withColumn("is_buffered", lit(false))
+    if (!emitBuffered) inWindow
+    else {
+      val desc = Window
+        .partitionBy(sourceCols.map(col): _*)
+        .orderBy(col(offsetCol).desc)
+      val buffered = df
+        .filter(col(tsCol) < lit(startTs))
+        .withColumn("__rn", row_number().over(desc))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .withColumn("is_buffered", lit(true))
+      inWindow.unionByName(buffered)
+    }
+  }
+
+  /** F5 + F7 — per-stream health metrics: out-of-order timestamps
+    * (`src/Stream/SourceFilter.cpp:96-98`) and non-consecutive offsets
+    * (`BadOffsets`, `src/Stream/Partition.cpp:226-230`). The reference
+    * only counts these; rows still flow.
+    */
+  def streamHealth(
+      df: DataFrame,
+      sourceCols: Seq[String],
+      offsetCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val w      = streamWindow(sourceCols, offsetCol)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val prevOf = lag(col(offsetCol), 1).over(w)
+    df.withColumn("__ooo", when(prevTs.isNotNull && col(tsCol) < prevTs, 1L).otherwise(0L))
+      .withColumn(
+        "__gap",
+        when(prevOf.isNotNull && col(offsetCol) - prevOf =!= 1L, 1L).otherwise(0L)
+      )
+      .groupBy(sourceCols.map(col): _*)
+      .agg(
+        sum(col("__ooo")).as("unordered_timestamps"),
+        sum(col("__gap")).as("bad_offsets"),
+        count(lit(1)).as("messages")
+      )
+  }
+
+  /** §2.7 — cue (sparse time→row) index: every `interval` rows per stream
+    * emit `(row index, timestamp)` so a reader can binary-search time → row.
+    * Reference: `src/WriterModule/f144/f144_Writer.cpp:259-263` et al.
+    */
+  def cueIndex(
+      df: DataFrame,
+      sourceCols: Seq[String],
+      offsetCol: String,
+      tsCol: String,
+      interval: Int
+  ): DataFrame = {
+    val rn = row_number().over(streamWindow(sourceCols, offsetCol)).cast("long")
+    df.withColumn("__rn", rn)
+      .filter(col("__rn") % interval === 0)
+      .select(
+        sourceCols.map(col) ++ Seq(
+          col("__rn").as("cue_index"),
+          col(tsCol).as("cue_timestamp")
+        ): _*
+      )
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.operators.StreamKernel
+
+/** Driver-contract queries for the stream-kernel operator family (SURVEY §2.3,
+  * §2.5, §2.7), exercised over the driver's synthetic `events` table standing
+  * in for decoded telemetry: `event_id` ≙ Kafka offset (arrival order),
+  * `user_id` ≙ source_name, `ts` ≙ i64-ns event timestamp (read as Long via
+  * nanosAsLong, matching the reference's time model,
+  * `/root/reference/src/Stream/SourceFilter.cpp:68-71`), `value` ≙ sample.
+  *
+  * Every entry has a DuckDB oracle in [[sql]] with IDENTICAL column names and
+  * (where float) IDENTICAL rounding, per the driver's hash-compare contract.
+  */
+object StreamQueries {
+
+  /** 2024-01-10T00:00:00Z / 2024-01-20T00:00:00Z in µs — inside the events
+    * table's Jan-2024 span at every scale factor. Oracle-facing timestamps are
+    * µs because DuckDB truncates the parquet ns-timestamps to µs precision;
+    * engine-internal time stays i64 ns (the reference's model).
+    */
+  private val StartUs = 1704844800000000L
+  private val StopUs  = 1705708800000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Graft.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — source routing (src/Stream/SourceFilter.cpp:75-78): plain
+    // predicates that push down to the parquet scan.
+    "f1_route_source" -> ((s, dir) =>
+      StreamKernel
+        .routeSource(ev(s, dir), "event_type" -> "purchase")
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))),
+
+    // F4 — consecutive repeated-timestamp dedup at minute granularity
+    // (src/Stream/SourceFilter.cpp:90-95).
+    "f4_dedup_consecutive" -> { (s, dir) =>
+      val d = ev(s, dir).withColumn("ts_min", expr("ts div 60000000000"))
+      StreamKernel
+        .dedupConsecutive(d, Seq("user_id"), "event_id", "ts_min")
+        .select("event_id", "user_id", "ts_min", "value")
+    },
+
+    // F2+F3 — time window with last-value-before-start buffering
+    // (src/Stream/SourceFilter.cpp:101-118).
+    "f2f3_window_buffer" -> { (s, dir) =>
+      val base = ev(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      StreamKernel.windowWithBuffer(base, Seq("user_id"), "event_id", "ts_us", StartUs, StopUs)
+    },
+
+    // F5+F7 — per-stream health: out-of-order ts + offset gaps
+    // (src/Stream/SourceFilter.cpp:96-98, src/Stream/Partition.cpp:226-230).
+    "f5f7_stream_health" -> ((s, dir) =>
+      StreamKernel.streamHealth(
+        ev(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id"), "event_id", "ts_us")),
+
+    // §2.7 — cue (sparse time→row) index every 10 rows per stream.
+    "cue_index" -> ((s, dir) =>
+      StreamKernel.cueIndex(ev(s, dir).withColumn("ts_us", expr("ts div 1000")), Seq("user_id"), "event_id", "ts_us", 10)),
+
+    // W1 — f144 running aggregates per stream
+    // (src/WriterModule/f144/f144_Writer.cpp:264-276).
+    "w1_f144_stats" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min("value").as("minimum_value"),
+          max("value").as("maximum_value"),
+          round(avg("value"), 6).as("average_value"),
+          count(lit(1)).as("num_values")
+        )),
+
+    // W2 — ev44 cumulative event-index shift: event_index of a batch =
+    // events written before it (src/WriterModule/ev44/ev44_Writer.cpp:118-126).
+    // Batches ≙ (stream, hour); running pre-sum via a window cumsum.
+    "w2_ev44_index_shift" -> { (s, dir) =>
+      val batches = ev(s, dir)
+        .withColumn("hour", expr("ts div 3600000000000"))
+        .groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      batches.withColumn(
+        "event_index",
+        (sum("n_events").over(w) - col("n_events")).cast("long")
+      )
+    },
+
+    // W4 — se00 generated per-element timestamps t0 + i·Δ
+    // (src/WriterModule/se00/se00_Writer.cpp:209-219).
+    "w4_se00_timestamps" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_id"), col("ts"), explode(sequence(lit(0L), lit(3L))).as("i"))
+        .select(
+          col("event_id"),
+          col("i").as("pos"),
+          (expr("ts div 1000") + col("i") * 1000L).as("sample_ts")
+        )),
+
+    // W6 — al00 projection: severity→int16, empty-message default
+    // (src/WriterModule/al00/al00_Writer.cpp:57-70).
+    "w6_al00_alarm" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "error", lit(2))
+          .when(col("event_type") === "signup", lit(1))
+          .otherwise(lit(0))
+          .cast("short")
+          .as("severity"),
+        when(length(col("props")) === 0, lit("NO ALARM MESSAGE"))
+          .otherwise(col("props"))
+          .as("message")
+      )),
+
+    // W7 — ep01 projection: connection status→int16
+    // (src/WriterModule/ep01/ep01_Writer.cpp:38-46).
+    "w7_ep01_status" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "signup", lit(1)).otherwise(lit(0)).cast("short").as("status")
+      )),
+
+    // W8 — tdct explode: array column → one row per element
+    // (src/WriterModule/tdct/tdct_Writer.cpp:67-83).
+    "w8_tdct_explode" -> ((s, dir) =>
+      Graft
+        .documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token")))
+  )
+
+  val sql: Map[String, String] = Map(
+    "f1_route_source" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events WHERE event_type = 'purchase' AND user_id < 50""".stripMargin,
+    "f4_dedup_consecutive" ->
+      """SELECT event_id, user_id, ts_min, value FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS ts_min, value,
+        |         lag(epoch_us(ts) // 60000000) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR prev <> ts_min""".stripMargin,
+    "f2f3_window_buffer" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+         |SELECT event_id, user_id, ts_us, value, false AS is_buffered
+         |FROM ev WHERE ts_us BETWEEN $StartUs AND $StopUs
+         |UNION ALL
+         |SELECT event_id, user_id, ts_us, value, true AS is_buffered FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM ev WHERE ts_us < $StartUs) WHERE rn = 1""".stripMargin,
+    "f5f7_stream_health" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS unordered_timestamps,
+        |  CAST(sum(CASE WHEN prev_of IS NOT NULL AND event_id - prev_of <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_offsets,
+        |  CAST(count(*) AS BIGINT) AS messages
+        |FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER w AS prev_ts, lag(event_id) OVER w AS prev_of
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |GROUP BY user_id""".stripMargin,
+    "cue_index" ->
+      """SELECT user_id, rn AS cue_index, ts_us AS cue_timestamp FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn % 10 = 0""".stripMargin,
+    "w1_f144_stats" ->
+      """SELECT user_id, min(value) AS minimum_value, max(value) AS maximum_value,
+        |       round(avg(value), 6) AS average_value, CAST(count(*) AS BIGINT) AS num_values
+        |FROM events GROUP BY user_id""".stripMargin,
+    "w2_ev44_index_shift" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, hour, n_events,
+        |       CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY hour) - n_events AS BIGINT) AS event_index
+        |FROM b""".stripMargin,
+    "w4_se00_timestamps" ->
+      """SELECT event_id, CAST(i AS BIGINT) AS pos, epoch_us(ts) + i * 1000 AS sample_ts
+        |FROM events, generate_series(0, 3) AS t(i)""".stripMargin,
+    "w6_al00_alarm" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CAST(CASE WHEN event_type = 'error' THEN 2 WHEN event_type = 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS severity,
+        |  CASE WHEN length(props) = 0 THEN 'NO ALARM MESSAGE' ELSE props END AS message
+        |FROM events""".stripMargin,
+    "w7_ep01_status" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS status
+        |FROM events""".stripMargin,
+    "w8_tdct_explode" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+  )
+}
