@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for text analysis / deduplication over a document corpus.
+  *
+  * Everything here is built from codegen'd builtin expressions (no UDFs) so
+  * Catalyst can prune/push down and whole-stage codegen stays intact — the
+  * hot path at 100 TB is a single pass over the `text` column.
+  *
+  * Where a deterministic hash shared with the DuckDB oracle is needed, md5
+  * over UTF-8 is used (identical hex output in both engines); engine-internal
+  * hashing that needs no oracle (e.g. exact-dup grouping at scale) can use
+  * xxhash64 instead, which is cheaper.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; single-space tokenization to stay oracle-parity with
+    * DuckDB's `string_split(text, ' ')`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (strings joined by one space). Empty array when the
+    * document has fewer than n tokens — mirrors generate_series semantics in
+    * the oracle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))
+        )
+      )
+
+  /** One MinHash signature value: lexicographic min of md5(seed:shingle).
+    * Hex-string min ordering is identical across engines.
+    */
+  def minhash(shingleSet: Column, seed: Int): Column =
+    array_min(transform(shingleSet, x => md5(concat(lit(s"$seed:"), x))))
+
+  /** LSH band key over `rows` consecutive minhash signature columns. */
+  def bandKey(sig: Seq[Column]): Column = md5(concat(sig: _*))
+
+  /** 32-bit numeric hash of a token derived from md5 — the shared-with-oracle
+    * stand-in for a real murmur at engine scale.
+    */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** Jaccard similarity of two pre-distinct string sets, rounded for oracle
+    * hash-compare stability.
+    */
+  def jaccard(a: Column, b: Column, decimals: Int = 6): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), decimals)
+  }
+
+  /** Canonical content fingerprint: md5 of lowercased, space-collapsed text
+    * (reference idea: srcHash identity, `src/FlatbufferMessage.cpp:36-39`,
+    * generalized to document identity for dedup).
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    round(
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks),
+      6
+    )
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.functions.TextFunctions._
+
+/** Training-data-pipeline operators over the `documents` table: text
+  * analysis (token stats, quality, language-ID, fingerprinting) and
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design: every dedup variant avoids the quadratic all-pairs join —
+  * candidates come from equality joins on a blocking key (fingerprint, LSH
+  * band, SimHash prefix), which Spark executes as hash shuffles keyed on the
+  * block. Only within-bucket pairs are verified. All expressions are
+  * builtin/codegen'd; md5 is the oracle-shared hash.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Graft.documents(s, dir)
+
+  private val toks: Column = tokens(col("text"))
+
+  /** doc_id + distinct 3-gram shingles, non-empty docs only. */
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), array_distinct(shingles(toks, 3)).as("shd"))
+      .filter(size(col("shd")) > 0)
+
+  private val NumHashes = 16
+  private val Bands     = 4
+  private val BandRows  = NumHashes / Bands
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis -------------------------------------------------
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_bpe_est")
+      )),
+
+    "text_quality" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"), toks.as("tk"))
+      d.select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        round((length(col("text")) - size(col("tk")) + 1).cast("double") / size(col("tk")), 6)
+          .as("avg_token_len"),
+        stopwordRatio(col("tk")).as("stopword_ratio"),
+        round(
+          least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - stopwordRatio(col("tk"))) * 0.5,
+          6
+        ).as("quality_score")
+      )
+    },
+
+    "text_langid" -> { (s, dir) =>
+      def hits(ws: Seq[String]) = size(filter(col("tk"), t => t.isin(ws: _*)))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("tk"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          when(hits(Seq("der", "die", "und", "das")) > hits(Stopwords), lit("de"))
+            .when(hits(Seq("el", "la", "los", "las")) > hits(Stopwords), lit("es"))
+            .otherwise(lit("en"))
+            .as("predicted_lang")
+        )
+    },
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // --- deduplication -------------------------------------------------
+    // Exact: one shuffle keyed on the content fingerprint.
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))),
+
+    // n-gram Jaccard with prefix blocking: pairs only within docs sharing
+    // their first three tokens (planted near-dups share long prefixes).
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), concat_ws(" ", slice(toks, 1, 3)).as("blk"))
+      val sh = shingled(docs(s, dir))
+      val withBlk = base.join(sh, "doc_id")
+      val a = withBlk.select(col("blk"), col("doc_id").as("doc_a"), col("shd").as("sh_a"))
+      val b = withBlk.select(col("blk"), col("doc_id").as("doc_b"), col("shd").as("sh_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.2)
+    },
+
+    // MinHash + LSH: 16 signatures, 4 bands × 4 rows; candidates share a
+    // band key (equality shuffle join), then exact Jaccard verification.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = shingled(docs(s, dir))
+      val sig = sh.select(
+        col("doc_id") +: (0 until NumHashes).map(i => minhash(col("shd"), i).as(s"mh$i")): _*
+      )
+      val bandStructs = (0 until Bands).map { bnd =>
+        val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
+        struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val cand = bands.as("x")
+        .join(bands.as("y"), Seq("band", "bkey"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.4)
+    },
+
+    // SimHash signature per doc: 32 bits, majority vote over token hashes.
+    "dedup_simhash" -> { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+      val num = tok.select(col("doc_id"), tokenHash32(col("tok")).as("num"))
+      val bits = num
+        .select(col("doc_id"), col("num"), explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("2 * ((num >> b) & 1) - 1")).as("sgn"))
+      bits
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+          .cast("long")
+          .as("simhash"))
+    },
+
+    // SimHash near-dup pairs: block on the high 16 bits, verify hamming ≤ 6.
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      val sh = queries("dedup_simhash")(s, dir).withColumn("blk", expr("simhash >> 16"))
+      val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+      val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming")
+        )
+        .filter(col("hamming") <= 6)
+    }
+  )
+
+  private val SqlToks = "string_split(text, ' ')"
+
+  private def sqlHits(ws: Seq[String]) =
+    s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  private val SqlStop = sqlHits(Stopwords)
+
+  private val SqlShingled =
+    s"""t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(generate_series(1, len(toks) - 2),
+       |                             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |    END) AS shd
+       |  FROM t),
+       |sh2 AS (SELECT * FROM sh WHERE len(shd) > 0)""".stripMargin
+
+  private def sqlJaccard(a: String, b: String) =
+    s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b))), 6)"
+
+  val sql: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_text,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) - len(tk) + 1 AS DOUBLE) / len(tk), 6) AS avg_token_len,
+         |  round(CAST($SqlStop AS DOUBLE) / len(tk), 6) AS stopword_ratio,
+         |  round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |        (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS quality_score
+         |FROM (SELECT doc_id, text, $SqlToks AS tk FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${sqlHits(Seq("der", "die", "und", "das"))} > $SqlStop THEN 'de'
+         |       WHEN ${sqlHits(Seq("el", "la", "los", "las"))} > $SqlStop THEN 'es'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM (SELECT doc_id, lang, $SqlToks AS tk FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT fp, min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |GROUP BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $SqlShingled,
+         |blk AS (
+         |  SELECT doc_id, array_to_string(list_slice($SqlToks, 1, 3), ' ') AS blk
+         |  FROM documents),
+         |j AS (SELECT b.blk, b.doc_id, s.shd FROM blk b JOIN sh2 s USING (doc_id))
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${sqlJaccard("a.shd", "b.shd")} AS jac
+         |  FROM j a JOIN j b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.2""".stripMargin,
+    "dedup_minhash_lsh" -> {
+      val mhCols = (0 until NumHashes)
+        .map(i =>
+          s"list_aggregate(list_transform(shd, x -> md5(concat('$i:', x))), 'min') AS mh$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until Bands)
+        .map { bnd =>
+          val ks = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, md5(concat($ks)) AS bkey FROM mh"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH $SqlShingled,
+         |mh AS (SELECT doc_id,
+         |  $mhCols
+         |FROM sh2),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT doc_a, doc_b, ${sqlJaccard("p.shd", "q.shd")} AS jac
+         |  FROM cand JOIN sh2 p ON p.doc_id = doc_a JOIN sh2 q ON q.doc_id = doc_b)
+         |WHERE jac >= 0.4""".stripMargin
+    },
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
+        |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
+        |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, simhash, simhash >> 16 AS blk FROM sh)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 6""".stripMargin
+  )
+}

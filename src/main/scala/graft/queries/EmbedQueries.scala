@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * Array[Float]`, 64-d): brute-force cosine top-k as the exact baseline and
+  * an IVF-style coarse-quantizer path as the scale variant.
+  *
+  * Scale design: the query side of the kNN join is tiny and broadcast; the
+  * corpus side streams through one codegen'd pass (fold over the array — no
+  * UDF, no explode of the corpus). The IVF variant prunes the corpus scan to
+  * one centroid cell, the standard recall/latency trade at 100 TB. All float
+  * math is widened to double before folding so results are deterministic and
+  * oracle-stable (DuckDB `list_dot_product` on double lists).
+  */
+object EmbedQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Graft.embeddings(s, dir)
+
+  /** embedding widened to double + precomputed L2 norm. */
+  private def withNorm(d: DataFrame): DataFrame =
+    d.select(
+      col("vec_id"),
+      col("label"),
+      transform(col("embedding"), _.cast("double")).as("v")
+    ).withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+
+  private val NumQueries = 20
+  private val K          = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k: broadcast the query vectors, one pass over
+    // the corpus, per-query top-k via window rank on the rounded score.
+    "embed_knn_brute" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine")
+        )
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+    },
+
+    // IVF coarse step: per-label centroid (element-wise mean).
+    "embed_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))),
+
+    // IVF probe: assign each query to its nearest centroid cell, then exact
+    // top-k only within that cell (corpus scan pruned by cell).
+    "embed_ivf_knn" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(avg("e").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("c_label"), transform(col("pc"), _.getField("c")).as("cv"))
+        .withColumn("cn", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      import org.apache.spark.sql.expressions.Window
+      val assignW = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("c_label"))
+      val assigned = q
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("crank", row_number().over(assignW))
+        .filter(col("crank") === 1)
+        .select(col("query_id"), col("qv"), col("qn"), col("c_label").as("cell"))
+      val rankW = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      e.join(broadcast(assigned), col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("cell").cast("int").as("cell"),
+          col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine")
+        )
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= K)
+    }
+  )
+
+  private val SqlNorm =
+    """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "embed_knn_brute" ->
+      s"""WITH $SqlNorm,
+         |p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= $K""".stripMargin,
+    "embed_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
+    "embed_ivf_knn" ->
+      s"""WITH $SqlNorm,
+         |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
+         |       FROM (SELECT label, unnest(embedding) AS e,
+         |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |             FROM embeddings)
+         |       GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cb GROUP BY label),
+         |cn AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT query_id, qv, qn, c_label AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, cn.c_label,
+         |           row_number() OVER (
+         |             PARTITION BY q.query_id
+         |             ORDER BY round(list_dot_product(q.qv, cn.cv) / (q.qn * cn.cn), 6) DESC,
+         |                      cn.c_label) AS crank
+         |    FROM q, cn)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT a.query_id, CAST(a.cell AS INT) AS cell, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |  FROM assign a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
+         |SELECT query_id, cell, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin
+  )
+}
