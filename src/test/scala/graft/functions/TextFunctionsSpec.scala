@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce word n-grams; short docs give empty array") {
+    val df  = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TF.shingles(TF.tokens($"text"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, half overlap") {
+    val df = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("y")),
+      (Seq("x", "y", "z"), Seq("x", "y", "w"))
+    ).toDF("a", "b")
+    val out = df.select(TF.jaccard($"a", $"b").as("j")).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.5)
+  }
+
+  test("minhash is identical for identical shingle sets, seed-dependent") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"))).toDF("x", "y")
+    val r = df
+      .select(
+        TF.minhash($"x", 0).as("x0"), TF.minhash($"y", 0).as("y0"),
+        TF.minhash($"x", 1).as("x1"))
+      .collect()
+      .head
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getString(0) != r.getString(2))
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+    val r  = df.select(TF.fingerprint($"a").as("fa"), TF.fingerprint($"b").as("fb"))
+      .collect().head
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("tokenHash32 matches the DuckDB hex-parse of md5 prefix") {
+    // DuckDB: CAST(('0x' || substr(md5('tok'), 1, 8)) AS UBIGINT) = 1622020974
+    val r = Seq("tok").toDF("t").select(TF.tokenHash32($"t")).collect().head.getLong(0)
+    assert(r == 1622020974L)
+  }
+
+  test("stopword ratio") {
+    val r = Seq("the cat in a hat").toDF("text")
+      .select(TF.stopwordRatio(TF.tokens($"text"))).collect().head.getDouble(0)
+    assert(r == 0.6) // the, in, a of 5
+  }
+}
