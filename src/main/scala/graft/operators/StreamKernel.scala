@@ -52,13 +52,21 @@ object StreamKernel {
         .drop("__prev_ts")
     }
 
-  /** F2 + F3 — time-window filter with last-value-before-start buffering.
+  /** F2 + F3 + F6 — time-window filter with last-value-before-start
+    * buffering and strict finish.
     *
-    * Keeps rows with `start <= ts <= stop` (flagged `is_buffered=false`)
-    * plus, per stream, the single latest-arriving row with `ts < start`
-    * (flagged `is_buffered=true`) — the reference's guarantee that a
-    * slow-updating value has at least one sample in the output
-    * (`src/Stream/SourceFilter.cpp:101-118`, buffer at 102-110).
+    * Exact `SourceFilter::filter_message` semantics
+    * (`src/Stream/SourceFilter.cpp:74-120`):
+    *   - the FIRST message (arrival order) with `ts > stop` finishes the
+    *     stream: it and everything arriving after it is dropped, including
+    *     in-window stragglers;
+    *   - of the surviving rows, those with `start <= ts <= stop` pass
+    *     (`is_buffered=false`);
+    *   - the single max-timestamp row with `ts < start` (ties → latest
+    *     arrival: a later message replaces the buffer unless strictly older)
+    *     is emitted flagged `is_buffered=true` — the guarantee that a
+    *     slow-updating value has ≥1 sample (buffer at 105-112, dtor flush
+    *     at 53).
     * ev44 sets `emitBuffered=false` (it ignores buffered messages,
     * `src/WriterModule/ev44/ev44_Writer.cpp:94-97`).
     */
@@ -71,17 +79,23 @@ object StreamKernel {
       stopTs: Long,
       emitBuffered: Boolean = true
   ): DataFrame = {
-    val inWindow = df
+    val part   = Window.partitionBy(sourceCols.map(col): _*)
+    val cutoff = min(when(col(tsCol) > lit(stopTs), col(offsetCol))).over(part)
+    val live = df
+      .withColumn("__cut", cutoff)
+      .filter(col("__cut").isNull || col(offsetCol) < col("__cut"))
+      .drop("__cut")
+    val inWindow = live
       .filter(col(tsCol) >= lit(startTs) && col(tsCol) <= lit(stopTs))
       .withColumn("is_buffered", lit(false))
     if (!emitBuffered) inWindow
     else {
-      val desc = Window
+      val byTsDesc = Window
         .partitionBy(sourceCols.map(col): _*)
-        .orderBy(col(offsetCol).desc)
-      val buffered = df
+        .orderBy(col(tsCol).desc, col(offsetCol).desc)
+      val buffered = live
         .filter(col(tsCol) < lit(startTs))
-        .withColumn("__rn", row_number().over(desc))
+        .withColumn("__rn", row_number().over(byTsDesc))
         .filter(col("__rn") === 1)
         .drop("__rn")
         .withColumn("is_buffered", lit(true))

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/** The per-stream transform operators — Spark re-expressions of the
+  * reference's writer modules (`src/WriterModule/⋆`, SURVEY §2.5). Each turns
+  * a decoded, filtered message DataFrame into named output tables whose
+  * columns mirror the module's NeXus datasets; row order is carried by an
+  * explicit `row` column (parquet has no intrinsic order), computed from the
+  * Kafka arrival offset — the reference's append order.
+  */
+object WriterModules {
+
+  /** Typed view over a stream node's JSON config with alias support,
+    * mirroring `JsonConfig::Field` (`src/JsonConfig/Field.h:109-215`).
+    */
+  final case class ModuleConfig(fields: Map[String, JValue]) {
+    def str(keys: String*): Option[String] =
+      keys.iterator.flatMap(k => fields.get(k)).collectFirst { case JString(s) => s }
+    def long(keys: String*): Option[Long] =
+      keys.iterator.flatMap(k => fields.get(k)).collectFirst {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d.toLong
+      }
+    def bool(keys: String*): Option[Boolean] =
+      keys.iterator.flatMap(k => fields.get(k)).collectFirst { case JBool(b) => b }
+
+    /** f144/se00 dtype with aliases (`f144_Writer.h:83`, map at
+      * `f144_Writer.cpp:56-70`): lowercase, `type|dtype`.
+      */
+    def dtype(default: String): String = {
+      val raw = str("type", "dtype").getOrElse(default).toLowerCase
+      Map(
+        "float" -> "float", "double" -> "double",
+        "short" -> "smallint", "int" -> "int", "long" -> "bigint",
+        "int8" -> "tinyint", "uint8" -> "smallint",
+        "int16" -> "smallint", "uint16" -> "int",
+        "int32" -> "int", "uint32" -> "bigint",
+        "int64" -> "bigint", "uint64" -> "bigint",
+        "float32" -> "float", "float64" -> "double",
+        "string" -> "string", "c_string" -> "string"
+      ).getOrElse(raw, "double")
+    }
+  }
+
+  trait WriterModule {
+    def id: String
+    /** Only ev44 accepts repeated timestamps (`ev44_Writer.h:22`). */
+    def acceptRepeats: Boolean = false
+    /** ev44 ignores buffered pre-start messages (`ev44_Writer.cpp:94-97`). */
+    def emitBuffered: Boolean = true
+    def nxClass: String = "NXlog"
+    /** dataset-name → units attribute (time is always ns). */
+    def units(cfg: ModuleConfig): Map[String, String] = Map("time" -> "ns")
+    /** message DF (post route/dedup/window) → named output tables. */
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame]
+    /** scalar datasets written at job close (running aggregates). */
+    def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
+  }
+
+  /** Arrival-order row index within the stream. The plan is per-stream and
+    * the reference's sink is single-writer by design
+    * (`src/Stream/MessageWriter.cpp:31-36`), so a single-partition window
+    * here mirrors the semantics; the heavy lifting (decode, filter, explode)
+    * happened distributed before this point.
+    */
+  private val arrival: org.apache.spark.sql.expressions.WindowSpec =
+    Window.orderBy(col("offset"))
+  private def withRow(df: DataFrame): DataFrame =
+    df.withColumn("row", row_number().over(arrival).cast("long") - 1)
+
+  /** f144 scalar log: (time, value) + cue index + min/max/mean metadata
+    * (`src/WriterModule/f144/f144_Writer.cpp:197-276`).
+    */
+  object F144 extends WriterModule {
+    val id = "f144"
+    override def units(cfg: ModuleConfig): Map[String, String] = {
+      val u = cfg.str("value_units", "unit").getOrElse("")
+      Map("time" -> "ns", "value" -> u, "minimum_value" -> u,
+        "maximum_value" -> u, "average_value" -> u)
+    }
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val data = withRow(df)
+        .select(col("row"), col("ts").as("time"),
+          col("value").cast(cfg.dtype("double")).as("value"))
+      val cue = cfg.long("cue_interval") match {
+        case Some(n) if n > 0 =>
+          Map("cue" -> data.filter((col("row") + 1) % n === 0)
+            .select(col("row").as("cue_index"), col("time").as("cue_timestamp_zero")))
+        case _ => Map.empty[String, DataFrame] // default u32::max ⇒ off (f144_Writer.h:79-80)
+      }
+      Map("data" -> data) ++ cue
+    }
+    override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      if (cfg.bool("meta_data").getOrElse(true))
+        Map("meta" -> df.agg(
+          min("value").as("minimum_value"), max("value").as("maximum_value"),
+          avg("value").as("average_value"), count(lit(1)).as("num_values")))
+      else Map.empty
+  }
+
+  /** ep01 connection state: (connection_status_time, connection_status)
+    * (`src/WriterModule/ep01/ep01_Writer.cpp:38-46`).
+    */
+  object Ep01 extends WriterModule {
+    val id = "ep01"
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      Map("data" -> withRow(df).select(col("row"),
+        col("ts").as("connection_status_time"),
+        col("status").cast("short").as("connection_status")))
+  }
+
+  /** al00 alarms: severity int16 + message with empty-string default
+    * (`src/WriterModule/al00/al00_Writer.cpp:57-70`).
+    */
+  object Al00 extends WriterModule {
+    val id = "al00"
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      Map("data" -> withRow(df).select(col("row"),
+        col("ts").as("alarm_time"),
+        col("severity").cast("short").as("alarm_severity"),
+        when(length(col("message")) === 0, lit("NO ALARM MESSAGE"))
+          .otherwise(col("message")).as("alarm_message")))
+  }
+
+  /** ev44 events: exploded (event_time_offset, event_id) plus per-message
+    * (event_time_zero, event_index) with the stateful cumulative shift
+    * `event_index = reference_time_index + EventsWritten`
+    * (`src/WriterModule/ev44/ev44_Writer.cpp:92-138`, shift at 118-126).
+    */
+  object Ev44 extends WriterModule {
+    val id = "ev44"
+    override def acceptRepeats = true
+    override def emitBuffered  = false
+    override def nxClass       = "NXevent_data"
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val base = withRow(df)
+      val cum = base.withColumn(
+        "events_written",
+        coalesce(
+          sum(size(col("time_of_flight")))
+            .over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val index = cum.select(col("row"),
+        col("reference_time").getItem(0).as("event_time_zero"),
+        (col("reference_time_index").getItem(0).cast("long") + col("events_written"))
+          .as("event_index"))
+      val events = base
+        .select(col("row"), posexplode(arrays_zip(col("time_of_flight"), col("pixel_id"))))
+        .select((col("row") * 1000000 + col("pos")).as("row"),
+          col("col.time_of_flight").as("event_time_offset"),
+          col("col.pixel_id").as("event_id"))
+      Map("events" -> events, "index" -> index)
+    }
+    override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      Map("meta" -> df.agg(
+        coalesce(sum(size(col("time_of_flight"))), lit(0L)).as("events")))
+  }
+
+  /** ad00 n-D image: flattened element array + shape per message
+    * (`src/WriterModule/ad00/ad00_Writer.cpp:142-204`).
+    */
+  object Ad00 extends WriterModule {
+    val id = "ad00"
+    override def units(cfg: ModuleConfig): Map[String, String] =
+      Map("time" -> "ns", "value" -> "")
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val data = withRow(df).select(col("row"), col("ts").as("time"),
+        transform(col("data"), _.cast(cfg.dtype("double"))).as("value"),
+        col("dimensions").as("shape"))
+      val cue = data.filter((col("row") + 1) % cfg.long("cue_interval").getOrElse(1000L) === 0)
+        .select(col("row").as("cue_index"), col("time").as("cue_timestamp_zero"))
+      Map("data" -> data, "cue" -> cue)
+    }
+  }
+
+  /** da00 multi-variable data arrays: one column per configured variable,
+    * missing variables null-filled (`variable_append_missing`,
+    * `src/WriterModule/da00/da00_Writer.cpp:333-387`).
+    */
+  object Da00 extends WriterModule {
+    val id = "da00"
+    override def nxClass = "NXdata"
+    def variableNames(cfg: ModuleConfig): Seq[String] =
+      cfg.fields.get("variables") match {
+        case Some(JArray(vs)) =>
+          vs.flatMap(v => (v \ "name") match { case JString(s) => Some(s); case _ => None })
+        case _ => Nil
+      }
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val vars = {
+        val declared = variableNames(cfg)
+        if (declared.nonEmpty) declared else Seq("signal")
+      }
+      // one message may carry several variables ⇒ group rows by offset,
+      // pivot declared variable names to columns (first-message schema
+      // reconciliation is plan-time; here config is authoritative)
+      val pivoted = df
+        .groupBy(col("offset"), col("ts"))
+        .pivot(col("name"), vars)
+        .agg(first(col("data")))
+      val cols = Seq(col("row"), col("ts").as("time")) ++ vars.map(col)
+      Map("data" -> withRow(pivoted).select(cols: _*))
+    }
+  }
+
+  /** se00 sample environment: per-element values with provided or generated
+    * timestamps `t0 + i·Δ` (`src/WriterModule/se00/se00_Writer.cpp:135-224`,
+    * generation 209-219).
+    */
+  object Se00 extends WriterModule {
+    val id = "se00"
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val ex = withRow(df)
+        .select(col("row"), col("ts"), col("time_delta"), col("timestamps"),
+          posexplode(col("values")).as(Seq("pos", "value")))
+      val data = ex.select(
+        (col("row") * 1000000 + col("pos")).as("row"),
+        coalesce(
+          element_at(col("timestamps"), col("pos") + 1),
+          (col("ts") + col("pos") * col("time_delta")).cast("long")
+        ).as("time"),
+        col("value").cast(cfg.dtype("bigint")).as("value"))
+      Map("data" -> data)
+    }
+  }
+
+  /** tdct chopper timestamps: explode the u64[] into `time`
+    * (`src/WriterModule/tdct/tdct_Writer.cpp:67-83`; empty messages
+    * rejected at 72-76).
+    */
+  object Tdct extends WriterModule {
+    val id = "tdct"
+    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+      val ex = withRow(df.filter(size(col("timestamps")) > 0))
+        .select(col("row"), posexplode(col("timestamps")).as(Seq("pos", "t")))
+      Map("data" -> ex.select(
+        (col("row") * 1000000 + col("pos")).as("row"), col("t").as("time")))
+    }
+  }
+
+  val registry: Map[String, WriterModule] =
+    Seq(F144, Ep01, Al00, Ev44, Ad00, Da00, Se00, Tdct).map(m => m.id -> m).toMap
+}

@@ -148,13 +148,17 @@ object StreamQueries {
         |  FROM events)
         |WHERE prev IS NULL OR prev <> ts_min""".stripMargin,
     "f2f3_window_buffer" ->
-      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+         |cut AS (SELECT *, min(CASE WHEN ts_us > $StopUs THEN event_id END)
+         |                  OVER (PARTITION BY user_id) AS cutoff FROM ev),
+         |live AS (SELECT * FROM cut WHERE cutoff IS NULL OR event_id < cutoff)
          |SELECT event_id, user_id, ts_us, value, false AS is_buffered
-         |FROM ev WHERE ts_us BETWEEN $StartUs AND $StopUs
+         |FROM live WHERE ts_us BETWEEN $StartUs AND $StopUs
          |UNION ALL
          |SELECT event_id, user_id, ts_us, value, true AS is_buffered FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-         |  FROM ev WHERE ts_us < $StartUs) WHERE rn = 1""".stripMargin,
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |                               ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM live WHERE ts_us < $StartUs) WHERE rn = 1""".stripMargin,
     "f5f7_stream_health" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS unordered_timestamps,

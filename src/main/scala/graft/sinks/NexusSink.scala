@@ -1,0 +1,119 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.plans.NexusPlan
+
+/** Parquet-mirror of the reference's NeXus/HDF5 output: the hierarchical
+  * group tree becomes a directory tree of parquet tables plus a
+  * `manifest.json` carrying everything that isn't tabular — group
+  * attributes, static dataset values, links, per-dataset units, job
+  * metadata.
+  *
+  * Mirrors the reference's two-phase lifecycle
+  * (`src/FileWriterTask.cpp:81-87`, `src/HDFFile.cpp:210-282`): structure is
+  * created once (`create`), after which only appends are allowed (SWMR
+  * analog); links and metadata land at `close` like `Master::setToIdle`
+  * (`src/Master.cpp:136-160`).
+  */
+final class NexusSink(outDir: String) {
+
+  private var frozen = false
+
+  private def iso(ms: Long): String =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(ZoneOffset.UTC)
+      .format(Instant.ofEpochMilli(ms))
+
+  /** Phase 1 — create the structure: directories per group, static dataset
+    * values and all attributes into the manifest
+    * (`HDFOperations::createHDFStructures`, `src/HDFOperations.cpp:375-467`).
+    */
+  def create(plan: NexusPlan.Plan): Unit = {
+    require(!frozen, "structure already frozen")
+    Files.createDirectories(Paths.get(outDir))
+    val manifest = JObject(
+      "groups" -> JArray(plan.groups.map(g =>
+        JObject(
+          "path"       -> JString(g.path),
+          "attributes" -> attrsJson(g.attributes))).toList),
+      "statics" -> JArray(plan.statics.map(s =>
+        JObject(
+          "path"       -> JString(s.path),
+          "dtype"      -> s.dtype.map(JString).getOrElse(JNothing),
+          "values"     -> s.values,
+          "attributes" -> attrsJson(s.attributes))).toList),
+      "links" -> JArray(plan.links.map(l =>
+        JObject("path" -> JString(l.path), "target" -> JString(l.target))).toList),
+      "streams" -> JArray(plan.streams.map(s =>
+        JObject(
+          "path"   -> JString(s.path),
+          "module" -> JString(s.module),
+          "source" -> JString(s.source),
+          "topic"  -> JString(s.topic))).toList)
+    )
+    write("manifest.json", JsonMethods.pretty(JsonMethods.render(manifest)))
+    frozen = true
+  }
+
+  private def attrsJson(as: Seq[NexusPlan.AttributeSpec]): JValue =
+    JArray(as.map(a =>
+      JObject(
+        "name"   -> JString(a.name),
+        "dtype"  -> a.dtype.map(JString).getOrElse(JNothing),
+        "values" -> a.values)).toList)
+
+  /** Phase 2 — append a table under a stream path. Ordering is carried by
+    * the `row` column; one file per stream table mirrors the reference's
+    * single-writer append discipline (`src/Stream/MessageWriter.cpp:31-36`).
+    */
+  def append(streamPath: String, table: String, df: DataFrame): Unit = {
+    require(frozen, "create the structure before appending")
+    df.coalesce(1)
+      .sortWithinPartitions("row")
+      .write.mode(SaveMode.Append)
+      .parquet(s"$outDir/data/$streamPath/$table")
+  }
+
+  /** Phase 3 — close: job metadata (mdat start/end ISO strings,
+    * `src/WriterModule/mdat/mdat_Writer.cpp:19-97`), per-stream units, and
+    * final scalar aggregates.
+    */
+  def close(
+      plan: NexusPlan.Plan,
+      startMs: Long,
+      stopMs: Long,
+      unitsByStream: Map[String, Map[String, String]],
+      finals: Map[String, Map[String, DataFrame]]
+  ): Unit = {
+    finals.foreach { case (streamPath, tables) =>
+      tables.foreach { case (name, df) =>
+        df.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/data/$streamPath/$name")
+      }
+    }
+    val mdat = JObject(plan.mdats.flatMap { m =>
+      m.items.collect {
+        case "start_time" => "start_time" -> JString(iso(startMs))
+        case "end_time"   => "end_time"   -> JString(iso(stopMs))
+      }
+    }.toList)
+    val closing = JObject(
+      "mdat"  -> mdat,
+      "units" -> JObject(unitsByStream.map { case (p, us) =>
+        p -> JObject(us.map { case (k, v) => k -> (JString(v): JValue) }.toList)
+      }.toList)
+    )
+    write("closing.json", JsonMethods.pretty(JsonMethods.render(closing)))
+  }
+
+  private def write(name: String, content: String): Unit =
+    Files.writeString(Paths.get(outDir).resolve(name), content)
+}

@@ -128,6 +128,31 @@ class StreamKernelSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cue_timestamp")).toSeq == Seq(10000L, 20000L))
   }
 
+  test("buffered pick is by max timestamp, not arrival order") {
+    // An out-of-order older pre-start message arriving later must NOT
+    // replace the buffer (SourceFilter.cpp:105-108 discards it).
+    val df = Seq(
+      ("s", 0L, 9500000000L, 1.0), // newest pre-start ts, earliest arrival
+      ("s", 1L, 9000000000L, 2.0)  // older ts, later arrival — discarded
+    ).toDF("source", "offset", "ts", "value")
+    val out = StreamKernel
+      .windowWithBuffer(df, Seq("source"), "offset", "ts", StartNs, StopNs)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 1.0)
+  }
+
+  test("strict finish: in-window stragglers after a beyond-stop message are dropped") {
+    val df = Seq(
+      ("s", 0L, 11000000000L, 1.0), // in window
+      ("s", 1L, 16000000000L, 2.0), // beyond stop → stream finished
+      ("s", 2L, 12000000000L, 3.0)  // in window but arrives after finish
+    ).toDF("source", "offset", "ts", "value")
+    val out = StreamKernel
+      .windowWithBuffer(df, Seq("source"), "offset", "ts", StartNs, StopNs)
+      .collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+  }
+
   test("route source keeps only the configured stream") {
     val df = Seq(("a", "f144", 1.0), ("b", "f144", 2.0), ("a", "ev44", 3.0))
       .toDF("source", "schema", "value")
