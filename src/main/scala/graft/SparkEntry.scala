@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    StreamQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries
+    StreamQueries.queries ++ DocQueries.queries ++ EmbedQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    StreamQueries.sql ++ DocQueries.sql ++ EmbedQueries.sql
+    StreamQueries.sql ++ DocQueries.sql ++ EmbedQueries.sql ++ AnalyticsQueries.sql
 }

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+
+/** General analytics over the TPC-H-ish star schema + events stream table —
+  * the engine's scan/filter/aggregate/join/window coverage beyond the
+  * reference's fixed pipeline.
+  *
+  * Scale design notes, per query:
+  *   - money sums use exact integer cents (`round(x*100) :: long`) so
+  *     results are identical regardless of partial-aggregation order — both
+  *     correctness (oracle hash) and determinism at 1000 executors;
+  *   - dimension tables (region/nation/customer/supplier) are broadcast —
+  *     no shuffle of the fact table for the join;
+  *   - the only fact-table shuffles are the final groupBys on low-cardinality
+  *     keys; AQE coalesces the post-shuffle partitions.
+  */
+object AnalyticsQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: single scan, one shuffle on a
+    // 6-value group key; all sums exact-integer.
+    "q1_pricing_summary" -> { (s, dir) =>
+      Graft.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .withColumn("ext_c", cents(col("l_extendedprice")))
+        .withColumn("disc_c", cents(col("l_discount")))
+        .withColumn("tax_c", cents(col("l_tax")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          (sum(col("ext_c")) / 100.0).as("sum_base_price"),
+          (sum(col("ext_c") * (lit(100) - col("disc_c"))) / 10000.0).as("sum_disc_price"),
+          (sum(col("ext_c") * (lit(100) - col("disc_c")) * (lit(100) + col("tax_c"))) / 1000000.0)
+            .as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("ext_c")) / count(lit(1)) / 100.0, 6).as("avg_price"),
+          round(sum(col("disc_c")) / count(lit(1)) / 100.0, 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // TPC-H Q3-style: broadcast customer dim, shuffle join orders⋈lineitem
+    // on orderkey, top-10 by exact revenue.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cust = Graft.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Graft.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = Graft.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_c"))
+        .select(
+          col("l_orderkey"),
+          (col("rev_c") / 10000.0).as("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("rev_c").desc, col("l_orderkey"))
+        .drop("rev_c")
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: all dims broadcast, fact shuffles only for the final
+    // per-nation aggregate.
+    "q5_local_supplier_volume" -> { (s, dir) =>
+      val region = Graft.region(s, dir).filter(col("r_name") === "ASIA")
+      val nation = Graft.nation(s, dir)
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val cust = Graft.customer(s, dir)
+      val supp = Graft.supplier(s, dir)
+      val ord = Graft.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Graft.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"))
+    },
+
+    // Gap-based sessionization over the events stream: one shuffle on
+    // user_id, session boundaries via lag, ids via running sum.
+    "events_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      Graft.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // Daily rollup: day × type counts and exact-cents revenue.
+    "events_daily_rollup" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .groupBy(
+          expr("ts div 86400000000000").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("total_value"))),
+
+    // Per-segment top-3 customers by exact order total: broadcast dim join
+    // + window rank.
+    "top_spenders_by_segment" -> { (s, dir) =>
+      val totals = Graft.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
+      val joined = totals.join(broadcast(Graft.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("spend_c").desc, col("c_custkey"))
+      joined
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+          (col("spend_c") / 100.0).as("total_spend"))
+    }
+  )
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(ext_c) / 100.0 AS sum_base_price,
+        |  sum(ext_c * (100 - disc_c)) / 10000.0 AS sum_disc_price,
+        |  sum(ext_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0 AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  round(sum(ext_c) / count(*) / 100.0, 6) AS avg_price,
+        |  round(sum(disc_c) / count(*) / 100.0, 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM (
+        |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, rev_c / 10000.0 AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-03-15'
+        |    AND l_shipdate > TIMESTAMP '1998-03-15'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev_c DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "events_sessionize" ->
+      """SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS ts_us,
+        |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "events_daily_rollup" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "top_spenders_by_segment" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank, c_custkey,
+        |       spend_c / 100.0 AS total_spend
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, spend_c,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY spend_c DESC, c_custkey) AS rnk
+        |  FROM (
+        |    SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+        |    FROM orders GROUP BY o_custkey) t
+        |  JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3""".stripMargin
+  )
+}
