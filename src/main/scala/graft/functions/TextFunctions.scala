@@ -24,6 +24,11 @@ object TextFunctions {
   /** Word n-gram shingles (strings joined by one space). Empty array when the
     * document has fewer than n tokens — mirrors generate_series semantics in
     * the oracle.
+    *
+    * IMPORTANT: pass a BOUND column (a `withColumn`-materialized token
+    * array), not the raw `split(...)` expression — the lambda references
+    * `toks` once per shingle, so an unbound expression re-tokenizes the
+    * document O(tokens) times (measured 40× slowdown at sf0.1).
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
@@ -34,14 +39,28 @@ object TextFunctions {
         )
       )
 
-  /** One MinHash signature value: lexicographic min of md5(seed:shingle).
-    * Hex-string min ordering is identical across engines.
+  /** MinHash via one base hash + affine permutations `(a·h + b) mod p` —
+    * one md5 per shingle total instead of one per (seed, shingle), the
+    * standard trick; constants sized so products stay < 2^48 (no overflow
+    * divergence between engines: Spark wraps, DuckDB errors).
     */
-  def minhash(shingleSet: Column, seed: Int): Column =
-    array_min(transform(shingleSet, x => md5(concat(lit(s"$seed:"), x))))
+  val MinhashP: Long        = 4294967311L // prime > 2^32
+  def minhashA(seed: Int): Long = 4097L + 513L * seed
+  def minhashB(seed: Int): Long = 9973L * seed + 12345L
+
+  /** Base 32-bit hash per shingle (bind the result to a column — the
+    * permutations reference it 16×).
+    */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+
+  /** One MinHash signature value from the bound base-hash array. */
+  def minhash(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes,
+      h => (h * lit(minhashA(seed)) + lit(minhashB(seed))) % lit(MinhashP)))
 
   /** LSH band key over `rows` consecutive minhash signature columns. */
-  def bandKey(sig: Seq[Column]): Column = md5(concat(sig: _*))
+  def bandKey(sig: Seq[Column]): Column = md5(concat_ws("-", sig: _*))
 
   /** 32-bit numeric hash of a token derived from md5 — the shared-with-oracle
     * stand-in for a real murmur at engine scale.

@@ -22,10 +22,17 @@ object DocQueries {
 
   private val toks: Column = tokens(col("text"))
 
-  /** doc_id + distinct 3-gram shingles, non-empty docs only. */
+  /** doc_id + distinct 3-gram shingles, non-empty docs only. Tokens are
+    * bound to a column first so the shingle lambda doesn't re-tokenize per
+    * element (see [[graft.functions.TextFunctions.shingles]]).
+    */
   private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), array_distinct(shingles(toks, 3)).as("shd"))
-      .filter(size(col("shd")) > 0)
+    d.withColumn("toks", toks)
+      // size(toks) >= 3 ⟺ non-empty shingle set, and it's checkable BEFORE
+      // computing shingles — a filter on size(shd) gets pushed below the
+      // projection and re-runs the whole shingle pipeline per row
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("shd"))
 
   private val NumHashes = 16
   private val Bands     = 4
@@ -101,9 +108,11 @@ object DocQueries {
     // band key (equality shuffle join), then exact Jaccard verification.
     "dedup_minhash_lsh" -> { (s, dir) =>
       val sh = shingled(docs(s, dir))
-      val sig = sh.select(
-        col("doc_id") +: (0 until NumHashes).map(i => minhash(col("shd"), i).as(s"mh$i")): _*
-      )
+      val sig = sh
+        .withColumn("hx", shingleHashes(col("shd")))
+        .select(
+          col("doc_id") +: (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
+        )
       val bandStructs = (0 until Bands).map { bnd =>
         val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
         struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
@@ -162,14 +171,11 @@ object DocQueries {
 
   private val SqlShingled =
     s"""t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
-       |sh AS (
+       |sh2 AS (
        |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-       |         ELSE list_transform(generate_series(1, len(toks) - 2),
-       |                             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-       |    END) AS shd
-       |  FROM t),
-       |sh2 AS (SELECT * FROM sh WHERE len(shd) > 0)""".stripMargin
+       |    list_transform(generate_series(1, len(toks) - 2),
+       |                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shd
+       |  FROM t WHERE len(toks) >= 3)""".stripMargin
 
   private def sqlJaccard(a: String, b: String) =
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b))), 6)"
@@ -215,18 +221,21 @@ object DocQueries {
     "dedup_minhash_lsh" -> {
       val mhCols = (0 until NumHashes)
         .map(i =>
-          s"list_aggregate(list_transform(shd, x -> md5(concat('$i:', x))), 'min') AS mh$i")
+          s"list_aggregate(list_transform(hx, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min') AS mh$i")
         .mkString(",\n  ")
       val bandRows = (0 until Bands)
         .map { bnd =>
           val ks = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, md5(concat($ks)) AS bkey FROM mh"
+          s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $ks)) AS bkey FROM mh"
         }
         .mkString("\n  UNION ALL ")
       s"""WITH $SqlShingled,
+         |shx AS (SELECT doc_id,
+         |  list_transform(shd, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)::BIGINT) AS hx
+         |FROM sh2),
          |mh AS (SELECT doc_id,
          |  $mhCols
-         |FROM sh2),
+         |FROM shx),
          |bands AS (
          |  $bandRows),
          |cand AS (

@@ -26,14 +26,16 @@ class TextFunctionsSpec extends SparkSpec {
 
   test("minhash is identical for identical shingle sets, seed-dependent") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"))).toDF("x", "y")
+      .withColumn("hx", TF.shingleHashes($"x"))
+      .withColumn("hy", TF.shingleHashes($"y"))
     val r = df
       .select(
-        TF.minhash($"x", 0).as("x0"), TF.minhash($"y", 0).as("y0"),
-        TF.minhash($"x", 1).as("x1"))
+        TF.minhash($"hx", 0).as("x0"), TF.minhash($"hy", 0).as("y0"),
+        TF.minhash($"hx", 1).as("x1"))
       .collect()
       .head
-    assert(r.getString(0) == r.getString(1))
-    assert(r.getString(0) != r.getString(2))
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
   }
 
   test("fingerprint normalizes case and whitespace") {
