@@ -1,0 +1,264 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{StreamKernel, WriterModules}
+import graft.operators.WriterModules.ModuleConfig
+import graft.plans.NexusPlan
+import graft.sinks.NexusSink
+
+/** Streaming execution of a nexus plan — the Spark analog of
+  * `StreamController` + per-partition consumers + the single writer thread
+  * (`src/StreamController.cpp:14-44`, `src/Stream/Partition.cpp:174-223`,
+  * `src/Stream/MessageWriter.cpp:107-141`).
+  *
+  * One micro-batch pass decodes once and demuxes to every configured stream
+  * (the reference's SrcToDst map, R1) inside `foreachBatch` — Spark won't
+  * share scans across independent queries, so the decode-once structure is
+  * ours to enforce by caching the batch.
+  *
+  * Scale stance: batch rows stay distributed end-to-end; the only values
+  * collected to the driver are per-stream scalars (boundary timestamp, the
+  * strict-finish cutoff offset, append counters) and the single buffered
+  * pre-start message — the same per-stream state the reference keeps in
+  * SourceFilter fields.
+  *
+  * Cross-batch state ([[StreamingJob.StreamState]]):
+  *   - `lastTs` — consecutive-dedup across batch boundaries (F4;
+  *     `SourceFilter.cpp:90-95`),
+  *   - `buffered` — pre-start candidate, emitted on the first in-window
+  *     write or at job end (F3; `SourceFilter.cpp:101-118`, dtor flush :53),
+  *   - `finished` — strict stop: everything after the first beyond-stop
+  *     message is dropped (F6),
+  *   - `rowsWritten` / `eventsWritten` — append cursors continuing sink row
+  *     numbering and the ev44 index shift (W2; `ev44_Writer.cpp:118-126`).
+  */
+class StreamingJob(
+    spark: SparkSession,
+    plan: NexusPlan.Plan,
+    outDir: String,
+    startMs: Long,
+    stopMs: Long
+) {
+  import StreamingJob._
+
+  private val sink    = new NexusSink(outDir)
+  private val startNs = startMs * 1000000L
+  private val stopNs  = stopMs * 1000000L
+
+  private val states = mutable.Map.empty[String, StreamState]
+
+  sink.create(plan)
+
+  private def streamKey(s: NexusPlan.Stream): String =
+    if (s.synthesized) s"${s.path}/${s.module}" else s.path
+
+  /** All streams of this schema are done (used by stop monitors). */
+  def allFinished(schemaId: String): Boolean = {
+    val keys = plan.streams.filter(_.module == schemaId).map(streamKey)
+    keys.nonEmpty && keys.forall(k => states.get(k).exists(_.finished))
+  }
+
+  /** Process one micro-batch of decoded messages for one schema id. The
+    * batch DF must carry the envelope (topic, source_name, offset, ts) plus
+    * the schema's payload columns.
+    */
+  def processBatch(schemaId: String, batch: DataFrame): Unit = {
+    val relevant = plan.streams.filter(_.module == schemaId)
+    if (relevant.isEmpty) return
+    batch.persist() // decode once, demux to N streams
+    try relevant.foreach { s =>
+      WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
+    } finally batch.unpersist()
+  }
+
+  private def processStream(
+      s: NexusPlan.Stream,
+      module: WriterModules.WriterModule,
+      batch: DataFrame
+  ): Unit = {
+    val key   = streamKey(s)
+    val state = states.getOrElseUpdate(key, StreamState())
+    if (state.finished) return
+
+    val routed = StreamKernel
+      .routeSource(batch, "topic" -> s.topic, "source_name" -> s.source)
+    val deduped = StreamKernel
+      .dedupConsecutive(routed, Seq("source_name"), "offset", "ts",
+        acceptRepeats = module.acceptRepeats)
+
+    // one small aggregate: batch head/tail timestamps + strict-finish cutoff
+    val aggRow = deduped
+      .agg(
+        count(lit(1)).as("n"),
+        min("offset").as("min_off"),
+        max_by(col("ts"), col("offset")).as("tail_ts"),
+        min_by(col("ts"), col("offset")).as("head_ts"),
+        min(when(col("ts") > stopNs, col("offset"))).as("cutoff"))
+      .collect()(0)
+    if (aggRow.getAs[Long]("n") == 0L) return
+
+    // cross-batch consecutive dedup: drop the batch head if it repeats the
+    // previous batch's tail timestamp
+    val boundary =
+      !module.acceptRepeats && state.lastTs.contains(aggRow.getAs[Long]("head_ts"))
+    val afterBoundary =
+      if (boundary) deduped.filter(col("offset") =!= aggRow.getAs[Long]("min_off"))
+      else deduped
+    state.lastTs = Some(aggRow.getAs[Long]("tail_ts"))
+
+    val cutoff = Option(aggRow.getAs[java.lang.Long]("cutoff"))
+    val live = cutoff match {
+      case Some(c) =>
+        state.finished = true
+        afterBoundary.filter(col("offset") < c)
+      case None => afterBoundary
+    }
+
+    // pre-start buffering: the max-ts candidate (ties → latest arrival)
+    val cand = live
+      .filter(col("ts") < startNs)
+      .orderBy(col("ts").desc, col("offset").desc)
+      .limit(1)
+      .collect()
+      .headOption
+    cand.foreach { r =>
+      val tsIdx = live.schema.fieldIndex("ts")
+      if (state.buffered.forall(_.getLong(tsIdx) <= r.getLong(tsIdx))) {
+        state.buffered = Some(r)
+        state.schema = live.schema
+      }
+    }
+
+    val inWindow = live.filter(col("ts") >= startNs && col("ts") <= stopNs)
+    val nInWindow = inWindow.count()
+    val emitBuffered = module.emitBuffered && state.buffered.nonEmpty &&
+      (nInWindow > 0 || state.finished)
+    val toWrite =
+      if (emitBuffered) {
+        val b = state.buffered.get
+        state.buffered = None
+        bufferedDf(b, state.schema).unionByName(inWindow)
+      } else inWindow
+    if (nInWindow > 0 || emitBuffered) write(key, module, s, toWrite, state)
+  }
+
+  private def bufferedDf(row: Row, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.List.of(row), schema)
+
+  /** Flush buffered messages at job end (the SourceFilter dtor flush), then
+    * close the sink with metadata and final aggregates.
+    */
+  def finish(): Unit = {
+    plan.streams.foreach { s =>
+      WriterModules.registry.get(s.module).foreach { module =>
+        val key = streamKey(s)
+        states.get(key).foreach { state =>
+          if (module.emitBuffered && state.buffered.nonEmpty) {
+            val b = state.buffered.get
+            state.buffered = None
+            write(key, module, s, bufferedDf(b, state.schema), state)
+          }
+        }
+      }
+    }
+    val units = plan.streams.flatMap { s =>
+      WriterModules.registry.get(s.module).map(m =>
+        streamKey(s) -> m.units(ModuleConfig(s.config)))
+    }.toMap
+    sink.close(plan, startMs, stopMs, units, Map.empty)
+  }
+
+  private def write(
+      key: String,
+      module: WriterModules.WriterModule,
+      s: NexusPlan.Stream,
+      df: DataFrame,
+      state: StreamState
+  ): Unit = {
+    val tables = module.tables(df, ModuleConfig(s.config))
+    tables.foreach { case (table, out0) =>
+      // continue sink row numbering and the ev44 event_index across batches
+      var out = out0.withColumn("row",
+        col("row") + lit(state.rowsWritten.getOrElse(table, 0L)))
+      if (module.id == "ev44" && table == "index")
+        out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
+      out = out.persist()
+      val n = out.count()
+      sink.append(key, table, out)
+      out.unpersist()
+      state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
+    }
+    if (module.id == "ev44") {
+      state.eventsWritten += df
+        .agg(coalesce(sum(size(col("time_of_flight"))), lit(0L)))
+        .collect()(0).getLong(0)
+    }
+  }
+}
+
+object StreamingJob {
+
+  /** Mutable per-stream state surviving micro-batch boundaries — the Spark
+    * re-homing of SourceFilter/ev44_Writer member fields.
+    */
+  final case class StreamState(
+      var lastTs: Option[Long] = None,
+      var buffered: Option[Row] = None,
+      var finished: Boolean = false,
+      var eventsWritten: Long = 0L,
+      rowsWritten: mutable.Map[String, Long] = mutable.Map.empty,
+      var schema: StructType = null
+  )
+
+  /** Kafka source for the real deployment: one streaming frame per data
+    * topic, seeking by timestamp with the reference's 10 s leeway
+    * (`startingOffsetsByTimestamp` ≙ offset-for-time seek,
+    * `src/Kafka/MetaDataQuery.cpp:60-77`; leeway `src/StreamerOptions.h:24-25`;
+    * big-payload fetch sizes `src/Kafka/BrokerSettings.h:33-35`).
+    * Requires the spark-sql-kafka connector on the classpath.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      brokers: String,
+      topics: Seq[String],
+      startMs: Long,
+      leewayMs: Long = 10000
+  ): DataFrame = {
+    val startingOffsets = topics
+      .map(t => s""""$t": {"-1": ${startMs - leewayMs}}""")
+      .mkString("{", ",", "}")
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsetsByTimestamp", startingOffsets)
+      .option("kafka.fetch.max.bytes", (52428800L * 6).toString)
+      .option("kafka.max.partition.fetch.bytes", (52428800L * 6).toString)
+      .option("maxOffsetsPerTrigger", "10000000")
+      .load()
+  }
+
+  /** Attach a decoded per-schema stream to the job: micro-batches flow
+    * through `processBatch`; trigger cadence mirrors the reference's 10 s
+    * `DataFlushInterval` (`src/StreamerOptions.h:20`).
+    */
+  def attach(
+      job: StreamingJob,
+      schemaId: String,
+      decoded: DataFrame,
+      triggerMs: Long = 10000
+  ): StreamingQuery =
+    decoded.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        job.processBatch(schemaId, batch)
+      }
+      .start()
+}

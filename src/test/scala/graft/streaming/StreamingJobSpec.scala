@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.plans.NexusPlan
+import graft.sources.Fixtures.{Ev44Msg, F144Msg}
+
+/** Cross-batch streaming semantics: the hard parts from SURVEY §7.4 —
+  * consecutive dedup across micro-batch boundaries, the buffered pre-start
+  * message surviving until its trigger, the ev44 cumulative index shift, and
+  * strict finish — exercised through MemoryStream micro-batches.
+  */
+class StreamingJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val template =
+    """{ "children": [
+      |  { "name": "entry", "type": "group", "children": [
+      |    { "name": "speed", "type": "group", "children": [
+      |      { "module": "f144",
+      |        "config": { "source": "speed", "topic": "tp",
+      |                    "enable_epics_con_info": false,
+      |                    "enable_alarm_info": false } } ] },
+      |    { "name": "events", "type": "group", "children": [
+      |      { "module": "ev44", "config": { "source": "det", "topic": "tp" } } ] }
+      |  ] } ] }""".stripMargin
+
+  private def f144(offset: Long, tsMs: Long, v: Double) =
+    F144Msg("tp", "speed", offset, tsMs, tsMs * 1000000L, v)
+  private def ev44(offset: Long, tsMs: Long, tof: Seq[Int]) =
+    Ev44Msg("tp", "det", offset, tsMs, tsMs * 1000000L,
+      Seq(tsMs * 1000000L), Seq(0), tof, tof.map(_ + 1))
+
+  private def newJob(out: String) =
+    new StreamingJob(spark, NexusPlan.parse(template), out, 10000, 15000)
+
+  test("f144: dedup across batches, buffered pre-start, strict finish") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    // batch 1: two pre-start (later one buffered), one in-window
+    job.processBatch("f144", Seq(
+      f144(0, 9000, 1.0), f144(1, 9500, 2.0), f144(2, 10100, 10.0)
+    ).toDF())
+    // batch 2: head repeats batch-1 tail ts → dropped; new value written
+    job.processBatch("f144", Seq(
+      f144(3, 10100, 99.0), f144(4, 10200, 15.0)
+    ).toDF())
+    // batch 3: beyond stop finishes the stream; stragglers dropped
+    job.processBatch("f144", Seq(
+      f144(5, 16000, 77.0), f144(6, 12000, 88.0)
+    ).toDF())
+    // batch 4: stream finished — ignored entirely
+    job.processBatch("f144", Seq(f144(7, 12500, 66.0)).toDF())
+    job.finish()
+
+    val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
+    assert(d.select("value").collect().map(_.getDouble(0)).toSeq ==
+      Seq(2.0, 10.0, 15.0))
+    assert(d.select("row").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("buffered value flushes at job end when no in-window data arrives") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(f144(0, 9000, 3.0)).toDF())
+    job.processBatch("f144", Seq(f144(1, 9200, 4.0)).toDF())
+    job.finish()
+    val d = spark.read.parquet(s"$out/data/entry/speed/data")
+    assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(4.0))
+  }
+
+  test("ev44: event_index continues across micro-batches") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.processBatch("ev44", Seq(
+      ev44(0, 10200, Seq(10, 20, 30, 40)), ev44(1, 10210, Seq(50, 60, 70, 80))
+    ).toDF())
+    job.processBatch("ev44", Seq(
+      ev44(2, 10220, Seq(90, 100)), ev44(3, 10230, Seq(110))
+    ).toDF())
+    job.finish()
+    val idx = spark.read.parquet(s"$out/data/entry/events/index").orderBy("row")
+    assert(idx.select("event_index").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 4L, 8L, 10L))
+    val ev = spark.read.parquet(s"$out/data/entry/events/events").orderBy("row")
+    assert(ev.count() == 11)
+  }
+
+  test("end-to-end through a real MemoryStream query") {
+    val out    = Files.createTempDirectory("graft-stream").toString
+    val job    = newJob(out)
+    val stream = MemoryStream[F144Msg](spark)
+    val query = job match {
+      case j =>
+        stream.toDF().writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            j.processBatch("f144", batch)
+          }
+          .start()
+    }
+    stream.addData(f144(0, 10100, 10.0), f144(1, 10110, 15.0))
+    query.processAllAvailable()
+    stream.addData(f144(2, 10120, 20.0))
+    query.processAllAvailable()
+    query.stop()
+    job.finish()
+    val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
+    assert(d.select("value").collect().map(_.getDouble(0)).toSeq ==
+      Seq(10.0, 15.0, 20.0))
+  }
+}
