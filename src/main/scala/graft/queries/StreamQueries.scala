@@ -134,7 +134,21 @@ object StreamQueries {
     "w8_tdct_explode" -> ((s, dir) =>
       Graft
         .documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token")))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))),
+
+    // D1/D2 — FlatBuffers decode: encode each event as a real f144 wire
+    // message, decode with the catalyst expression; the oracle is the
+    // identity projection, so any wire/decode defect breaks the hash.
+    "d1_decode_roundtrip" -> { (s, dir) =>
+      val enc = udf((src: String, ts: Long, v: Double) =>
+        graft.functions.FbEncoders.f144(src, ts, v))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("user-"), col("user_id")), col("ts"), col("value")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_f144(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          expr("d.timestamp div 1000").as("ts_us"), col("d.value").as("value"))
+    }
   )
 
   val sql: Map[String, String] = Map(
@@ -200,6 +214,10 @@ object StreamQueries {
         |  CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS status
         |FROM events""".stripMargin,
     "w8_tdct_explode" ->
-      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",
+    "d1_decode_roundtrip" ->
+      """SELECT event_id, 'user-' || CAST(user_id AS VARCHAR) AS source_name,
+        |       epoch_us(ts) AS ts_us, value
+        |FROM events""".stripMargin
   )
 }

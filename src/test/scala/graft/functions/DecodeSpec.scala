@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-trip and validity tests for the FlatBuffers decode expressions
+  * (D1/D2): encode with the flatbuffers-java builder, decode with our
+  * wire-format reader expressions inside a Spark plan.
+  */
+class DecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("f144 round-trip: source, ns timestamp, double value") {
+    val bytes = FbEncoders.f144("chopper:speed", 10100000000L, 12.5)
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(Decode.decode_f144($"value").as("d"))
+      .select("d.source_name", "d.timestamp", "d.value")
+      .collect().head
+    assert(row.getString(0) == "chopper:speed")
+    assert(row.getLong(1) == 10100000000L)
+    assert(row.getDouble(2) == 12.5)
+  }
+
+  test("envelope: schema dispatch, source, extractor timestamp") {
+    val f = FbEncoders.f144("src-a", 42L, 1.0)
+    val e = FbEncoders.ev44("det", Seq(10200000000L), Seq(0), Seq(10, 20), Seq(1, 2))
+    val rows = Seq(Tuple1(f), Tuple1(e)).toDF("value")
+      .select(Decode.decode_envelope($"value").as("d"))
+      .select("d.schema_id", "d.source_name", "d.timestamp", "d.valid", "d.error")
+      .orderBy("d.schema_id")
+      .collect()
+    assert(rows(0).getString(0) == "ev44")
+    assert(rows(0).getString(1) == "det")
+    assert(rows(0).getLong(2) == 10200000000L) // reference_time[0] rule
+    assert(rows(0).getBoolean(3))
+    assert(rows(1).getString(0) == "f144")
+    assert(rows(1).getLong(2) == 42L)
+  }
+
+  test("validity taxonomy: BufferTooSmall, UnknownFlatbufferID, ZeroTimestamp") {
+    val tiny    = Array[Byte](1, 2, 3)
+    val unknown = FbEncoders.f144("x", 1L, 0.0).clone()
+    // overwrite the file identifier
+    unknown(4) = 'z'; unknown(5) = 'z'; unknown(6) = 'z'; unknown(7) = 'z'
+    val zero = FbEncoders.f144("x", 0L, 0.0)
+    val rows = Seq(Tuple1(tiny), Tuple1(unknown), Tuple1(zero)).toDF("value")
+      .select(Decode.decode_envelope($"value").as("d"))
+      .select("d.valid", "d.error")
+      .collect()
+    assert(rows.forall(!_.getBoolean(0)))
+    assert(rows.map(_.getString(1)).toSet ==
+      Set("BufferTooSmall", "UnknownFlatbufferID", "ZeroTimestamp"))
+  }
+
+  test("ev44 round-trip: parallel arrays") {
+    val bytes = FbEncoders.ev44("det", Seq(5L, 6L), Seq(0, 1), Seq(7, 8, 9), Seq(1, 2, 3))
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(Decode.decode_ev44($"value").as("d"))
+      .select("d.source_name", "d.reference_time", "d.reference_time_index",
+        "d.time_of_flight", "d.pixel_id")
+      .collect().head
+    assert(row.getString(0) == "det")
+    assert(row.getSeq[Long](1) == Seq(5L, 6L))
+    assert(row.getSeq[Int](2) == Seq(0, 1))
+    assert(row.getSeq[Int](3) == Seq(7, 8, 9))
+    assert(row.getSeq[Int](4) == Seq(1, 2, 3))
+  }
+
+  test("decode of a full pipeline slice: filter + project over decoded structs") {
+    val msgs = (1 to 10).map(i =>
+      Tuple1(FbEncoders.f144(if (i % 2 == 0) "even" else "odd", i * 1000L, i.toDouble)))
+    val out = msgs.toDF("value")
+      .select(Decode.decode_f144($"value").as("d"))
+      .filter($"d.source_name" === "even")
+      .agg(sum($"d.value")).collect().head.getDouble(0)
+    assert(out == 2.0 + 4 + 6 + 8 + 10)
+  }
+}
