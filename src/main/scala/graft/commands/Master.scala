@@ -1,0 +1,108 @@
+package graft.commands
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.NexusPlan
+import graft.streaming.StreamingJob
+
+/** The control-plane state machine — `Master` + `Handler` re-expressed
+  * (`src/Master.cpp:50-160`, `src/CommandSystem/Handler.cpp:45-163`):
+  * at-most-one job per worker; pl72 starts a StreamingJob, 6s4t updates its
+  * stop time or stops now; answers and a wrdn completion are emitted as
+  * wire messages for the caller to produce to Kafka (driver-side
+  * kafka-clients loop in a real deployment — deliberately NOT a streaming
+  * query, matching the reference's JobListener).
+  */
+final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
+
+  import CommandProtocol._
+
+  sealed trait State
+  case object Idle                                              extends State
+  final case class Writing(jobId: String, job: StreamingJob)    extends State
+
+  @volatile private var state: State = Idle
+
+  def currentState: State = state
+  def currentJob: Option[StreamingJob] = state match {
+    case Writing(_, j) => Some(j)
+    case Idle          => None
+  }
+
+  /** Outbound wire messages produced by command handling. */
+  final case class Outbound(kind: String, payload: Array[Byte])
+
+  /** Handle one raw command message (the Kafka record value). */
+  def handle(bytes: Array[Byte]): Seq[Outbound] = schemaId(bytes) match {
+    case "pl72" => decodeRunStart(bytes).fold(err => reject("", err), start)
+    case "6s4t" => decodeRunStop(bytes).fold(err => reject("", err), stop)
+    case other  => reject("", s"unknown command schema '$other'")
+  }
+
+  /** Start validation per `Handler.cpp:138-163`: UUID job id, parseable
+    * structure, sane window; at-most-one job.
+    */
+  private def start(cmd: RunStart): Seq[Outbound] = state match {
+    case Writing(id, _) =>
+      reject(cmd.jobId, s"already writing job $id")
+    case Idle =>
+      if (!isValidUuid(cmd.jobId))
+        reject(cmd.jobId, s"job id '${cmd.jobId}' is not a valid UUID")
+      else if (cmd.nexusStructure.isEmpty)
+        reject(cmd.jobId, "empty nexus_structure")
+      else if (cmd.stopTimeMs != 0 && cmd.stopTimeMs <= cmd.startTimeMs)
+        reject(cmd.jobId, "stop time not after start time")
+      else {
+        try {
+          val plan = NexusPlan.parse(cmd.nexusStructure)
+          val stop = if (cmd.stopTimeMs == 0) Long.MaxValue / 2000000 else cmd.stopTimeMs
+          val job = new StreamingJob(
+            spark, plan, s"$outRoot/${cmd.filename}", cmd.startTimeMs, stop)
+          state = Writing(cmd.jobId, job)
+          Seq(Outbound("answ",
+            encodeAnswer(cmd.jobId, cmd.jobId, success = true, "started")))
+        } catch {
+          case e: Exception => reject(cmd.jobId, s"bad nexus_structure: ${e.getMessage}")
+        }
+      }
+  }
+
+  /** Stop semantics per `Master.cpp:100-124`: stop time 0 ⇒ stop now; only
+    * the matching job (and service, when set) may be stopped.
+    */
+  private def stop(cmd: RunStop): Seq[Outbound] = state match {
+    case Idle => reject(cmd.jobId, "not writing")
+    case Writing(id, job) =>
+      if (cmd.jobId != id)
+        reject(cmd.jobId, s"job id mismatch (writing $id)")
+      else if (cmd.serviceId.nonEmpty && cmd.serviceId != serviceId)
+        reject(cmd.jobId, "service id mismatch")
+      else if (cmd.stopTimeMs == 0L) finishNow(id, job, "stopped immediately")
+      else if (job.setStopTime(cmd.stopTimeMs))
+        Seq(Outbound("answ", encodeAnswer(cmd.commandId, id, success = true,
+          s"stop time set to ${cmd.stopTimeMs}")))
+      else reject(cmd.jobId, "job already past stop")
+  }
+
+  /** Called by the stop monitor when all streams are finished (or on
+    * stop-now): flush, emit wrdn, return to idle.
+    */
+  def finishNow(jobId: String, job: StreamingJob, message: String): Seq[Outbound] = {
+    job.finish()
+    state = Idle
+    Seq(Outbound("wrdn",
+      encodeFinished(serviceId, jobId, error = false, outRoot, "{}", message)))
+  }
+
+  /** Periodic x5f2 status heartbeat (`src/Status/StatusReporter` cadence). */
+  def statusMessage(updateIntervalMs: Long = 2000): Array[Byte] = {
+    val json = state match {
+      case Idle          => """{"state":"idle"}"""
+      case Writing(j, _) => s"""{"state":"writing","job_id":"$j"}"""
+    }
+    encodeStatus(serviceId, json, updateIntervalMs)
+  }
+
+  private def reject(jobId: String, why: String): Seq[Outbound] =
+    Seq(Outbound("answ", encodeAnswer(jobId, jobId, success = false, why)))
+}

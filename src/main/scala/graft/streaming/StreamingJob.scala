@@ -49,7 +49,20 @@ class StreamingJob(
 
   private val sink    = new NexusSink(outDir)
   private val startNs = startMs * 1000000L
-  private val stopNs  = stopMs * 1000000L
+  @volatile private var stopMsCur = stopMs
+  private def stopNs  = stopMsCur * 1000000L
+
+  /** 6s4t dynamic stop-time update, propagated to every stream filter
+    * before the next micro-batch (`Master::setStopTime`
+    * `src/Master.cpp:113-124` → `SourceFilter::set_stop_time`). Rejected
+    * once writing is past the new stop (the reference rejects while not
+    * writing or when already stopped).
+    */
+  def setStopTime(newStopMs: Long): Boolean =
+    if (states.values.forall(_.finished) && states.nonEmpty) false
+    else { stopMsCur = newStopMs; true }
+
+  def stopTimeMs: Long = stopMsCur
 
   private val states = mutable.Map.empty[String, StreamState]
 
@@ -171,7 +184,7 @@ class StreamingJob(
       WriterModules.registry.get(s.module).map(m =>
         streamKey(s) -> m.units(ModuleConfig(s.config)))
     }.toMap
-    sink.close(plan, startMs, stopMs, units, Map.empty)
+    sink.close(plan, startMs, stopMsCur, units, Map.empty)
   }
 
   private def write(

@@ -1,0 +1,93 @@
+package graft.commands
+
+import java.nio.file.Files
+import java.util.UUID
+
+import graft.SparkSpec
+import graft.sources.Fixtures.F144Msg
+
+/** Command-protocol round-trips and the Master job lifecycle — the
+  * integration-test tier of the reference
+  * (`integration-tests/test_filewriter.py`: start → answ, stop → answ +
+  * wrdn, invalid input rejection) without Kafka.
+  */
+class MasterSpec extends SparkSpec {
+  import CommandProtocol._
+  import spark.implicits._
+
+  private val template =
+    """{ "children": [ { "name": "entry", "type": "group", "children": [
+      |  { "name": "speed", "type": "group", "children": [
+      |    { "module": "f144", "config": { "source": "speed", "topic": "tp",
+      |      "enable_epics_con_info": false, "enable_alarm_info": false } } ] }
+      |] } ] }""".stripMargin
+
+  private def newMaster() = new Master(
+    spark, "svc-1", Files.createTempDirectory("graft-master").toString)
+
+  test("pl72 and 6s4t round-trip through the wire format") {
+    val rs = RunStart(10000, 15000, "run", "instr", template,
+      UUID.randomUUID().toString, "svc-1", "out.nxs", "ctrl")
+    assert(decodeRunStart(encodeRunStart(rs)) == Right(rs))
+    val st = RunStop(14000, "run", rs.jobId, "svc-1", UUID.randomUUID().toString)
+    assert(decodeRunStop(encodeRunStop(st)) == Right(st))
+    assert(schemaId(encodeRunStart(rs)) == "pl72")
+    assert(schemaId(encodeAnswer("c", "j", success = true, "m")) == "answ")
+    assert(schemaId(encodeFinished("s", "j", error = false, "f", "{}", "m")) == "wrdn")
+    assert(schemaId(statusBytes) == "x5f2")
+  }
+  private def statusBytes = newMaster().statusMessage()
+
+  test("full lifecycle: start → write → stop-now → wrdn, back to idle") {
+    val master = newMaster()
+    val jobId  = UUID.randomUUID().toString
+    val rs = RunStart(10000, 15000, "run", "instr", template, jobId,
+      "svc-1", "file1", "ctrl")
+    val out1 = master.handle(encodeRunStart(rs))
+    assert(out1.map(_.kind) == Seq("answ"))
+    assert(master.currentState != master.Idle)
+
+    master.currentJob.get.processBatch("f144",
+      Seq(F144Msg("tp", "speed", 0, 10100, 10100000000L, 10.0)).toDF())
+
+    // second start while writing → rejected
+    val rej = master.handle(encodeRunStart(rs.copy(jobId = UUID.randomUUID().toString)))
+    assert(rej.map(_.kind) == Seq("answ"))
+
+    // stop now (stop_time = 0)
+    val out2 = master.handle(encodeRunStop(
+      encodeStop(jobId, stopMs = 0)))
+    assert(out2.map(_.kind) == Seq("wrdn"))
+    assert(master.currentState == master.Idle)
+  }
+
+  private def encodeStop(jobId: String, stopMs: Long) =
+    RunStop(stopMs, "run", jobId, "svc-1", UUID.randomUUID().toString)
+
+  test("6s4t updates the running job's stop time") {
+    val master = newMaster()
+    val jobId  = UUID.randomUUID().toString
+    master.handle(encodeRunStart(RunStart(10000, 15000, "r", "i", template,
+      jobId, "svc-1", "file2", "ctrl")))
+    val out = master.handle(encodeRunStop(encodeStop(jobId, stopMs = 13000)))
+    assert(out.map(_.kind) == Seq("answ"))
+    assert(master.currentJob.get.stopTimeMs == 13000)
+    // mismatched job id rejected
+    val out2 = master.handle(encodeRunStop(encodeStop(UUID.randomUUID().toString, 12000)))
+    assert(master.currentJob.get.stopTimeMs == 13000)
+    assert(out2.map(_.kind) == Seq("answ"))
+  }
+
+  test("invalid starts rejected: bad UUID, empty structure, bad window") {
+    val master = newMaster()
+    val good = RunStart(10000, 15000, "r", "i", template,
+      UUID.randomUUID().toString, "svc-1", "f", "ctrl")
+    assert(master.handle(encodeRunStart(good.copy(jobId = "nope"))).map(_.kind) == Seq("answ"))
+    assert(master.currentState == master.Idle)
+    assert(master.handle(encodeRunStart(good.copy(nexusStructure = ""))).nonEmpty)
+    assert(master.currentState == master.Idle)
+    assert(master.handle(encodeRunStart(good.copy(stopTimeMs = 9000))).nonEmpty)
+    assert(master.currentState == master.Idle)
+    assert(master.handle("garbage".getBytes).nonEmpty)
+  }
+}
