@@ -146,6 +146,24 @@ object DocQueries {
           .as("simhash"))
     },
 
+    // Multimodal: binary payload + typed metadata through the per-partition
+    // decode-stub pipeline (real plumbing, stubbed codec — see
+    // MultimodalOps). head_sum is ASCII-byte math the oracle reproduces.
+    "mm_binary_features" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      MultimodalOps
+        .extractFeatures(MultimodalOps.documentAssets(s, docs(s, dir)))
+        .toDF()
+    },
+
+    // Multimodal: deterministic frame sampling (4 windows of 16 bytes).
+    "mm_frame_sample" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      MultimodalOps
+        .sampleFrames(MultimodalOps.documentAssets(s, docs(s, dir)), 4, 16)
+        .toDF()
+    },
+
     // SimHash near-dup pairs: block on the high 16 bits, verify hamming ≤ 6.
     "dedup_simhash_pairs" -> { (s, dir) =>
       val sh = queries("dedup_simhash")(s, dir).withColumn("blk", expr("simhash >> 16"))
@@ -256,6 +274,18 @@ object DocQueries {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(ord(substr(text,1,1)) + ord(substr(text,2,1)) + ord(substr(text,3,1)) +
+        |       ord(substr(text,4,1)) + ord(substr(text,5,1)) + ord(substr(text,6,1)) +
+        |       ord(substr(text,7,1)) + ord(substr(text,8,1)) AS BIGINT) AS head_sum
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+        |  md5(substr(text, 1 + i * ((length(text) - 16) // 3), 16)) AS frame_md5
+        |FROM documents, generate_series(0, 3) AS t(i)
+        |WHERE length(text) >= 16""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),

@@ -199,6 +199,42 @@ class FileMakerSpec extends SparkSpec {
     assert(longs(d, "time") == Seq(9000000000L))
   }
 
+  test("se00 generated timestamps and tdct explode end-to-end") {
+    val dir = tmp()
+    val tpl =
+      """{ "children": [ { "name": "entry", "type": "group", "children": [
+        |  { "name": "env", "type": "group", "children": [
+        |    { "module": "se00", "config": { "source": "env1", "topic": "t",
+        |      "dtype": "int64", "enable_epics_con_info": false,
+        |      "enable_alarm_info": false } } ] },
+        |  { "name": "chopper_tdc", "type": "group", "children": [
+        |    { "module": "tdct", "config": { "source": "tdc1", "topic": "t",
+        |      "enable_epics_con_info": false, "enable_alarm_info": false } } ] }
+        |] } ] }""".stripMargin
+    val msgs =
+      """[
+        |{ "schema": "se00", "topic": "t", "kafka_timestamp": 11000,
+        |  "source_name": "env1", "packet_timestamp": 11000,
+        |  "time_delta": 1000000.0, "values": [7, 8, 9] },
+        |{ "schema": "se00", "topic": "t", "kafka_timestamp": 12000,
+        |  "source_name": "env1", "packet_timestamp": 12000,
+        |  "time_delta": 0.0, "timestamps": [12000000000, 12000000005],
+        |  "values": [1, 2] },
+        |{ "schema": "tdct", "topic": "t", "kafka_timestamp": 13000,
+        |  "source_name": "tdc1",
+        |  "timestamps": [13000000000, 13000000007, 13000000011] }
+        |]""".stripMargin
+    FileMaker.run(spark, tpl, msgs, dir)
+    val se = read(dir, "entry/env/data").collect()
+    // message 1: generated t0 + i·Δ; message 2: provided timestamps win
+    assert(se.map(_.getAs[Long]("time")).toSeq ==
+      Seq(11000000000L, 11001000000L, 11002000000L, 12000000000L, 12000000005L))
+    assert(se.map(_.getAs[Long]("value")).toSeq == Seq(7L, 8L, 9L, 1L, 2L))
+    val td = read(dir, "entry/chopper_tdc/data").collect()
+    assert(td.map(_.getAs[Long]("time")).toSeq ==
+      Seq(13000000000L, 13000000007L, 13000000011L))
+  }
+
   test("repeated timestamps skipped (test_repeated_messages.py)") {
     val dir = tmp()
     val msgs = "[" + Seq(
