@@ -94,11 +94,31 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
       encodeFinished(serviceId, jobId, error = false, outRoot, "{}", message)))
   }
 
-  /** Periodic x5f2 status heartbeat (`src/Status/StatusReporter` cadence). */
+  /** Stop monitor tick: finish the job when every stream saw its
+    * beyond-stop message, or when wall clock passed stop + leeway with the
+    * streams at EOF (`StreamController::isDoneWriting` +
+    * `PartitionFilter`). Returns wrdn when the job completed.
+    */
+  def checkProgress(nowMs: Long = System.currentTimeMillis()): Seq[Outbound] =
+    state match {
+      case Writing(id, job) if job.allStreamsFinished =>
+        finishNow(id, job, "all streams finished")
+      case Writing(id, job) if job.shouldStop(nowMs) =>
+        finishNow(id, job, "wall clock past stop time")
+      case _ => Nil
+    }
+
+  /** Periodic x5f2 status heartbeat (`src/Status/StatusReporter` cadence),
+    * including per-stream write counters (A3).
+    */
   def statusMessage(updateIntervalMs: Long = 2000): Array[Byte] = {
     val json = state match {
-      case Idle          => """{"state":"idle"}"""
-      case Writing(j, _) => s"""{"state":"writing","job_id":"$j"}"""
+      case Idle => """{"state":"idle"}"""
+      case Writing(j, job) =>
+        val streams = job.metrics.map { case (k, m) =>
+          s""""$k":{${m.map { case (n, v) => s""""$n":$v""" }.mkString(",")}}"""
+        }.mkString(",")
+        s"""{"state":"writing","job_id":"$j","streams":{$streams}}"""
     }
     encodeStatus(serviceId, json, updateIntervalMs)
   }

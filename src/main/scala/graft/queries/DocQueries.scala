@@ -45,7 +45,10 @@ object DocQueries {
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_text"),
-        ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_bpe_est")
+        ceil(length(col("text")) / 4.0).cast("long").as("n_tokens_bpe_est"),
+        // BPE-ish pre-tokenizer: word / number / single-symbol pieces
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_tokens_re")
       )),
 
     "text_quality" -> { (s, dir) =>
@@ -202,7 +205,8 @@ object DocQueries {
     "text_token_count" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_text,
-         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re
          |FROM documents""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,

@@ -55,6 +55,22 @@ object EmbedQueries {
         .filter(col("rank") <= K)
     },
 
+    // Embedding near-duplicate pairs: candidate pairs only within the same
+    // coarse cell (label), exact cosine verification — the embedding-space
+    // analog of LSH-blocked dedup.
+    "embed_neardup_cosine" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.5)
+    },
+
     // IVF coarse step: per-label centroid (element-wise mean).
     "embed_centroids" -> ((s, dir) =>
       emb(s, dir)
@@ -116,6 +132,12 @@ object EmbedQueries {
          |                               ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= $K""".stripMargin,
+    "embed_neardup_cosine" ->
+      s"""WITH $SqlNorm
+         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
     "embed_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS centroid
         |FROM (SELECT label, unnest(embedding) AS e,

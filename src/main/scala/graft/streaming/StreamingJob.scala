@@ -77,6 +77,30 @@ class StreamingJob(
     keys.nonEmpty && keys.forall(k => states.get(k).exists(_.finished))
   }
 
+  /** Every configured stream has seen its beyond-stop message — the
+    * reference's `StreamController::isDoneWriting`
+    * (`src/StreamController.cpp:68-84`).
+    */
+  def allStreamsFinished: Boolean =
+    plan.streams.forall(s => states.get(streamKey(s)).exists(_.finished))
+
+  /** Wall-clock stop check — `PartitionFilter` stops at EOF once past
+    * stop + leeway (`src/Stream/PartitionFilter.cpp:57-62`, leeway
+    * `src/StreamerOptions.h:24-25`).
+    */
+  def shouldStop(nowMs: Long, leewayMs: Long = 10000): Boolean =
+    nowMs > stopMsCur + leewayMs
+
+  /** Per-stream counters for the x5f2 status JSON (A3 analog:
+    * writes-done per source, `src/Stream/MessageWriter.cpp:38-56`).
+    */
+  def metrics: Map[String, Map[String, Long]] =
+    states.toMap.map { case (k, st) =>
+      k -> (st.rowsWritten.toMap ++ Map(
+        "events_written" -> st.eventsWritten,
+        "finished"       -> (if (st.finished) 1L else 0L)))
+    }
+
   /** Process one micro-batch of decoded messages for one schema id. The
     * batch DF must carry the envelope (topic, source_name, offset, ts) plus
     * the schema's payload columns.

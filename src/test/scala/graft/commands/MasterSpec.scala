@@ -78,6 +78,37 @@ class MasterSpec extends SparkSpec {
     assert(out2.map(_.kind) == Seq("answ"))
   }
 
+  test("stop monitor finishes the job when all streams pass stop time") {
+    val master = newMaster()
+    val jobId  = UUID.randomUUID().toString
+    master.handle(encodeRunStart(RunStart(10000, 15000, "r", "i", template,
+      jobId, "svc-1", "file3", "ctrl")))
+    val job = master.currentJob.get
+    job.processBatch("f144",
+      Seq(F144Msg("tp", "speed", 0, 10100, 10100000000L, 1.0),
+        F144Msg("tp", "speed", 1, 16000, 16000000000L, 2.0)).toDF())
+    assert(job.allStreamsFinished)
+    val out = master.checkProgress(nowMs = 12000)
+    assert(out.map(_.kind) == Seq("wrdn"))
+    assert(master.currentState == master.Idle)
+  }
+
+  test("status message carries per-stream write counters") {
+    val master = newMaster()
+    val jobId  = UUID.randomUUID().toString
+    master.handle(encodeRunStart(RunStart(10000, 15000, "r", "i", template,
+      jobId, "svc-1", "file4", "ctrl")))
+    master.currentJob.get.processBatch("f144",
+      Seq(F144Msg("tp", "speed", 0, 10100, 10100000000L, 1.0)).toDF())
+    val bytes = master.statusMessage()
+    assert(schemaId(bytes) == "x5f2")
+    val r    = new graft.functions.FlatBufferReader.Reader(bytes)
+    val root = r.rootTable
+    val json = r.string(r.field(root, 6))
+    assert(json.contains("\"state\":\"writing\""))
+    assert(json.contains("\"data\":1"))
+  }
+
   test("invalid starts rejected: bad UUID, empty structure, bad window") {
     val master = newMaster()
     val good = RunStart(10000, 15000, "r", "i", template,
