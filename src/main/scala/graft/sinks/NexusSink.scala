@@ -51,16 +51,46 @@ final class NexusSink(outDir: String) {
           "values"     -> s.values,
           "attributes" -> attrsJson(s.attributes))).toList),
       "links" -> JArray(plan.links.map(l =>
-        JObject("path" -> JString(l.path), "target" -> JString(l.target))).toList),
+        JObject(
+          "path"     -> JString(l.path),
+          "target"   -> JString(l.target),
+          "resolved" -> JString(resolveLink(l)))).toList),
       "streams" -> JArray(plan.streams.map(s =>
         JObject(
           "path"   -> JString(s.path),
           "module" -> JString(s.module),
           "source" -> JString(s.source),
-          "topic"  -> JString(s.topic))).toList)
+          "topic"  -> JString(s.topic))).toList),
+      // da00 plan-time constants: written once at structure creation
+      // (`da00_Writer.cpp` constants handling; compared-for-consistency
+      // checks are a runtime concern of the writer)
+      "constants" -> JArray(plan.streams.filter(_.module == "da00").flatMap { s =>
+        s.config.get("constants") match {
+          case Some(JArray(cs)) => cs.map(c =>
+            JObject("stream" -> JString(s.path), "spec" -> c))
+          case _ => Nil
+        }
+      }.toList)
     )
     write("manifest.json", JsonMethods.pretty(JsonMethods.render(manifest)))
     frozen = true
+  }
+
+  /** Resolve a link target against the link's parent group, handling `../`
+    * traversal like the reference's `addLinkToNode`
+    * (`src/HDFOperations.cpp:478-512`).
+    */
+  private def resolveLink(l: NexusPlan.Link): String = {
+    // absolute target: already a full path from the root
+    if (l.target.startsWith("/")) return l.target.stripPrefix("/")
+    val base  = l.path.split('/').dropRight(1)
+    val stack = scala.collection.mutable.ArrayBuffer(base: _*)
+    l.target.split('/').foreach {
+      case ".." => if (stack.nonEmpty) stack.remove(stack.length - 1)
+      case "." | "" => ()
+      case p    => stack += p
+    }
+    stack.mkString("/")
   }
 
   private def attrsJson(as: Seq[NexusPlan.AttributeSpec]): JValue =

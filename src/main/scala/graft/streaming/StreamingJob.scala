@@ -67,6 +67,7 @@ class StreamingJob(
   private val states = mutable.Map.empty[String, StreamState]
 
   sink.create(plan)
+  loadState()
 
   private def streamKey(s: NexusPlan.Stream): String =
     if (s.synthesized) s"${s.path}/${s.module}" else s.path
@@ -112,7 +113,43 @@ class StreamingJob(
     try relevant.foreach { s =>
       WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
     } finally batch.unpersist()
+    saveState() // restart-safe cursor checkpoint (at-least-once, like the reference)
   }
+
+  // ---- state checkpoint ----------------------------------------------
+  // The reference re-seeks by timestamp on restart and tolerates
+  // duplicates (SURVEY §2.9 exactly-once row); persisting the per-stream
+  // cursors after each batch gives the same at-least-once contract with
+  // much narrower replay.
+
+  private def stateFile = java.nio.file.Paths.get(outDir, "state.bin")
+
+  private def saveState(): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(stateFile))
+    try {
+      out.writeLong(stopMsCur)
+      out.writeObject(states.toMap.map { case (k, s) =>
+        k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
+          s.rowsWritten.toMap, s.schema))
+      })
+    } finally out.close()
+  }
+
+  private def loadState(): Unit =
+    if (java.nio.file.Files.exists(stateFile)) {
+      val in = new java.io.ObjectInputStream(
+        java.nio.file.Files.newInputStream(stateFile))
+      try {
+        stopMsCur = in.readLong()
+        val saved = in.readObject().asInstanceOf[Map[String,
+          (Option[Long], Option[Row], Boolean, Long, Map[String, Long], StructType)]]
+        saved.foreach { case (k, (lt, buf, fin, ev, rows, sch)) =>
+          states(k) = StreamState(lt, buf, fin, ev,
+            mutable.Map(rows.toSeq: _*), sch)
+        }
+      } finally in.close()
+    }
 
   private def processStream(
       s: NexusPlan.Stream,

@@ -90,6 +90,26 @@ class StreamingJobSpec extends SparkSpec {
     assert(ev.count() == 11)
   }
 
+  test("restart resumes cursors: row numbering, dedup boundary, ev44 index") {
+    val out  = Files.createTempDirectory("graft-stream").toString
+    val job1 = newJob(out)
+    job1.processBatch("f144", Seq(f144(0, 10100, 10.0)).toDF())
+    job1.processBatch("ev44", Seq(ev44(0, 10200, Seq(10, 20, 30))).toDF())
+    // simulate a crash: new job instance over the same output dir
+    val job2 = newJob(out)
+    job2.processBatch("f144", Seq(
+      f144(1, 10100, 99.0), // repeats pre-restart tail ts → deduped
+      f144(2, 10300, 20.0)
+    ).toDF())
+    job2.processBatch("ev44", Seq(ev44(1, 10210, Seq(40, 50))).toDF())
+    job2.finish()
+    val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
+    assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
+    assert(d.select("row").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val idx = spark.read.parquet(s"$out/data/entry/events/index").orderBy("row")
+    assert(idx.select("event_index").collect().map(_.getLong(0)).toSeq == Seq(0L, 3L))
+  }
+
   test("end-to-end through a real MemoryStream query") {
     val out    = Files.createTempDirectory("graft-stream").toString
     val job    = newJob(out)
