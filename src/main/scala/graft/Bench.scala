@@ -32,6 +32,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // JVM/session warmup so the first measured query doesn't absorb
+    // startup (codegen compiler, parquet footer reads, executor spin-up)
+    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+      graft.core.Graft.table(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // stable ordering for comparable per-round numbers
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> runOne(name, fn)

@@ -135,18 +135,11 @@ object DocQueries {
     },
 
     // SimHash signature per doc: 32 bits, majority vote over token hashes.
+    // Native one-pass expression (zero shuffles, no tokens×32 row blowup);
+    // the oracle SQL keeps the equivalent explode formulation.
     "dedup_simhash" -> { (s, dir) =>
-      val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
-      val num = tok.select(col("doc_id"), tokenHash32(col("tok")).as("num"))
-      val bits = num
-        .select(col("doc_id"), col("num"), explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(expr("2 * ((num >> b) & 1) - 1")).as("sgn"))
-      bits
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-          .cast("long")
-          .as("simhash"))
+      import graft.functions.SimHash32.simhash32
+      docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash"))
     },
 
     // Multimodal: binary payload + typed metadata through the per-partition
@@ -169,7 +162,10 @@ object DocQueries {
 
     // SimHash near-dup pairs: block on the high 16 bits, verify hamming ≤ 6.
     "dedup_simhash_pairs" -> { (s, dir) =>
-      val sh = queries("dedup_simhash")(s, dir).withColumn("blk", expr("simhash >> 16"))
+      import graft.functions.SimHash32.simhash32
+      val sh = docs(s, dir)
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .withColumn("blk", expr("simhash >> 16"))
       val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
       val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
       a.join(b, Seq("blk"))

@@ -51,6 +51,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == 1622020974L)
   }
 
+  test("native SimHash32 equals the explode-based builtin formulation") {
+    import graft.functions.SimHash32.simhash32
+    val df = Seq("the quick brown fox", "a b  c", "spark engine graft test")
+      .toDF("text")
+    val native = df.select(simhash32($"text")).collect().map(_.getLong(0))
+    // reference formulation: explode tokens × 32 bits, majority vote
+    val viaExplode = df
+      .select($"text", explode(split($"text", " ")).as("tok"))
+      .select($"text", TF.tokenHash32($"tok").as("num"))
+      .select($"text", $"num", explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy($"text", $"b")
+      .agg(sum(expr("2 * ((num >> b) & 1) - 1")).as("sgn"))
+      .groupBy($"text")
+      .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")).as("sh"))
+    val byText = viaExplode.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val texts  = df.collect().map(_.getString(0))
+    assert(texts.zip(native).forall { case (t, n) => byText(t) == n })
+  }
+
   test("stopword ratio") {
     val r = Seq("the cat in a hat").toDF("text")
       .select(TF.stopwordRatio(TF.tokens($"text"))).collect().head.getDouble(0)
