@@ -116,6 +116,50 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           (sum(cents(col("value"))) / 100.0).as("total_value"))),
 
+    // TPC-H Q6-style: pure scan-side filters + one exact-cents aggregate —
+    // the pushdown showcase (no joins, no wide shuffle).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Graft.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0)
+          .as("revenue"))),
+
+    // Distinct aggregate: two-phase distinct count per day.
+    "distinct_users_daily" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    // Anti join: customers with no orders (broadcast the smaller side of
+    // the null-producing side is left to AQE).
+    "customers_without_orders" -> { (s, dir) =>
+      Graft.customer(s, dir)
+        .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Semi join: customers having at least one high-value order.
+    "customers_with_big_orders" -> { (s, dir) =>
+      Graft.customer(s, dir)
+        .join(Graft.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // Exact dedup, keep-first output: the canonical surviving rows.
+    "dedup_keep_first" -> { (s, dir) =>
+      import graft.functions.TextFunctions.fingerprint
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      Graft.documents(s, dir)
+        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"))
+    },
+
     // Per-segment top-3 customers by exact order total: broadcast dim join
     // + window rank.
     "top_spenders_by_segment" -> { (s, dir) =>
@@ -197,6 +241,31 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "distinct_users_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "customers_with_big_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
     "top_spenders_by_segment" ->
       """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank, c_custkey,
         |       spend_c / 100.0 AS total_spend
