@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) vector index: k-means coarse quantizer + cell-pruned
+  * search — the standard recall/latency trade for ANN at 100 TB, where the
+  * brute-force corpus pass stops being affordable.
+  *
+  * Distributed shape: every iteration keeps the corpus distributed and only
+  * the k×d centroid matrix (a few KB) moves — collected to the driver and
+  * re-broadcast as a literal array, so assignment is a single codegen'd
+  * projection with no join and no shuffle; the only shuffle is the
+  * per-cell mean (k groups).
+  */
+object VectorIndex {
+
+  /** Squared-L2 distance between a vector column and one literal centroid. */
+  private def dist2(v: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, lit(cent.toArray), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-cell id against literal centroids (ties → lowest cell). */
+  private def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = array(cents.map(c => dist2(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Widened embedding view: (vec_id, v: array<double>). */
+  def vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Lloyd's k-means with deterministic init (the k lowest-id vectors).
+    * Returns the centroid matrix; `iters` small because the quantizer only
+    * needs rough cells, not convergence.
+    */
+  def trainCentroids(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = vecs
+      .orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cell", nearestCell(col("v"), cents))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("cell", "pos")
+        .agg(avg("e").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), _.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Corpus assignment: one projection, no shuffle. */
+  def assign(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    vecs.withColumn("cell", nearestCell(col("v"), cents))
+
+  /** Multi-probe IVF top-k: each query searches its `nProbe` nearest cells
+    * only. The corpus side shuffles once on cell (or is pre-partitioned /
+    * bucketed by cell in a persisted index); queries broadcast.
+    */
+  def search(
+      corpus: DataFrame, // assign() output
+      cents: Seq[Seq[Double]],
+      queries: DataFrame, // vectors() subset
+      topK: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val qd = queries
+      .withColumn("qn", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("dists", array(cents.map(c => dist2(col("v"), c)): _*))
+      .withColumn("probes",
+        slice(array_sort(
+          transform(col("dists"),
+            (d: Column) => struct(d.as("d"), (array_position(col("dists"), d) - 1).cast("int").as("cell")))),
+          1, nProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
+        explode(transform(col("probes"), _.getField("cell"))).as("cell"))
+    val cd = corpus
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val scored = cd
+      .join(broadcast(qd), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+          (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+}

@@ -79,6 +79,21 @@ object EmbedQueries {
         .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
         .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))),
 
+    // k-means IVF with multi-probe search — the production ANN scale path
+    // (trained quantizer; no SQL oracle: iterative float training — the
+    // driver records a rows-only check; exactness vs brute force is proven
+    // in VectorIndexSpec's full-probe test).
+    "embed_ivf_kmeans_knn" -> { (s, dir) =>
+      import graft.operators.VectorIndex
+      val vecs   = VectorIndex.vectors(Graft.embeddings(s, dir))
+      val cents  = VectorIndex.trainCentroids(vecs, k = 8, iters = 3)
+      val corpus = VectorIndex.assign(vecs, cents)
+      VectorIndex.search(corpus, cents,
+        vecs.filter(col("vec_id") < NumQueries), topK = K, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    },
+
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
     "embed_ivf_knn" -> { (s, dir) =>
