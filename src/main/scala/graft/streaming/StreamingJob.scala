@@ -64,7 +64,9 @@ class StreamingJob(
 
   def stopTimeMs: Long = stopMsCur
 
-  private val states = mutable.Map.empty[String, StreamState]
+  private val states         = mutable.Map.empty[String, StreamState]
+  private val processedBatch = mutable.Map.empty[String, Long]
+  private var autoBatchId    = -1L
 
   sink.create(plan)
   loadState()
@@ -105,15 +107,23 @@ class StreamingJob(
   /** Process one micro-batch of decoded messages for one schema id. The
     * batch DF must carry the envelope (topic, source_name, offset, ts) plus
     * the schema's payload columns.
+    *
+    * Pass the foreachBatch `batchId` for replay idempotency: a batch id at
+    * or below the checkpointed high-water mark is skipped entirely — the
+    * standard effectively-once pattern, strictly better than the
+    * reference's re-seek-and-dedup (SURVEY §2.9 exactly-once row).
     */
-  def processBatch(schemaId: String, batch: DataFrame): Unit = {
+  def processBatch(schemaId: String, batch: DataFrame, batchId: Long = -1L): Unit = {
     val relevant = plan.streams.filter(_.module == schemaId)
     if (relevant.isEmpty) return
+    val id = if (batchId >= 0) batchId else { autoBatchId += 1; autoBatchId }
+    if (processedBatch.get(schemaId).exists(_ >= id)) return // replay → skip
     batch.persist() // decode once, demux to N streams
     try relevant.foreach { s =>
       WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
     } finally batch.unpersist()
-    saveState() // restart-safe cursor checkpoint (at-least-once, like the reference)
+    processedBatch(schemaId) = id
+    saveState() // restart-safe cursor checkpoint
   }
 
   // ---- state checkpoint ----------------------------------------------
@@ -129,6 +139,8 @@ class StreamingJob(
       java.nio.file.Files.newOutputStream(stateFile))
     try {
       out.writeLong(stopMsCur)
+      out.writeLong(autoBatchId)
+      out.writeObject(processedBatch.toMap)
       out.writeObject(states.toMap.map { case (k, s) =>
         k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
           s.rowsWritten.toMap, s.schema))
@@ -142,6 +154,8 @@ class StreamingJob(
         java.nio.file.Files.newInputStream(stateFile))
       try {
         stopMsCur = in.readLong()
+        autoBatchId = in.readLong()
+        processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
         val saved = in.readObject().asInstanceOf[Map[String,
           (Option[Long], Option[Row], Boolean, Long, Map[String, Long], StructType)]]
         saved.foreach { case (k, (lt, buf, fin, ev, rows, sch)) =>
@@ -331,8 +345,8 @@ object StreamingJob {
     decoded.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        job.processBatch(schemaId, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        job.processBatch(schemaId, batch, batchId)
       }
       .start()
 }

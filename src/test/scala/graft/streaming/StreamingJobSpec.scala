@@ -110,6 +110,18 @@ class StreamingJobSpec extends SparkSpec {
     assert(idx.select("event_index").collect().map(_.getLong(0)).toSeq == Seq(0L, 3L))
   }
 
+  test("replayed batch ids are skipped (effectively-once)") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(f144(0, 10100, 10.0)).toDF(), batchId = 0)
+    // replay of batch 0 (e.g. after a foreachBatch retry) must be a no-op
+    job.processBatch("f144", Seq(f144(0, 10100, 10.0)).toDF(), batchId = 0)
+    job.processBatch("f144", Seq(f144(1, 10200, 20.0)).toDF(), batchId = 1)
+    job.finish()
+    val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
+    assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
+  }
+
   test("end-to-end through a real MemoryStream query") {
     val out    = Files.createTempDirectory("graft-stream").toString
     val job    = newJob(out)
