@@ -39,6 +39,7 @@ object FileMaker {
     sink.create(plan)
 
     val unitsByStream = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    val attrsByStream = scala.collection.mutable.Map.empty[String, Map[String, String]]
     val finals        = scala.collection.mutable.Map.empty[String, Map[String, DataFrame]]
 
     plan.streams.foreach { s =>
@@ -65,11 +66,13 @@ object FileMaker {
           val fin = module.finals(windowed, cfg)
           if (fin.nonEmpty) finals(key) = fin
           unitsByStream(key) = module.units(cfg)
+          attrsByStream(key) = module.groupAttrs(cfg)
         }
       }
     }
 
-    sink.close(plan, startMs, stopMs, unitsByStream.toMap, finals.toMap)
+    sink.close(plan, startMs, stopMs, unitsByStream.toMap, finals.toMap,
+      attrsByStream.toMap)
     plan
   }
 

@@ -56,6 +56,9 @@ object WriterModules {
     def nxClass: String = "NXlog"
     /** dataset-name → units attribute (time is always ns). */
     def units(cfg: ModuleConfig): Map[String, String] = Map("time" -> "ns")
+    /** computed group-level attributes (NX_class etc.). */
+    def groupAttrs(cfg: ModuleConfig): Map[String, String] =
+      Map("NX_class" -> nxClass)
     /** message DF (post route/dedup/window) → named output tables. */
     def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame]
     /** scalar datasets written at job close (running aggregates). */
@@ -185,6 +188,23 @@ object WriterModules {
   object Da00 extends WriterModule {
     val id = "da00"
     override def nxClass = "NXdata"
+    /** NXdata signal/axes attributes with `time` prepended to the axes —
+      * computed at plan time (`da00_Writer.cpp:132-227`).
+      */
+    override def groupAttrs(cfg: ModuleConfig): Map[String, String] = {
+      val vars = variableNames(cfg)
+      val axes = cfg.fields.get("variables") match {
+        case Some(JArray(vs)) =>
+          vs.headOption.toSeq.flatMap(v => (v \ "axes") match {
+            case JArray(as) => as.collect { case JString(a) => a }
+            case _          => Nil
+          })
+        case _ => Nil
+      }
+      Map("NX_class" -> nxClass) ++
+        vars.headOption.map("signal" -> _) +
+        ("axes" -> ("time" +: axes).mkString(","))
+    }
     def variableNames(cfg: ModuleConfig): Seq[String] =
       cfg.fields.get("variables") match {
         case Some(JArray(vs)) =>

@@ -121,7 +121,8 @@ final class NexusSink(outDir: String) {
       startMs: Long,
       stopMs: Long,
       unitsByStream: Map[String, Map[String, String]],
-      finals: Map[String, Map[String, DataFrame]]
+      finals: Map[String, Map[String, DataFrame]],
+      attrsByStream: Map[String, Map[String, String]] = Map.empty
   ): Unit = {
     finals.foreach { case (streamPath, tables) =>
       tables.foreach { case (name, df) =>
@@ -139,6 +140,9 @@ final class NexusSink(outDir: String) {
       "mdat"  -> mdat,
       "units" -> JObject(unitsByStream.map { case (p, us) =>
         p -> JObject(us.map { case (k, v) => k -> (JString(v): JValue) }.toList)
+      }.toList),
+      "group_attributes" -> JObject(attrsByStream.map { case (p, as) =>
+        p -> JObject(as.map { case (k, v) => k -> (JString(v): JValue) }.toList)
       }.toList)
     )
     write("closing.json", JsonMethods.pretty(JsonMethods.render(closing)))

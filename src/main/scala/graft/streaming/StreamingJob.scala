@@ -259,7 +259,11 @@ class StreamingJob(
       WriterModules.registry.get(s.module).map(m =>
         streamKey(s) -> m.units(ModuleConfig(s.config)))
     }.toMap
-    sink.close(plan, startMs, stopMsCur, units, Map.empty)
+    val attrs = plan.streams.flatMap { s =>
+      WriterModules.registry.get(s.module).map(m =>
+        streamKey(s) -> m.groupAttrs(ModuleConfig(s.config)))
+    }.toMap
+    sink.close(plan, startMs, stopMsCur, units, Map.empty, attrs)
   }
 
   private def write(
