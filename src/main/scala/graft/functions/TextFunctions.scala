@@ -62,6 +62,15 @@ object TextFunctions {
   /** LSH band key over `rows` consecutive minhash signature columns. */
   def bandKey(sig: Seq[Column]): Column = md5(concat_ws("-", sig: _*))
 
+  /** Jaccard similarity estimated from signature agreement — the standard
+    * MinHash estimator (E[agreement] = J); lets candidate ranking happen
+    * on the tiny signatures without touching shingle sets.
+    */
+  def jaccardEstimate(pairs: Seq[(Column, Column)]): Column =
+    pairs
+      .map { case (a, b) => when(a === b, 1.0).otherwise(0.0) }
+      .reduce(_ + _) / pairs.size
+
   /** 32-bit numeric hash of a token derived from md5 — the shared-with-oracle
     * stand-in for a real murmur at engine scale.
     */

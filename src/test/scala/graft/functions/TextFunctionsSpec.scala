@@ -51,6 +51,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == 1622020974L)
   }
 
+  test("minhash jaccard estimator: 1.0 on identical sets, tracks overlap") {
+    val base = (1 to 40).map(i => s"sh$i")
+    val half = base.take(20) ++ (1 to 20).map(i => s"other$i")
+    val df = Seq((base, base), (base, half)).toDF("x", "y")
+      .withColumn("hx", TF.shingleHashes($"x"))
+      .withColumn("hy", TF.shingleHashes($"y"))
+    val sigPairs = (0 until 32).map(i =>
+      (TF.minhash($"hx", i), TF.minhash($"hy", i)))
+    val est = df.select(TF.jaccardEstimate(sigPairs).as("e"))
+      .collect().map(_.getDouble(0))
+    assert(est(0) == 1.0)
+    // true J = 20/60 ≈ 0.33; 32 hashes → estimator within ±0.25
+    assert(est(1) > 0.08 && est(1) < 0.58, s"estimate was ${est(1)}")
+  }
+
   test("native SimHash32 equals the explode-based builtin formulation") {
     import graft.functions.SimHash32.simhash32
     val df = Seq("the quick brown fox", "a b  c", "spark engine graft test")
