@@ -92,6 +92,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Unsigned-64 comparison via the sign-flip trick — the uint64 columns
+    * (ev44 reference_time, tdct timestamps) live in signed longs with bit
+    * patterns preserved (SURVEY §7.4 #5); ordering them as unsigned means
+    * comparing `x XOR Long.MinValue`.
+    */
+  def unsignedLt(a: Column, b: Column): Column =
+    a.bitwiseXOR(Long.MinValue) < b.bitwiseXOR(Long.MinValue)
+
+  /** uint64 rendered as its unsigned decimal string (for display/export —
+    * Java's own unsigned formatter under the hood via builtin conv).
+    */
+  def unsignedString(a: Column): Column = conv(hex(a), 16, 10)
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FbEncoders
+
+/** The library's drop-in integration path: a vanilla session configured
+  * with `spark.sql.extensions=graft.GraftExtensions` can call the custom
+  * expressions straight from SQL.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    // a shared session from other suites would be returned by getOrCreate
+    // (ignoring the extensions conf) — detach it first, restore after build
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `.config("spark.sql.extensions", "graft.GraftExtensions")` works on a
+    // fresh JVM; under a shared test SparkContext that conf isn't re-read,
+    // so use the equivalent programmatic registration here
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("simhash32 and decode_f144 are callable from SQL") {
+    import spark.implicits._
+    val sh = spark.sql("SELECT simhash32('the quick brown fox') AS s")
+      .collect().head.getLong(0)
+    assert(sh != 0L)
+
+    val bytes = FbEncoders.f144("src-x", 123L, 7.5)
+    Seq(Tuple1(bytes)).toDF("value").createOrReplaceTempView("raw")
+    val row = spark.sql(
+      "SELECT decode_f144(value).source_name AS s, decode_f144(value).value AS v FROM raw")
+      .collect().head
+    assert(row.getString(0) == "src-x")
+    assert(row.getDouble(1) == 7.5)
+  }
+
+  test("decode_envelope classifies from SQL") {
+    import spark.implicits._
+    Seq(Tuple1(Array[Byte](1, 2))).toDF("value").createOrReplaceTempView("junk")
+    val err = spark.sql("SELECT decode_envelope(value).error FROM junk")
+      .collect().head.getString(0)
+    assert(err == "BufferTooSmall")
+  }
+}

@@ -85,6 +85,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(texts.zip(native).forall { case (t, n) => byText(t) == n })
   }
 
+  test("unsigned-64 compare and render treat the sign bit as the high bit") {
+    val df = Seq((-1L, 0L)).toDF("a", "b") // -1 is u64 max
+    val r = df.select(
+      TF.unsignedLt($"a", $"b").as("lt"),
+      TF.unsignedLt($"b", $"a").as("gt"),
+      TF.unsignedString($"a").as("s")).collect().head
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getString(2) == "18446744073709551615")
+  }
+
   test("stopword ratio") {
     val r = Seq("the cat in a hat").toDF("text")
       .select(TF.stopwordRatio(TF.tokens($"text"))).collect().head.getDouble(0)
