@@ -205,6 +205,60 @@ object WriterModules {
         vars.headOption.map("signal" -> _) +
         ("axes" -> ("time" +: axes).mkString(","))
     }
+    /** Effective variable spec after first-message reconciliation. */
+    final case class VariableSpec(
+        name: String,
+        dataType: Option[String],
+        shape: Option[Seq[Long]],
+        declared: Boolean,
+        mismatch: Boolean)
+
+    /** First-message schema reconciliation (`handle_first_message`,
+      * `da00_Writer.cpp:65-130`): declared config is authoritative; missing
+      * dtype/shape fill from the message, declared-but-mismatched specs are
+      * kept and flagged (the reference logs a warning), and variables the
+      * message carries but the config doesn't are appended as inferred.
+      */
+    def reconcile(
+        cfg: ModuleConfig,
+        firstMessage: Map[String, (String, Seq[Long])]
+    ): Seq[VariableSpec] = {
+      val declared = cfg.fields.get("variables") match {
+        case Some(JArray(vs)) =>
+          vs.flatMap { v =>
+            (v \ "name") match {
+              case JString(n) =>
+                val dt = (v \ "data_type") match { case JString(s) => Some(s); case _ => None }
+                val sh = (v \ "shape") match {
+                  case JArray(xs) => Some(xs.collect {
+                    case JInt(i) => i.toLong
+                    case JLong(l) => l
+                  })
+                  case _ => None
+                }
+                Some((n, dt, sh))
+              case _ => None
+            }
+          }
+        case _ => Nil
+      }
+      val reconciled = declared.map { case (n, dt, sh) =>
+        firstMessage.get(n) match {
+          case Some((msgDt, msgSh)) =>
+            val mismatch = dt.exists(_ != msgDt) || sh.exists(_ != msgSh)
+            VariableSpec(n, dt.orElse(Some(msgDt)), sh.orElse(Some(msgSh)),
+              declared = true, mismatch = mismatch)
+          case None =>
+            VariableSpec(n, dt, sh, declared = true, mismatch = false)
+        }
+      }
+      val extra = (firstMessage.keySet -- declared.map(_._1)).toSeq.sorted.map { n =>
+        val (dt, sh) = firstMessage(n)
+        VariableSpec(n, Some(dt), Some(sh), declared = false, mismatch = false)
+      }
+      reconciled ++ extra
+    }
+
     def variableNames(cfg: ModuleConfig): Seq[String] =
       cfg.fields.get("variables") match {
         case Some(JArray(vs)) =>
