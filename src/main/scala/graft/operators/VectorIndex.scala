@@ -37,6 +37,13 @@ object VectorIndex {
     * needs rough cells, not convergence.
     */
   def trainCentroids(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    // the iteration loop re-reads the corpus `iters`+1 times — cache it
+    val cached = vecs.persist()
+    try trainOn(cached, k, iters)
+    finally cached.unpersist()
+  }
+
+  private def trainOn(vecs: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = vecs
       .orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
