@@ -79,6 +79,24 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize: fixed-size re-encode standing in for image resizing —
+    * truncate or cyclically pad the payload to `targetBytes`. A real
+    * implementation swaps the body for an image library call; the
+    * shape-contract (every output payload identically sized, metadata
+    * updated) is what downstream batching relies on.
+    */
+  def resize(assets: Dataset[Asset], targetBytes: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val out = new Array[Byte](targetBytes)
+      if (a.content.nonEmpty) {
+        var i = 0
+        while (i < targetBytes) { out(i) = a.content(i % a.content.length); i += 1 }
+      }
+      Asset(a.id, a.mime, out)
+    }
+  }
+
   /** Documents → assets view: UTF-8 text bytes as the opaque payload (the
     * test stand-in for real media blobs).
     */

@@ -84,6 +84,13 @@ object DocQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Rabin–Karp rolling-hash fingerprint (native one-pass expression;
+    // oracle folds the same arithmetic over HUGEINTs).
+    "text_rolling_fingerprint" -> { (s, dir) =>
+      import graft.functions.RollingHash.rolling_hash
+      docs(s, dir).select(col("doc_id"), rolling_hash(col("text")).as("rfp"))
+    },
+
     // --- deduplication -------------------------------------------------
     // Exact: one shuffle keyed on the content fingerprint.
     "dedup_exact" -> ((s, dir) =>
@@ -219,6 +226,13 @@ object DocQueries {
          |FROM (SELECT doc_id, lang, $SqlToks AS tk FROM documents)""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "text_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
+        |    (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS rfp
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_copies
