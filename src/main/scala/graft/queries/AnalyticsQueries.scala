@@ -92,6 +92,20 @@ object AnalyticsQueries {
           .as("revenue"))
     },
 
+    // As-of join: for each purchase, the user's most recent click value at
+    // or before the purchase time — one shuffle via the union +
+    // carry-forward pattern (operators/AsofJoin); oracle uses DuckDB's
+    // native ASOF JOIN.
+    "asof_latest_click" -> { (s, dir) =>
+      import graft.operators.AsofJoin
+      val ev = Graft.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_value"))
+    },
+
     // Gap-based sessionization over the events stream: one shuffle on
     // user_id, session boundaries via lag, ids via running sum.
     "events_sessionize" -> { (s, dir) =>
@@ -224,6 +238,14 @@ object AnalyticsQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "asof_latest_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS click_value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
     "events_sessionize" ->
       """SELECT user_id,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
