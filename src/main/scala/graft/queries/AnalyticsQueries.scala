@@ -106,6 +106,24 @@ object AnalyticsQueries {
       AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_value"))
     },
 
+    // Pure range join (no equality key): count ALL events inside 2-hour
+    // incident windows opened by user 0's purchases — banded equi-join on
+    // the bucket id instead of a nested-loop cross product
+    // (operators/RangeJoin). Oracle: DuckDB's native inequality join.
+    "range_join_incidents" -> { (s, dir) =>
+      import graft.operators.RangeJoin
+      val ev = Graft.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val windows = ev
+        .filter(col("event_type") === "purchase" && col("user_id") === 0)
+        .select(col("event_id").as("incident_id"), col("ts_us").as("lo"),
+          (col("ts_us") + 7200000000L).as("hi"))
+      val points = ev.select(col("event_id"), col("ts_us"))
+      RangeJoin
+        .bandedRangeJoin(points, windows, "ts_us", "lo", "hi", 7200000000L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events_in_window"))
+    },
+
     // Gap-based sessionization over the events stream: one shuffle on
     // user_id, session boundaries via lag, ids via running sum.
     "events_sessionize" -> { (s, dir) =>
@@ -246,6 +264,14 @@ object AnalyticsQueries {
         |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "range_join_incidents" ->
+      """WITH w AS (SELECT event_id AS incident_id, epoch_us(ts) AS lo,
+        |                  epoch_us(ts) + 7200000000 AS hi
+        |           FROM events WHERE event_type = 'purchase' AND user_id = 0),
+        |p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events_in_window
+        |FROM p JOIN w ON p.ts_us >= w.lo AND p.ts_us <= w.hi
+        |GROUP BY incident_id""".stripMargin,
     "events_sessionize" ->
       """SELECT user_id,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
