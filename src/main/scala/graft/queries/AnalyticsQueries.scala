@@ -192,6 +192,18 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("fp"))
     },
 
+    // Exact interpolated percentiles per event type (single shuffle; both
+    // engines use linear interpolation on the sorted values).
+    "value_percentiles" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .groupBy("event_type")
+        .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(
+          col("event_type"),
+          round(element_at(col("ps"), 1), 6).as("p50"),
+          round(element_at(col("ps"), 2), 6).as("p90"),
+          round(element_at(col("ps"), 3), 6).as("p99"))),
+
     // Per-segment top-3 customers by exact order total: broadcast dim join
     // + window rank.
     "top_spenders_by_segment" -> { (s, dir) =>
@@ -314,6 +326,12 @@ object AnalyticsQueries {
         |                            ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "top_spenders_by_segment" ->
       """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank, c_custkey,
         |       spend_c / 100.0 AS total_spend

@@ -38,6 +38,15 @@ object DocQueries {
   private val Bands     = 4
   private val BandRows  = NumHashes / Bands
 
+  /** Characteristic character-trigram profiles per language (top function
+    * words' cores — the classic n-gram-profile language-ID shape).
+    */
+  private val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " of", "ion", " to"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", " de", "en ", "cht"),
+    "es" -> Seq(" el", " la", "ión", "que", " de", "los", "ent", "ado")
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis -------------------------------------------------
     "text_token_count" -> ((s, dir) =>
@@ -83,6 +92,25 @@ object DocQueries {
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Language-ID via character n-gram profiles: score = how many of the
+    // language's characteristic trigrams occur in the text; argmax with
+    // deterministic tie order.
+    "text_langid_ngram" -> { (s, dir) =>
+      def score(ngrams: Seq[String]) =
+        size(filter(lit(ngrams.toArray), g => col("text").contains(g)))
+      val en = score(LangProfiles("en"))
+      val de = score(LangProfiles("de"))
+      val es = score(LangProfiles("es"))
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        when(de > en && de >= es, lit("de"))
+          .when(es > en, lit("es"))
+          .otherwise(lit("en"))
+          .as("predicted_lang"),
+        en.cast("long").as("score_en"), de.cast("long").as("score_de"),
+        es.cast("long").as("score_es"))
+    },
 
     // Rabin–Karp rolling-hash fingerprint (native one-pass expression;
     // oracle folds the same arithmetic over HUGEINTs).
@@ -227,6 +255,20 @@ object DocQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_langid_ngram" -> {
+      def score(ngrams: Seq[String]) =
+        s"len(list_filter([${ngrams.map(g => s"'$g'").mkString(", ")}], g -> contains(text, g)))"
+      val en = score(LangProfiles("en"))
+      val de = score(LangProfiles("de"))
+      val es = score(LangProfiles("es"))
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $de > $en AND $de >= $es THEN 'de'
+         |       WHEN $es > $en THEN 'es'
+         |       ELSE 'en' END AS predicted_lang,
+         |  CAST($en AS BIGINT) AS score_en, CAST($de AS BIGINT) AS score_de,
+         |  CAST($es AS BIGINT) AS score_es
+         |FROM documents""".stripMargin
+    },
     "text_rolling_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(
