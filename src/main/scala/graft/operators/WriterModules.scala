@@ -142,22 +142,45 @@ object WriterModules {
     override def nxClass       = "NXevent_data"
     def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
       val base = withRow(df)
-      val cum = base.withColumn(
-        "events_written",
-        coalesce(
-          sum(size(col("time_of_flight")))
-            .over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      val index = cum.select(col("row"),
-        col("reference_time").getItem(0).as("event_time_zero"),
-        (col("reference_time_index").getItem(0).cast("long") + col("events_written"))
-          .as("event_index"))
+      val cum = base
+        .withColumn(
+          "events_written",
+          coalesce(
+            sum(size(col("time_of_flight")))
+              .over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("events_after", col("events_written") + size(col("time_of_flight")))
+      // empty messages append no ref times (ev44_Writer.cpp:111); every
+      // reference_time element lands, each index shifted by EventsWritten
+      // (ev44_Writer.cpp:115-125)
+      val nonEmpty = cum.filter(size(col("time_of_flight")) > 0)
+      val index = nonEmpty
+        .select(col("row"), col("events_written"),
+          posexplode(arrays_zip(col("reference_time"), col("reference_time_index"))))
+        .select(
+          (col("row") * 1000000 + col("pos")).as("row"),
+          col("col.reference_time").as("event_time_zero"),
+          (col("col.reference_time_index").cast("long") + col("events_written"))
+            .as("event_index"))
       val events = base
         .select(col("row"), posexplode(arrays_zip(col("time_of_flight"), col("pixel_id"))))
         .select((col("row") * 1000000 + col("pos")).as("row"),
           col("col.time_of_flight").as("event_time_offset"),
           col("col.pixel_id").as("event_id"))
-      Map("events" -> events, "index" -> index)
+      // cue on event-count thresholds (grid form of ev44_Writer.cpp:127-134's
+      // greedy chain): cue after the message that crosses an interval
+      // boundary, stamped with its last event's absolute time
+      val interval = cfg.long("cue_interval").getOrElse(100000000L)
+      val cue = nonEmpty
+        .filter(expr(s"(events_after - 1) div $interval") >
+          expr(s"(events_written - 1) div $interval"))
+        .select(
+          (col("events_after") - 1).as("cue_index"),
+          (element_at(col("reference_time"), -1) +
+            element_at(col("time_of_flight"), -1).cast("long"))
+            .as("cue_timestamp_zero"),
+          col("row"))
+      Map("events" -> events, "index" -> index, "cue" -> cue)
     }
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       Map("meta" -> df.agg(

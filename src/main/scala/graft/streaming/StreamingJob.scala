@@ -275,11 +275,16 @@ class StreamingJob(
   ): Unit = {
     val tables = module.tables(df, ModuleConfig(s.config))
     tables.foreach { case (table, out0) =>
-      // continue sink row numbering and the ev44 event_index across batches
+      // renumber to consecutive ids (module row keys are sparse sort keys),
+      // then continue sink row numbering and the ev44 shifts across batches
+      val consec = org.apache.spark.sql.expressions.Window.orderBy(col("row"))
       var out = out0.withColumn("row",
-        col("row") + lit(state.rowsWritten.getOrElse(table, 0L)))
+        row_number().over(consec).cast("long") - 1 +
+          lit(state.rowsWritten.getOrElse(table, 0L)))
       if (module.id == "ev44" && table == "index")
         out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
+      if (module.id == "ev44" && table == "cue")
+        out = out.withColumn("cue_index", col("cue_index") + lit(state.eventsWritten))
       out = out.persist()
       val n = out.count()
       sink.append(key, table, out)
