@@ -180,51 +180,73 @@ class StreamingJob(
       .dedupConsecutive(routed, Seq("source_name"), "offset", "ts",
         acceptRepeats = module.acceptRepeats)
 
-    // one small aggregate: batch head/tail timestamps + strict-finish cutoff
-    val aggRow = deduped
+    // ONE driver round-trip per stream per batch: strict-finish cutoff via
+    // a whole-frame window, then every per-stream scalar (batch head/tail,
+    // in-window count, the buffered pre-start candidate row) in one
+    // conditional aggregate. struct-max ordering = (ts, offset) so the
+    // candidate is max-ts with latest-arrival tie-break; nulls (non-live or
+    // out-of-condition rows) are ignored by min/max.
+    val withCut = deduped.withColumn(
+      "__cut",
+      min(when(col("ts") > stopNs, col("offset")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    val liveCond = col("__cut").isNull || col("offset") < col("__cut")
+    val payload  = struct(deduped.columns.map(col): _*)
+    val aggRow = withCut
       .agg(
-        count(lit(1)).as("n"),
+        count(lit(1)).as("n_all"),
+        count(when(liveCond, 1)).as("n_live"),
         min("offset").as("min_off"),
-        max_by(col("ts"), col("offset")).as("tail_ts"),
-        min_by(col("ts"), col("offset")).as("head_ts"),
-        min(when(col("ts") > stopNs, col("offset"))).as("cutoff"))
+        min(when(liveCond, struct(col("offset"), col("ts")))).as("head"),
+        max(when(liveCond, struct(col("offset"), col("ts")))).as("tail"),
+        min("__cut").as("cutoff"),
+        count(when(liveCond && col("ts") >= startNs && col("ts") <= stopNs, 1))
+          .as("n_window"),
+        max(when(liveCond && col("ts") < startNs,
+          struct(col("ts"), col("offset"), payload.as("p")))).as("buf_cand"))
       .collect()(0)
-    if (aggRow.getAs[Long]("n") == 0L) return
+    if (aggRow.getAs[Long]("n_all") == 0L) return
 
     // cross-batch consecutive dedup: drop the batch head if it repeats the
     // previous batch's tail timestamp
-    val boundary =
-      !module.acceptRepeats && state.lastTs.contains(aggRow.getAs[Long]("head_ts"))
-    val afterBoundary =
-      if (boundary) deduped.filter(col("offset") =!= aggRow.getAs[Long]("min_off"))
-      else deduped
-    state.lastTs = Some(aggRow.getAs[Long]("tail_ts"))
+    val headTs   = aggRow.getAs[Row]("head") match {
+      case null => None
+      case r    => Some(r.getAs[Long]("ts"))
+    }
+    val boundary = !module.acceptRepeats &&
+      headTs.exists(state.lastTs.contains) &&
+      aggRow.getAs[Row]("head").getAs[Long]("offset") == aggRow.getAs[Long]("min_off")
+    Option(aggRow.getAs[Row]("tail")).foreach(t =>
+      state.lastTs = Some(t.getAs[Long]("ts")))
 
     val cutoff = Option(aggRow.getAs[java.lang.Long]("cutoff"))
-    val live = cutoff match {
-      case Some(c) =>
-        state.finished = true
-        afterBoundary.filter(col("offset") < c)
-      case None => afterBoundary
+    if (cutoff.isDefined) state.finished = true
+    val live = {
+      val base = cutoff match {
+        case Some(c) => deduped.filter(col("offset") < c)
+        case None    => deduped
+      }
+      if (boundary) base.filter(col("offset") =!= aggRow.getAs[Long]("min_off"))
+      else base
     }
 
-    // pre-start buffering: the max-ts candidate (ties → latest arrival)
-    val cand = live
-      .filter(col("ts") < startNs)
-      .orderBy(col("ts").desc, col("offset").desc)
-      .limit(1)
-      .collect()
-      .headOption
-    cand.foreach { r =>
-      val tsIdx = live.schema.fieldIndex("ts")
-      if (state.buffered.forall(_.getLong(tsIdx) <= r.getLong(tsIdx))) {
-        state.buffered = Some(r)
-        state.schema = live.schema
+    // pre-start buffering: candidate row rides back inside the aggregate
+    Option(aggRow.getAs[Row]("buf_cand")).foreach { cand =>
+      // the boundary-duplicate head row cannot be the candidate unless it's
+      // also the only pre-start row — recheck against the dedup boundary
+      val row   = cand.getAs[Row]("p")
+      val tsIdx = deduped.schema.fieldIndex("ts")
+      val isBoundaryRow = boundary &&
+        cand.getAs[Long]("offset") == aggRow.getAs[Long]("min_off")
+      if (!isBoundaryRow &&
+        state.buffered.forall(_.getLong(tsIdx) <= cand.getAs[Long]("ts"))) {
+        state.buffered = Some(row)
+        state.schema = deduped.schema
       }
     }
 
-    val inWindow = live.filter(col("ts") >= startNs && col("ts") <= stopNs)
-    val nInWindow = inWindow.count()
+    val nInWindow = aggRow.getAs[Long]("n_window")
+    val inWindow  = live.filter(col("ts") >= startNs && col("ts") <= stopNs)
     val emitBuffered = module.emitBuffered && state.buffered.nonEmpty &&
       (nInWindow > 0 || state.finished)
     val toWrite =
