@@ -192,6 +192,14 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("fp"))
     },
 
+    // Rollup (grouping sets): day×type, per-day, and grand-total rows in
+    // one pass — partial aggregation covers all grouping sets.
+    "events_rollup" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .rollup(expr("ts div 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("total_value"))),
+
     // Exact interpolated percentiles per event type (single shuffle; both
     // engines use linear interpolation on the sorted values).
     "value_percentiles" -> ((s, dir) =>
@@ -326,6 +334,11 @@ object AnalyticsQueries {
         |                            ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "events_rollup" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY ROLLUP (day, event_type)""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
