@@ -192,6 +192,16 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("fp"))
     },
 
+    // HyperLogLog++ sketch distinct — the sketch path for cardinalities at
+    // 100 TB where exact distinct shuffles every key. No SQL oracle
+    // (sketch internals differ per engine ⇒ rows-only check); accuracy
+    // bounds vs exact are asserted in SaltingSpec.
+    "approx_distinct_users" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n"))),
+
     // Rollup (grouping sets): day×type, per-day, and grand-total rows in
     // one pass — partial aggregation covers all grouping sets.
     "events_rollup" -> ((s, dir) =>

@@ -38,6 +38,20 @@ class Ev44ModuleSpec extends SparkSpec {
     assert(t("events").count() == 1)
   }
 
+  test("f144 cue: every Nth write emits (row index, timestamp); off by default") {
+    import graft.sources.Fixtures.F144Msg
+    import graft.operators.WriterModules.F144
+    val df = (0 until 7).map(i =>
+      F144Msg("t", "s", i.toLong, i.toLong, 1000L + i, i.toDouble)).toDF()
+    val cue = F144.tables(df, cfg(3))("cue").orderBy("cue_index").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(2L, 5L))
+    assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(1002L, 1005L))
+    // default interval (u32::max semantics) ⇒ no cue table at all
+    assert(!F144.tables(df, cfg2(Map.empty))("data").isEmpty)
+    assert(!F144.tables(df, ModuleConfig(Map.empty)).contains("cue"))
+  }
+  private def cfg2(m: Map[String, JValue]) = ModuleConfig(m)
+
   test("cue emitted when the cumulative event count crosses the interval") {
     val df = Seq(
       msg(0, Seq(100L), Seq(0), (1 to 3).toSeq),  // cum 3

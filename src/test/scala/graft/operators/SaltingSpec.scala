@@ -34,6 +34,15 @@ class SaltingSpec extends SparkSpec {
     assert(partials.length > 1)
   }
 
+  test("approx_count_distinct stays within the configured error of exact") {
+    val ev = graft.core.Graft.events(spark, "/root/testdata/sf0.01")
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd = 0.02))
+      .collect().head.getLong(0)
+    val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("observed stats ride along a write and report f144 aggregates") {
     val df = Seq(("s", 1L, 10.0), ("s", 2L, 15.0)).toDF("source", "offset", "value")
     val observed = StreamKernel.observedStats(df, "f144_stats", "value")
