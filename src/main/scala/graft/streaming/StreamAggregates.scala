@@ -47,6 +47,31 @@ object StreamAggregates {
           col("maximum_value") :+ col("average_value"): _*)
   }
 
+  /** Gap-based sessions via the native session_window — the streaming form
+    * of the batch sessionization query (dynamic-length windows that close
+    * `gapDuration` after the last event; watermark finalizes them).
+    */
+  def sessionStats(
+      decoded: DataFrame,
+      sourceCols: Seq[String],
+      tsCol: String,
+      gapDuration: String,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    val withTime = decoded
+      .withColumn("event_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+    val marked =
+      if (decoded.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
+      else withTime
+    marked
+      .groupBy(session_window(col("event_time"), gapDuration) +: sourceCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start") +:
+          col("session_window.end").as("session_end") +:
+          sourceCols.map(col) :+ col("n_events"): _*)
+  }
+
   /** Per-window message rate per topic/source — the Carbon throughput
     * counters (`src/Stream/MessageWriter.cpp:38-56`) as a declarative
     * aggregation.

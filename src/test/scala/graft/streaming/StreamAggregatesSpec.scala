@@ -29,6 +29,20 @@ class StreamAggregatesSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n") == 1)
   }
 
+  test("session windows merge events within the gap and split beyond it") {
+    val df = Seq(
+      f144(0, 10000, 1.0), f144(1, 12000, 1.0), f144(2, 13000, 1.0), // one session
+      f144(3, 30000, 1.0)                                            // new session
+    ).toDF()
+    val out = StreamAggregates
+      .sessionStats(df, Seq("source_name"), "ts", "5 seconds")
+      .orderBy("session_start")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 3)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val stream = MemoryStream[F144Msg](spark)
     val agg = StreamAggregates.windowedStats(
