@@ -118,15 +118,32 @@ final class NexusSink(outDir: String) {
         "values" -> a.values)).toList)
 
   /** Phase 2 — append a table under a stream path. Ordering is carried by
-    * the `row` column; one file per stream table mirrors the reference's
-    * single-writer append discipline (`src/Stream/MessageWriter.cpp:31-36`).
+    * the `row` column: small appends write one sorted file (the
+    * reference's single-writer discipline,
+    * `src/Stream/MessageWriter.cpp:31-36`); large appends range-partition
+    * on `row` so the write parallelizes while order stays reconstructible
+    * (readers sort by `row`; parquet row-group stats prune range reads —
+    * the cue-index role, for free). Pass `rows` when already known to
+    * avoid a count.
     */
-  def append(streamPath: String, table: String, df: DataFrame): Unit = {
+  def append(
+      streamPath: String,
+      table: String,
+      df: DataFrame,
+      rows: Long = -1L,
+      rowsPerFile: Long = 4L * 1024 * 1024
+  ): Unit = {
     require(frozen, "create the structure before appending")
-    df.coalesce(1)
+    val target = s"$outDir/data/$streamPath/$table"
+    val shaped =
+      if (rows > rowsPerFile) {
+        val parts = math.min(((rows + rowsPerFile - 1) / rowsPerFile).toInt, 4096)
+        df.repartitionByRange(parts, org.apache.spark.sql.functions.col("row"))
+      } else df.coalesce(1)
+    shaped
       .sortWithinPartitions("row")
       .write.mode(SaveMode.Append)
-      .parquet(s"$outDir/data/$streamPath/$table")
+      .parquet(target)
   }
 
   /** Phase 3 — close: job metadata (mdat start/end ISO strings,

@@ -309,7 +309,7 @@ class StreamingJob(
         out = out.withColumn("cue_index", col("cue_index") + lit(state.eventsWritten))
       out = out.persist()
       val n = out.count()
-      sink.append(key, table, out)
+      sink.append(key, table, out, rows = n)
       out.unpersist()
       state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
     }

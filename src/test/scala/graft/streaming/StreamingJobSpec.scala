@@ -122,6 +122,21 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
   }
 
+  test("large appends split into range-partitioned files, order reconstructible") {
+    val out  = Files.createTempDirectory("graft-sink").toString
+    val sink = new graft.sinks.NexusSink(out)
+    sink.create(graft.plans.NexusPlan.parse("""{ "children": [] }"""))
+    val df = spark.range(0, 10000).toDF("row")
+      .withColumn("v", org.apache.spark.sql.functions.col("row") * 2)
+    sink.append("p", "data", df, rows = 10000, rowsPerFile = 2500)
+    val files = new java.io.File(s"$out/data/p/data")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 3, s"expected multiple part files, got $files")
+    val back = spark.read.parquet(s"$out/data/p/data").orderBy("row")
+      .select("v").collect().map(_.getLong(0))
+    assert(back.toSeq == (0L until 10000L).map(_ * 2))
+  }
+
   test("end-to-end through a real MemoryStream query") {
     val out    = Files.createTempDirectory("graft-stream").toString
     val job    = newJob(out)
