@@ -101,6 +101,7 @@ class StreamingJob(
     states.toMap.map { case (k, st) =>
       k -> (st.rowsWritten.toMap ++ Map(
         "events_written" -> st.eventsWritten,
+        "write_errors"   -> st.writeErrors,
         "finished"       -> (if (st.finished) 1L else 0L)))
     }
 
@@ -143,7 +144,7 @@ class StreamingJob(
       out.writeObject(processedBatch.toMap)
       out.writeObject(states.toMap.map { case (k, s) =>
         k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
-          s.rowsWritten.toMap, s.schema))
+          s.rowsWritten.toMap, s.schema, s.writeErrors))
       })
     } finally out.close()
   }
@@ -157,10 +158,11 @@ class StreamingJob(
         autoBatchId = in.readLong()
         processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
         val saved = in.readObject().asInstanceOf[Map[String,
-          (Option[Long], Option[Row], Boolean, Long, Map[String, Long], StructType)]]
-        saved.foreach { case (k, (lt, buf, fin, ev, rows, sch)) =>
+          (Option[Long], Option[Row], Boolean, Long, Map[String, Long],
+            StructType, Long)]]
+        saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs)) =>
           states(k) = StreamState(lt, buf, fin, ev,
-            mutable.Map(rows.toSeq: _*), sch)
+            mutable.Map(rows.toSeq: _*), sch, errs)
         }
       } finally in.close()
     }
@@ -295,23 +297,41 @@ class StreamingJob(
       df: DataFrame,
       state: StreamState
   ): Unit = {
-    val tables = module.tables(df, ModuleConfig(s.config))
+    // per-(source,module) write-error accounting, non-fatal like the
+    // reference's MessageWriter (`src/Stream/MessageWriter.cpp:77-105`):
+    // a failed table append is counted and surfaced in status, the stream
+    // keeps running
+    val tables =
+      try module.tables(df, ModuleConfig(s.config))
+      catch {
+        case e: Exception =>
+          state.writeErrors += 1
+          System.err.println(s"[graft] transform failed for $key: ${e.getMessage}")
+          return
+      }
     tables.foreach { case (table, out0) =>
-      // renumber to consecutive ids (module row keys are sparse sort keys),
-      // then continue sink row numbering and the ev44 shifts across batches
-      val consec = org.apache.spark.sql.expressions.Window.orderBy(col("row"))
-      var out = out0.withColumn("row",
-        row_number().over(consec).cast("long") - 1 +
-          lit(state.rowsWritten.getOrElse(table, 0L)))
-      if (module.id == "ev44" && table == "index")
-        out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
-      if (module.id == "ev44" && table == "cue")
-        out = out.withColumn("cue_index", col("cue_index") + lit(state.eventsWritten))
-      out = out.persist()
-      val n = out.count()
-      sink.append(key, table, out, rows = n)
-      out.unpersist()
-      state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
+      try {
+        // renumber to consecutive ids (module row keys are sparse sort
+        // keys), then continue sink row numbering and the ev44 shifts
+        // across batches
+        val consec = org.apache.spark.sql.expressions.Window.orderBy(col("row"))
+        var out = out0.withColumn("row",
+          row_number().over(consec).cast("long") - 1 +
+            lit(state.rowsWritten.getOrElse(table, 0L)))
+        if (module.id == "ev44" && table == "index")
+          out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
+        if (module.id == "ev44" && table == "cue")
+          out = out.withColumn("cue_index", col("cue_index") + lit(state.eventsWritten))
+        out = out.persist()
+        val n = out.count()
+        sink.append(key, table, out, rows = n)
+        out.unpersist()
+        state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
+      } catch {
+        case e: Exception =>
+          state.writeErrors += 1
+          System.err.println(s"[graft] append failed for $key/$table: ${e.getMessage}")
+      }
     }
     if (module.id == "ev44") {
       state.eventsWritten += df
@@ -332,7 +352,8 @@ object StreamingJob {
       var finished: Boolean = false,
       var eventsWritten: Long = 0L,
       rowsWritten: mutable.Map[String, Long] = mutable.Map.empty,
-      var schema: StructType = null
+      var schema: StructType = null,
+      var writeErrors: Long = 0L
   )
 
   /** Kafka source for the real deployment: one streaming frame per data
