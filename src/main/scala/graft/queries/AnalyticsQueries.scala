@@ -192,6 +192,44 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("fp"))
     },
 
+    // TPC-H Q12-style: priority-bucket line counts per linestatus.
+    "q12_priority_buckets" -> { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Graft.lineitem(s, dir)
+        .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).cast("long").as("low_line_count"))
+    },
+
+    // TPC-H Q14-style: promo revenue share (exact cents; one broadcast dim).
+    "q14_promo_revenue" -> { (s, dir) =>
+      val li = Graft.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      li.join(broadcast(Graft.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .otherwise(0L)) / 10000.0).as("promo_revenue"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))) / 10000.0)
+            .as("total_revenue"))
+    },
+
+    // TPC-H Q18-style: large-quantity orders (HAVING over a fact rollup,
+    // then broadcast joins to name the customer).
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Graft.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Graft.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("l_orderkey").as("o_orderkey"),
+          (cents(col("o_totalprice")) / 100.0).as("o_totalprice"), col("total_qty"))
+    },
+
     // HyperLogLog++ sketch distinct — the sketch path for cardinalities at
     // 100 TB where exact distinct shuffles every key. No SQL oracle
     // (sketch internals differ per engine ⇒ rows-only check); accuracy
@@ -344,6 +382,30 @@ object AnalyticsQueries {
         |                            ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "q12_priority_buckets" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |           ELSE 0 END) / 10000.0 AS promo_revenue,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) b
+        |JOIN orders ON b.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "events_rollup" ->
       """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
