@@ -72,6 +72,28 @@ object StreamAggregates {
           sourceCols.map(col) :+ col("n_events"): _*)
   }
 
+  /** Streaming exact dedup by message id within a watermark horizon —
+    * state-bounded (entries expire with the watermark), the standard
+    * ingest-side answer to at-least-once sources double-delivering. The
+    * reference's F4 dedup is consecutive-only; id-dedup is the stronger
+    * form a training-data pipeline wants.
+    */
+  def dedupWithinWatermark(
+      decoded: DataFrame,
+      idCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    val withTime = decoded
+      .withColumn("event_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+    if (withTime.isStreaming)
+      withTime
+        .withWatermark("event_time", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCols)
+        .drop("event_time")
+    else withTime.dropDuplicates(idCols).drop("event_time")
+  }
+
   /** Per-window message rate per topic/source — the Carbon throughput
     * counters (`src/Stream/MessageWriter.cpp:38-56`) as a declarative
     * aggregation.

@@ -43,6 +43,24 @@ class StreamAggregatesSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1)
   }
 
+  test("id-dedup within watermark drops cross-batch redeliveries") {
+    val stream = MemoryStream[F144Msg](spark)
+    val deduped = StreamAggregates.dedupWithinWatermark(
+      stream.toDF(), Seq("offset"), "ts", "60 seconds")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_ids").outputMode("append").start()
+    try {
+      stream.addData(f144(0, 10000, 1.0), f144(1, 10100, 2.0))
+      query.processAllAvailable()
+      // batch 2 redelivers offset 1 (at-least-once source) + a new message
+      stream.addData(f144(1, 10100, 2.0), f144(2, 10200, 3.0))
+      query.processAllAvailable()
+      val offs = spark.sql("SELECT offset FROM dedup_ids")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(offs == Seq(0L, 1L, 2L))
+    } finally query.stop()
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val stream = MemoryStream[F144Msg](spark)
     val agg = StreamAggregates.windowedStats(
