@@ -90,6 +90,8 @@ object FileMaker {
       Files.readString(Paths.get(nexusPath)),
       Files.readString(Paths.get(messagesPath)),
       outDir)
+    // optional 4th arg: emit a native HDF5 file from the populated tree
+    args.lift(3).foreach(h5 => graft.sinks.Hdf5Export.export(spark, outDir, h5))
     spark.stop()
   }
 }

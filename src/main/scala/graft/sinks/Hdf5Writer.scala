@@ -1,0 +1,324 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Minimal from-scratch HDF5 (v0 superblock, v1 objects) writer — enough to
+  * emit the NeXus tree natively: nested groups, contiguous 1-D/2-D datasets
+  * of i16/i32/i64/f64 and fixed-length strings, and string/double
+  * attributes. No chunking, no compression, single pass, little-endian.
+  *
+  * Written against the public HDF5 File Format Specification (format
+  * version the reference's files also use: SWMR aside, kafka-to-nexus
+  * output is groups + chunked datasets; we emit contiguous layout, which
+  * every HDF5 reader including h5py consumes identically).
+  *
+  * Layout strategy: one buffer, addresses allocated append-only; each
+  * group = object header + local heap + one B-tree node + one SNOD with
+  * all children (sufficient for NeXus-scale fan-out).
+  */
+final class Hdf5Writer {
+
+  private val buf = new GrowableBuffer
+
+  // ---- public model ---------------------------------------------------
+
+  sealed trait Node
+  final case class Group(
+      name: String,
+      children: Seq[Node] = Nil,
+      attrs: Seq[(String, AttrValue)] = Nil
+  ) extends Node
+  final case class Dataset(
+      name: String,
+      data: DataValue,
+      attrs: Seq[(String, AttrValue)] = Nil
+  ) extends Node
+
+  sealed trait AttrValue
+  final case class StrAttr(s: String)    extends AttrValue
+  final case class F64Attr(v: Double)    extends AttrValue
+  final case class I64Attr(v: Long)      extends AttrValue
+
+  sealed trait DataValue
+  final case class I16Data(xs: Array[Short], dims: Seq[Long] = Nil)  extends DataValue
+  final case class I32Data(xs: Array[Int], dims: Seq[Long] = Nil)    extends DataValue
+  final case class I64Data(xs: Array[Long], dims: Seq[Long] = Nil)   extends DataValue
+  final case class F64Data(xs: Array[Double], dims: Seq[Long] = Nil) extends DataValue
+  final case class StrData(xs: Array[String])                        extends DataValue
+
+  /** Write a root tree to an .h5 file. */
+  def write(path: String, rootChildren: Seq[Node],
+      rootAttrs: Seq[(String, AttrValue)] = Nil): Unit = {
+    buf.reset()
+    buf.pad(96) // superblock placeholder, patched at the end
+    val rootHeader = writeGroup(Group("", rootChildren, rootAttrs))
+    patchSuperblock(rootHeader)
+    Files.write(Paths.get(path), buf.toArray)
+  }
+
+  // ---- superblock -----------------------------------------------------
+
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF
+
+  private def patchSuperblock(rootHeaderAddr: Long): Unit = {
+    val b = ByteBuffer.allocate(96).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    b.put(0.toByte)  // superblock v0
+    b.put(0.toByte)  // free space v0
+    b.put(0.toByte)  // root group STE v0
+    b.put(0.toByte)  // reserved
+    b.put(0.toByte)  // shared header msg v0
+    b.put(8.toByte)  // size of offsets
+    b.put(8.toByte)  // size of lengths
+    b.put(0.toByte)  // reserved
+    b.putShort(4)    // group leaf node k
+    b.putShort(16)   // group internal node k
+    b.putInt(0)      // file consistency flags
+    b.putLong(0L)        // base address
+    b.putLong(Undef)     // free space info
+    b.putLong(buf.size)  // end of file address
+    b.putLong(Undef)     // driver info block
+    // root group symbol table entry (cache type 0: follow the header)
+    b.putLong(0L)             // link name offset
+    b.putLong(rootHeaderAddr) // object header address
+    b.putInt(0)               // cache type
+    b.putInt(0)               // reserved
+    b.putLong(0L); b.putLong(0L) // scratch
+    buf.patch(0, b.array())
+  }
+
+  // ---- groups ---------------------------------------------------------
+
+  /** Returns the group's object header address. */
+  private def writeGroup(g: Group): Long = {
+    // children first (addresses needed for the symbol table)
+    val entries = g.children.map {
+      case c: Group   => (c.name, writeGroup(c))
+      case d: Dataset => (d.name, writeDataset(d))
+    }.sortBy(_._1)
+
+    // local heap with the child names
+    val heapData = new ByteArrayOutputStream
+    heapData.write(new Array[Byte](8)) // heap starts with 8 reserved bytes
+    val nameOffsets = entries.map { case (name, _) =>
+      val off = heapData.size.toLong
+      heapData.write(name.getBytes(StandardCharsets.UTF_8)); heapData.write(0)
+      while (heapData.size % 8 != 0) heapData.write(0)
+      off
+    }
+    val heapSeg  = heapData.toByteArray
+    val heapSegAddr = buf.size + 32 // heap header is 32 bytes
+    val heapAddr = {
+      val b = ByteBuffer.allocate(32 + heapSeg.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("HEAP".getBytes); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putLong(heapSeg.length.toLong) // data segment size
+      b.putLong(1L)                    // free list head: 1 = none
+      b.putLong(heapSegAddr)           // data segment address
+      b.put(heapSeg)
+      buf.append(b.array())
+    }
+
+    // SNOD with all entries
+    val snodAddr = {
+      val b = ByteBuffer.allocate(8 + entries.size * 40).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("SNOD".getBytes); b.put(1.toByte); b.put(0.toByte)
+      b.putShort(entries.size.toShort)
+      entries.zip(nameOffsets).foreach { case ((_, objAddr), nameOff) =>
+        b.putLong(nameOff); b.putLong(objAddr)
+        b.putInt(0); b.putInt(0)       // cache type 0
+        b.putLong(0L); b.putLong(0L)   // scratch
+      }
+      buf.append(b.array())
+    }
+
+    // B-tree v1, node type 0, one leaf pointing at the SNOD
+    val btreeAddr = {
+      val b = ByteBuffer.allocate(24 + 2 * 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("TREE".getBytes)
+      b.put(0.toByte)  // node type: group
+      b.put(0.toByte)  // level: leaf
+      b.putShort(if (entries.isEmpty) 0 else 1) // entries used
+      b.putLong(Undef); b.putLong(Undef)        // siblings
+      // key0, child0, key1 — keys are heap offsets of bounding names
+      b.putLong(0L)
+      b.putLong(snodAddr)
+      b.putLong(nameOffsets.lastOption.getOrElse(0L))
+      buf.append(b.array())
+    }
+
+    // object header: symbol table message + attributes
+    val stMsg = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(btreeAddr); b.putLong(heapAddr)
+      (0x0011, b.array())
+    }
+    writeObjectHeader(stMsg +: g.attrs.map(attrMessage))
+  }
+
+  // ---- datasets -------------------------------------------------------
+
+  private def writeDataset(d: Dataset): Long = {
+    val (dtypeMsg, elemSize, bytes, n, dims) = d.data match {
+      case I16Data(xs, dm) =>
+        val b = ByteBuffer.allocate(2 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+        xs.foreach(b.putShort); (fixedPoint(2), 2, b.array(), xs.length.toLong, dm)
+      case I32Data(xs, dm) =>
+        val b = ByteBuffer.allocate(4 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+        xs.foreach(b.putInt); (fixedPoint(4), 4, b.array(), xs.length.toLong, dm)
+      case I64Data(xs, dm) =>
+        val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+        xs.foreach(b.putLong); (fixedPoint(8), 8, b.array(), xs.length.toLong, dm)
+      case F64Data(xs, dm) =>
+        val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+        xs.foreach(b.putDouble); (ieeeF64, 8, b.array(), xs.length.toLong, dm)
+      case StrData(xs) =>
+        val w = math.max(1, if (xs.isEmpty) 1 else xs.map(_.getBytes("UTF-8").length).max)
+        val out = new ByteArrayOutputStream
+        xs.foreach { s =>
+          val sb = s.getBytes(StandardCharsets.UTF_8)
+          out.write(sb, 0, math.min(sb.length, w))
+          (sb.length until w).foreach(_ => out.write(0))
+        }
+        (fixedString(w), w, out.toByteArray, xs.length.toLong, Nil)
+    }
+    val shape    = if (dims.nonEmpty) dims else Seq(n)
+    val dataAddr = buf.append(bytes)
+    val layout = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte) // layout v3
+      b.put(1.toByte) // contiguous
+      b.putLong(dataAddr)
+      b.putLong(bytes.length.toLong)
+      (0x0008, b.array())
+    }
+    writeObjectHeader(Seq(
+      (0x0001, dataspace(shape)),
+      (0x0003, dtypeMsg),
+      layout
+    ) ++ d.attrs.map(attrMessage))
+  }
+
+  // ---- messages -------------------------------------------------------
+
+  private def dataspace(dims: Seq[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 * dims.size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte)              // dataspace v1
+    b.put(dims.size.toByte)      // rank
+    b.put(0.toByte)              // flags: no maxdims
+    b.put(0.toByte); b.putInt(0) // reserved
+    dims.foreach(b.putLong)
+    b.array()
+  }
+
+  private def fixedPoint(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte)       // version 1, class 0 (fixed point)
+    b.put(0x08.toByte)       // little-endian, signed
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(0)            // bit offset
+    b.putShort((8 * size).toShort) // precision
+    b.array()
+  }
+
+  private val ieeeF64: Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte)       // version 1, class 1 (float)
+    b.put(0x20.toByte)       // little-endian, IEEE: sign at 63
+    b.put(63.toByte)         // sign location
+    b.put(0.toByte)
+    b.putInt(8)
+    b.putShort(0); b.putShort(64) // bit offset, precision
+    b.put(52.toByte); b.put(11.toByte) // exponent loc/size
+    b.put(0.toByte); b.put(52.toByte)  // mantissa loc/size
+    b.putInt(1023)                     // exponent bias
+    b.array()
+  }
+
+  private def fixedString(size: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x13.toByte) // version 1, class 3 (string)
+    b.put(0.toByte)    // null-terminated, ASCII
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.array()
+  }
+
+  private def align8(n: Int): Int = (n + 7) & ~7
+
+  private def attrMessage(kv: (String, AttrValue)): (Int, Array[Byte]) = {
+    val (name, value) = kv
+    val nameBytes = name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val (dt, data) = value match {
+      case StrAttr(s) =>
+        val sb = s.getBytes(StandardCharsets.UTF_8)
+        (fixedString(math.max(1, sb.length)), sb)
+      case F64Attr(v) =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v)
+        (ieeeF64, b.array())
+      case I64Attr(v) =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+        (fixedPoint(8), b.array())
+    }
+    val ds = dataspace(Nil) // scalar
+    val b = ByteBuffer.allocate(8 + align8(nameBytes.length) + align8(dt.length) +
+      align8(ds.length) + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)        // attribute v1
+    b.putShort(nameBytes.length.toShort)
+    b.putShort(dt.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(nameBytes); b.position(b.position() + (align8(nameBytes.length) - nameBytes.length))
+    b.put(dt); b.position(b.position() + (align8(dt.length) - dt.length))
+    b.put(ds); b.position(b.position() + (align8(ds.length) - ds.length))
+    b.put(data)
+    (0x000C, b.array())
+  }
+
+  private def writeObjectHeader(messages: Seq[(Int, Array[Byte])]): Long = {
+    val body = new ByteArrayOutputStream
+    messages.foreach { case (tpe, m) =>
+      val padded = align8(m.length)
+      val h = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
+      h.putShort(tpe.toShort)
+      h.putShort(padded.toShort)
+      h.put(0.toByte) // flags
+      h.put(0.toByte); h.put(0.toByte); h.put(0.toByte)
+      h.put(m)
+      body.write(h.array())
+    }
+    val bodyBytes = body.toByteArray
+    val b = ByteBuffer.allocate(16 + bodyBytes.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)          // header v1
+    b.putShort(messages.size.toShort)
+    b.putInt(1)                               // reference count
+    b.putInt(bodyBytes.length)                // header data size
+    b.putInt(0)                               // 4-byte padding to 8-align body
+    b.put(bodyBytes)
+    buf.append(b.array())
+  }
+
+  // ---- buffer ---------------------------------------------------------
+
+  private final class GrowableBuffer {
+    private var arr  = new Array[Byte](1 << 20)
+    private var used = 0
+    def size: Long = used.toLong
+    def reset(): Unit = used = 0
+    def pad(n: Int): Unit = { ensure(n); used += n }
+    def append(bytes: Array[Byte]): Long = {
+      val addr = used.toLong
+      ensure(bytes.length)
+      System.arraycopy(bytes, 0, arr, used, bytes.length)
+      used += bytes.length
+      addr
+    }
+    def patch(at: Int, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, arr, at, bytes.length)
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, used)
+    private def ensure(n: Int): Unit =
+      while (used + n > arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+  }
+}

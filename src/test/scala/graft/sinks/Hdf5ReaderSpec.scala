@@ -1,0 +1,214 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** An INDEPENDENT minimal HDF5 reader (parsed from the public file-format
+  * spec, separate code path from the writer) + round-trip tests. With no
+  * HDF5 library available in this environment this is the strongest
+  * validation possible: structural traversal (superblock → object headers
+  * → symbol-table B-tree → SNOD → heap) must agree between two
+  * implementations for the bytes to round-trip.
+  */
+object MiniHdf5Reader {
+
+  final case class Obj(
+      datasets: Map[String, Any],
+      groups: Map[String, Obj],
+      attrs: Map[String, Any])
+
+  def read(path: String): Obj = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb    = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getLong(0) != 0, "empty file")
+    val sig = Array.tabulate(8)(i => bytes(i))
+    require(sig(1) == 'H' && sig(2) == 'D' && sig(3) == 'F', "not an HDF5 file")
+    require(bytes(8) == 0, s"superblock version ${bytes(8)}")
+    val eof = bb.getLong(40)
+    require(eof == bytes.length.toLong, s"EOF addr $eof != file size ${bytes.length}")
+    val rootHeader = bb.getLong(64) // root STE: link(8) then header addr
+    readObject(bb, rootHeader)
+  }
+
+  private def readObject(bb: ByteBuffer, addr: Long): Obj = {
+    val a = addr.toInt
+    require(bb.get(a) == 1, s"object header version at $addr")
+    val nmsg     = bb.getShort(a + 2) & 0xffff
+    val bodySize = bb.getInt(a + 8)
+    var pos      = a + 16
+    val end      = a + 16 + bodySize
+    var datasets = Map.empty[String, Any]
+    var groups   = Map.empty[String, Obj]
+    var attrs    = Map.empty[String, Any]
+    var space: Seq[Long]            = Nil
+    var dtype: Option[(Int, Int)]   = None // (class, size)
+    var layout: Option[(Long, Long)] = None
+    var read = 0
+    while (read < nmsg && pos < end) {
+      val tpe  = bb.getShort(pos) & 0xffff
+      val size = bb.getShort(pos + 2) & 0xffff
+      val body = pos + 8
+      tpe match {
+        case 0x0011 => // symbol table: btree + heap
+          val (btree, heap) = (bb.getLong(body), bb.getLong(body + 8))
+          groups = readGroupEntries(bb, btree, heap).map { case (n, oa) =>
+            n -> readObject(bb, oa)
+          }
+        case 0x0001 =>
+          val rank = bb.get(body + 1).toInt
+          space = (0 until rank).map(i => bb.getLong(body + 8 + 8 * i))
+        case 0x0003 =>
+          dtype = Some(((bb.get(body) & 0x0f), bb.getInt(body + 4)))
+        case 0x0008 =>
+          require(bb.get(body) == 3 && bb.get(body + 1) == 1, "layout v3 contiguous")
+          layout = Some((bb.getLong(body + 2), bb.getLong(body + 10)))
+        case 0x000C =>
+          val (n, v) = readAttr(bb, body)
+          attrs += n -> v
+        case _ => ()
+      }
+      pos += 8 + size
+      read += 1
+    }
+    for ((cls, esz) <- dtype; (daddr, dsz) <- layout) {
+      val n = (dsz / esz).toInt
+      val d = daddr.toInt
+      val v: Any = cls match {
+        case 0 if esz == 2 => Array.tabulate(n)(i => bb.getShort(d + 2 * i))
+        case 0 if esz == 4 => Array.tabulate(n)(i => bb.getInt(d + 4 * i))
+        case 0 if esz == 8 => Array.tabulate(n)(i => bb.getLong(d + 8 * i))
+        case 1 if esz == 8 => Array.tabulate(n)(i => bb.getDouble(d + 8 * i))
+        case 3 =>
+          Array.tabulate(n) { i =>
+            val raw = Array.tabulate(esz)(j => bb.get(d + esz * i + j))
+            new String(raw.takeWhile(_ != 0), "UTF-8")
+          }
+        case other => s"unsupported class $other"
+      }
+      datasets += "" -> v
+    }
+    Obj(datasets, groups, attrs)
+  }
+
+  private def readGroupEntries(bb: ByteBuffer, btree: Long, heap: Long): Map[String, Long] = {
+    val t = btree.toInt
+    require(bb.get(t) == 'T' && bb.get(t + 1) == 'R', "TREE signature")
+    val entries = bb.getShort(t + 6) & 0xffff
+    if (entries == 0) return Map.empty
+    // heap data segment address from the heap header
+    val heapSeg = bb.getLong(heap.toInt + 24)
+    (0 until entries).flatMap { e =>
+      val snod = bb.getLong(t + 24 + 16 * e + 8).toInt
+      require(bb.get(snod) == 'S' && bb.get(snod + 1) == 'N', "SNOD signature")
+      val count = bb.getShort(snod + 6) & 0xffff
+      (0 until count).map { i =>
+        val ste     = snod + 8 + 40 * i
+        val nameOff = bb.getLong(ste)
+        val objAddr = bb.getLong(ste + 8)
+        var p       = (heapSeg + nameOff).toInt
+        val sb      = new StringBuilder
+        while (bb.get(p) != 0) { sb.append(bb.get(p).toChar); p += 1 }
+        sb.toString -> objAddr
+      }
+    }.toMap
+  }
+
+  private def readAttr(bb: ByteBuffer, body: Int): (String, Any) = {
+    def align8(n: Int) = (n + 7) & ~7
+    val nameSize = bb.getShort(body + 2) & 0xffff
+    val dtSize   = bb.getShort(body + 4) & 0xffff
+    val dsSize   = bb.getShort(body + 6) & 0xffff
+    val nameBytes = Array.tabulate(nameSize)(i => bb.get(body + 8 + i))
+    val name      = new String(nameBytes.takeWhile(_ != 0), "UTF-8")
+    val dtPos     = body + 8 + align8(nameSize)
+    val cls       = bb.get(dtPos) & 0x0f
+    val esz       = bb.getInt(dtPos + 4)
+    val dataPos   = dtPos + align8(dtSize) + align8(dsSize)
+    val value: Any = cls match {
+      case 0 => bb.getLong(dataPos)
+      case 1 => bb.getDouble(dataPos)
+      case 3 =>
+        val raw = Array.tabulate(esz)(i => bb.get(dataPos + i))
+        new String(raw.takeWhile(_ != 0), "UTF-8")
+      case other => s"unsupported class $other"
+    }
+    name -> value
+  }
+}
+
+class Hdf5ReaderSpec extends graft.SparkSpec {
+
+  test("writer output round-trips through the independent reader") {
+    val w = new Hdf5Writer
+    import w._
+    val path = Files.createTempFile("graft", ".h5").toString
+    w.write(path, Seq(
+      Group("entry", Seq(
+        Dataset("value", F64Data(Array(10.0, 15.0)), Seq("units" -> StrAttr("Hz"))),
+        Dataset("time", I64Data(Array(10100000000L, 10110000000L))),
+        Group("nested", Seq(
+          Dataset("image", I32Data(Array(10, 11, 12, 13), dims = Seq(2L, 2L))),
+          Dataset("names", StrData(Array("alpha", "beta"))),
+          Dataset("status", I16Data(Array[Short](2, 2)))
+        ))
+      ), Seq("NX_class" -> StrAttr("NXentry"), "version" -> F64Attr(1.5)))
+    ))
+    val root  = MiniHdf5Reader.read(path)
+    val entry = root.groups("entry")
+    assert(entry.attrs("NX_class") == "NXentry")
+    assert(entry.attrs("version") == 1.5)
+    assert(entry.groups("value").datasets("").asInstanceOf[Array[Double]].toSeq ==
+      Seq(10.0, 15.0))
+    assert(entry.groups("value").attrs("units") == "Hz")
+    assert(entry.groups("time").datasets("").asInstanceOf[Array[Long]].toSeq ==
+      Seq(10100000000L, 10110000000L))
+    val nested = entry.groups("nested")
+    assert(nested.groups("image").datasets("").asInstanceOf[Array[Int]].toSeq ==
+      Seq(10, 11, 12, 13))
+    assert(nested.groups("names").datasets("").asInstanceOf[Array[String]].toSeq ==
+      Seq("alpha", "beta"))
+    assert(nested.groups("status").datasets("").asInstanceOf[Array[Short]].toSeq ==
+      Seq[Short](2, 2))
+  }
+
+  test("FileMaker output exports to a native .h5 with the domain goldens") {
+    val refRoot = "/root/reference/domain-tests"
+    assume(Files.exists(Paths.get(refRoot)), "reference checkout not present")
+    val out = Files.createTempDirectory("graft-h5").toString
+    graft.FileMaker.run(
+      spark,
+      Files.readString(Paths.get(s"$refRoot/nexus_templates/writer_modules_template.json")),
+      Files.readString(Paths.get(s"$refRoot/data_files/writer_modules_data.json")),
+      out)
+    val h5 = s"$out/out.h5"
+    Hdf5Export.export(spark, out, h5)
+    val root  = MiniHdf5Reader.read(h5)
+    val speed = root.groups("entry").groups("instrument").groups("chopper")
+      .groups("rotation_speed")
+    assert(speed.groups("value").datasets("").asInstanceOf[Array[Double]].toSeq ==
+      Seq(10.0, 15.0))
+    assert(speed.groups("value").attrs("units") == "Hz")
+    assert(speed.groups("time").datasets("").asInstanceOf[Array[Long]].toSeq ==
+      Seq(10100000000L, 10110000000L))
+    assert(speed.groups("minimum_value").datasets("").asInstanceOf[Array[Double]].head == 10.0)
+    assert(speed.groups("average_value").datasets("").asInstanceOf[Array[Double]].head == 12.5)
+    val events = root.groups("entry").groups("instrument").groups("event_detector")
+      .groups("events")
+    assert(events.groups("events_event_time_offset").datasets("")
+      .asInstanceOf[Array[Int]].toSeq == (1 to 16).map(_ * 10))
+    assert(events.groups("index_event_index").datasets("")
+      .asInstanceOf[Array[Long]].toSeq == Seq(0L, 4L, 8L, 12L))
+    assert(root.groups("entry").groups("start_time").datasets("")
+      .asInstanceOf[Array[String]].head == "1970-01-01T00:00:10Z")
+  }
+
+  test("empty groups and empty datasets survive") {
+    val w = new Hdf5Writer
+    import w._
+    val path = Files.createTempFile("graft", ".h5").toString
+    w.write(path, Seq(Group("empty"), Dataset("none", F64Data(Array.empty[Double]))))
+    val root = MiniHdf5Reader.read(path)
+    assert(root.groups.keySet == Set("empty", "none"))
+    assert(root.groups("none").datasets("").asInstanceOf[Array[Double]].isEmpty)
+  }
+}
