@@ -264,9 +264,11 @@ class StreamingJob(
     spark.createDataFrame(java.util.List.of(row), schema)
 
   /** Flush buffered messages at job end (the SourceFilter dtor flush), then
-    * close the sink with metadata and final aggregates.
+    * close the sink with metadata and final aggregates. Pass `emitHdf5` to
+    * additionally write a native .h5 of the full tree (the reference's
+    * final artifact).
     */
-  def finish(): Unit = {
+  def finish(emitHdf5: Option[String] = None): Unit = {
     plan.streams.foreach { s =>
       WriterModules.registry.get(s.module).foreach { module =>
         val key = streamKey(s)
@@ -288,6 +290,7 @@ class StreamingJob(
         streamKey(s) -> m.groupAttrs(ModuleConfig(s.config)))
     }.toMap
     sink.close(plan, startMs, stopMsCur, units, Map.empty, attrs)
+    emitHdf5.foreach(h5 => graft.sinks.Hdf5Export.export(spark, outDir, h5))
   }
 
   private def write(

@@ -122,6 +122,18 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
   }
 
+  test("streaming finish can emit the native .h5 artifact") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(
+      f144(0, 10100, 10.0), f144(1, 10110, 15.0)).toDF())
+    job.finish(emitHdf5 = Some(s"$out/run.h5"))
+    val root = graft.sinks.MiniHdf5Reader.read(s"$out/run.h5")
+    val speed = root.groups("entry").groups("speed")
+    assert(speed.groups("value").datasets("").asInstanceOf[Array[Double]].toSeq ==
+      Seq(10.0, 15.0))
+  }
+
   test("large appends split into range-partitioned files, order reconstructible") {
     val out  = Files.createTempDirectory("graft-sink").toString
     val sink = new graft.sinks.NexusSink(out)
