@@ -177,6 +177,41 @@ object DocQueries {
       docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash"))
     },
 
+    // Duplicate clusters: connected components over the MinHash-LSH
+    // candidate pairs via iterative label propagation (each node takes the
+    // min label among itself and its neighbors until fixpoint) — the
+    // canonical-group assignment step of a dedup pipeline. Iterations are
+    // joins; the driver only checks the convergence counter.
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist()
+      var labels = edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
+          .groupBy(col("doc_a").as("id"))
+          .agg(min("label").as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    },
+
     // Multimodal: binary payload + typed metadata through the per-partition
     // decode-stub pipeline (real plumbing, stubbed codec — see
     // MultimodalOps). head_sum is ASCII-byte math the oracle reproduces.
@@ -231,6 +266,38 @@ object DocQueries {
 
   private def sqlJaccard(a: String, b: String) =
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b))), 6)"
+
+  /** MinHash-LSH candidate generation + exact verification as reusable
+    * CTEs, ending in `verified(doc_a, doc_b, jac)`.
+    */
+  private lazy val SqlLshCtes: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i =>
+        s"list_aggregate(list_transform(hx, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min') AS mh$i")
+      .mkString(",\n  ")
+    val bandRows = (0 until Bands)
+      .map { bnd =>
+        val ks = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $ks)) AS bkey FROM mh"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""$SqlShingled,
+       |shx AS (SELECT doc_id,
+       |  list_transform(shd, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)::BIGINT) AS hx
+       |FROM sh2),
+       |mh AS (SELECT doc_id,
+       |  $mhCols
+       |FROM shx),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b, ${sqlJaccard("p.shd", "q.shd")} AS jac
+       |  FROM cand JOIN sh2 p ON p.doc_id = doc_a JOIN sh2 q ON q.doc_id = doc_b)""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
     "text_token_count" ->
@@ -292,35 +359,19 @@ object DocQueries {
          |         ${sqlJaccard("a.shd", "b.shd")} AS jac
          |  FROM j a JOIN j b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.2""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val mhCols = (0 until NumHashes)
-        .map(i =>
-          s"list_aggregate(list_transform(hx, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min') AS mh$i")
-        .mkString(",\n  ")
-      val bandRows = (0 until Bands)
-        .map { bnd =>
-          val ks = (0 until BandRows).map(r => s"mh${bnd * BandRows + r}").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, md5(concat_ws('-', $ks)) AS bkey FROM mh"
-        }
-        .mkString("\n  UNION ALL ")
-      s"""WITH $SqlShingled,
-         |shx AS (SELECT doc_id,
-         |  list_transform(shd, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)::BIGINT) AS hx
-         |FROM sh2),
-         |mh AS (SELECT doc_id,
-         |  $mhCols
-         |FROM shx),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-         |    AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, jac FROM (
-         |  SELECT doc_a, doc_b, ${sqlJaccard("p.shd", "q.shd")} AS jac
-         |  FROM cand JOIN sh2 p ON p.doc_id = doc_a JOIN sh2 q ON q.doc_id = doc_b)
-         |WHERE jac >= 0.4""".stripMargin
-    },
+    "dedup_minhash_lsh" ->
+      s"""WITH $SqlLshCtes
+         |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.4""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $SqlLshCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |edges AS (SELECT doc_a, doc_b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a)
+         |SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
