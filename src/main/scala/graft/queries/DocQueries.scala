@@ -184,12 +184,14 @@ object DocQueries {
     // joins; the driver only checks the convergence counter.
     "dedup_clusters" -> { (s, dir) =>
       val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      // localCheckpoint truncates lineage: each iteration's plan stays
+      // O(1) instead of stacking the whole LSH pipeline per round
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist()
+        .localCheckpoint(true)
       var labels = edges.select(col("doc_a").as("id")).distinct()
         .withColumn("label", col("id"))
-        .persist()
+        .localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -197,18 +199,16 @@ object DocQueries {
           .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
           .groupBy(col("doc_a").as("id"))
           .agg(min("label").as("nmin"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .persist()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
+        val next = labels.withColumnRenamed("label", "old")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("old"),
+            least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.filter(col("label") =!= col("old")).count()
+        labels = next.drop("old")
         converged = changed == 0
         iter += 1
       }
-      edges.unpersist()
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
 
