@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.json4s._
 
@@ -65,16 +64,14 @@ object WriterModules {
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
 
-  /** Arrival-order row index within the stream. The plan is per-stream and
-    * the reference's sink is single-writer by design
-    * (`src/Stream/MessageWriter.cpp:31-36`), so a single-partition window
-    * here mirrors the semantics; the heavy lifting (decode, filter, explode)
-    * happened distributed before this point.
+  /** Arrival-order row index within the stream, computed distributed
+    * ([[Rows.indexed]] two-pass prefix sum — no single-partition stage; the
+    * reference's single-writer discipline
+    * (`src/Stream/MessageWriter.cpp:31-36`) constrains output order, not
+    * the numbering computation).
     */
-  private val arrival: org.apache.spark.sql.expressions.WindowSpec =
-    Window.orderBy(col("offset"))
   private def withRow(df: DataFrame): DataFrame =
-    df.withColumn("row", row_number().over(arrival).cast("long") - 1)
+    Rows.indexed(df, "offset")
 
   /** f144 scalar log: (time, value) + cue index + min/max/mean metadata
     * (`src/WriterModule/f144/f144_Writer.cpp:197-276`).
@@ -141,15 +138,14 @@ object WriterModules {
     override def emitBuffered  = false
     override def nxClass       = "NXevent_data"
     def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
-      val base = withRow(df)
+      // one distributed pass assigns both the message row index and the
+      // exclusive running event count (EventsWritten, ev44_Writer.cpp:118-126)
+      val base = Rows.indexed(
+        df.withColumn("__n_ev", size(col("time_of_flight")).cast("long")),
+        "offset", weight = Some(("__n_ev", "events_written", 0L)))
       val cum = base
-        .withColumn(
-          "events_written",
-          coalesce(
-            sum(size(col("time_of_flight")))
-              .over(arrival.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .withColumn("events_after", col("events_written") + size(col("time_of_flight")))
+        .withColumn("events_after", col("events_written") + col("__n_ev"))
+        .drop("__n_ev")
       // empty messages append no ref times (ev44_Writer.cpp:111); every
       // reference_time element lands, each index shifted by EventsWritten
       // (ev44_Writer.cpp:115-125)

@@ -58,9 +58,10 @@ class StreamingJob(
     * once writing is past the new stop (the reference rejects while not
     * writing or when already stopped).
     */
-  def setStopTime(newStopMs: Long): Boolean =
+  def setStopTime(newStopMs: Long): Boolean = synchronized {
     if (states.values.forall(_.finished) && states.nonEmpty) false
     else { stopMsCur = newStopMs; true }
+  }
 
   def stopTimeMs: Long = stopMsCur
 
@@ -75,7 +76,7 @@ class StreamingJob(
     if (s.synthesized) s"${s.path}/${s.module}" else s.path
 
   /** All streams of this schema are done (used by stop monitors). */
-  def allFinished(schemaId: String): Boolean = {
+  def allFinished(schemaId: String): Boolean = synchronized {
     val keys = plan.streams.filter(_.module == schemaId).map(streamKey)
     keys.nonEmpty && keys.forall(k => states.get(k).exists(_.finished))
   }
@@ -84,8 +85,9 @@ class StreamingJob(
     * reference's `StreamController::isDoneWriting`
     * (`src/StreamController.cpp:68-84`).
     */
-  def allStreamsFinished: Boolean =
+  def allStreamsFinished: Boolean = synchronized {
     plan.streams.forall(s => states.get(streamKey(s)).exists(_.finished))
+  }
 
   /** Wall-clock stop check — `PartitionFilter` stops at EOF once past
     * stop + leeway (`src/Stream/PartitionFilter.cpp:57-62`, leeway
@@ -97,13 +99,14 @@ class StreamingJob(
   /** Per-stream counters for the x5f2 status JSON (A3 analog:
     * writes-done per source, `src/Stream/MessageWriter.cpp:38-56`).
     */
-  def metrics: Map[String, Map[String, Long]] =
+  def metrics: Map[String, Map[String, Long]] = synchronized {
     states.toMap.map { case (k, st) =>
       k -> (st.rowsWritten.toMap ++ Map(
         "events_written" -> st.eventsWritten,
         "write_errors"   -> st.writeErrors,
         "finished"       -> (if (st.finished) 1L else 0L)))
     }
+  }
 
   /** Process one micro-batch of decoded messages for one schema id. The
     * batch DF must carry the envelope (topic, source_name, offset, ts) plus
@@ -114,18 +117,23 @@ class StreamingJob(
     * standard effectively-once pattern, strictly better than the
     * reference's re-seek-and-dedup (SURVEY §2.9 exactly-once row).
     */
-  def processBatch(schemaId: String, batch: DataFrame, batchId: Long = -1L): Unit = {
-    val relevant = plan.streams.filter(_.module == schemaId)
-    if (relevant.isEmpty) return
-    val id = if (batchId >= 0) batchId else { autoBatchId += 1; autoBatchId }
-    if (processedBatch.get(schemaId).exists(_ >= id)) return // replay → skip
-    batch.persist() // decode once, demux to N streams
-    try relevant.foreach { s =>
-      WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
-    } finally batch.unpersist()
-    processedBatch(schemaId) = id
-    saveState() // restart-safe cursor checkpoint
-  }
+  def processBatch(schemaId: String, batch: DataFrame, batchId: Long = -1L): Unit =
+    // one `attach` per schema ⇒ concurrent foreachBatch callback threads;
+    // serialize them like the reference's single MessageWriter thread
+    // (`src/Stream/MessageWriter.cpp:31-36`) — states/processedBatch are
+    // plain mutable maps and saveState rewrites one shared file
+    synchronized {
+      val relevant = plan.streams.filter(_.module == schemaId)
+      if (relevant.isEmpty) return
+      val id = if (batchId >= 0) batchId else { autoBatchId += 1; autoBatchId }
+      if (processedBatch.get(schemaId).exists(_ >= id)) return // replay → skip
+      batch.persist() // decode once, demux to N streams
+      try relevant.foreach { s =>
+        WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
+      } finally batch.unpersist()
+      processedBatch(schemaId) = id
+      saveState() // restart-safe cursor checkpoint
+    }
 
   // ---- state checkpoint ----------------------------------------------
   // The reference re-seeks by timestamp on restart and tolerates
@@ -135,9 +143,15 @@ class StreamingJob(
 
   private def stateFile = java.nio.file.Paths.get(outDir, "state.bin")
 
+  /** Write-temp-then-atomic-rename so a crash mid-write can never leave a
+    * truncated `state.bin` (the checkpoint that exists to make restarts
+    * safe must not itself be able to brick a restart).
+    */
   private def saveState(): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(outDir), ".state", ".tmp")
     val out = new java.io.ObjectOutputStream(
-      java.nio.file.Files.newOutputStream(stateFile))
+      java.nio.file.Files.newOutputStream(tmp))
     try {
       out.writeLong(stopMsCur)
       out.writeLong(autoBatchId)
@@ -147,24 +161,38 @@ class StreamingJob(
           s.rowsWritten.toMap, s.schema, s.writeErrors))
       })
     } finally out.close()
+    java.nio.file.Files.move(tmp, stateFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** An unreadable state file is treated as absent (warn + start fresh, the
+    * reference's re-seek-by-time posture) rather than failing construction.
+    */
   private def loadState(): Unit =
     if (java.nio.file.Files.exists(stateFile)) {
-      val in = new java.io.ObjectInputStream(
-        java.nio.file.Files.newInputStream(stateFile))
       try {
-        stopMsCur = in.readLong()
-        autoBatchId = in.readLong()
-        processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
-        val saved = in.readObject().asInstanceOf[Map[String,
-          (Option[Long], Option[Row], Boolean, Long, Map[String, Long],
-            StructType, Long)]]
-        saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs)) =>
-          states(k) = StreamState(lt, buf, fin, ev,
-            mutable.Map(rows.toSeq: _*), sch, errs)
-        }
-      } finally in.close()
+        val in = new java.io.ObjectInputStream(
+          java.nio.file.Files.newInputStream(stateFile))
+        try {
+          stopMsCur = in.readLong()
+          autoBatchId = in.readLong()
+          processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
+          val saved = in.readObject().asInstanceOf[Map[String,
+            (Option[Long], Option[Row], Boolean, Long, Map[String, Long],
+              StructType, Long)]]
+          saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs)) =>
+            states(k) = StreamState(lt, buf, fin, ev,
+              mutable.Map(rows.toSeq: _*), sch, errs)
+          }
+        } finally in.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] unreadable state file $stateFile (${e.getMessage}); starting fresh")
+          states.clear(); processedBatch.clear(); autoBatchId = -1L
+          stopMsCur = stopMs
+      }
     }
 
   private def processStream(
@@ -182,32 +210,37 @@ class StreamingJob(
       .dedupConsecutive(routed, Seq("source_name"), "offset", "ts",
         acceptRepeats = module.acceptRepeats)
 
-    // ONE driver round-trip per stream per batch: strict-finish cutoff via
-    // a whole-frame window, then every per-stream scalar (batch head/tail,
-    // in-window count, the buffered pre-start candidate row) in one
-    // conditional aggregate. struct-max ordering = (ts, offset) so the
-    // candidate is max-ts with latest-arrival tie-break; nulls (non-live or
-    // out-of-condition rows) are ignored by min/max.
-    val withCut = deduped.withColumn(
-      "__cut",
-      min(when(col("ts") > stopNs, col("offset")))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-    val liveCond = col("__cut").isNull || col("offset") < col("__cut")
-    val payload  = struct(deduped.columns.map(col): _*)
-    val aggRow = withCut
+    // TWO driver round-trips per stream per batch, both plain parallel
+    // aggregates over the cached batch (no single-partition stage — the
+    // old whole-frame `partitionBy(lit(1))` window shuffled every row to
+    // one partition just to compute one scalar). Pass 1: the strict-finish
+    // cutoff offset. Pass 2: every per-stream scalar (batch head/tail,
+    // in-window count, the buffered pre-start candidate row) with the
+    // cutoff substituted as a literal. struct-max ordering = (ts, offset)
+    // so the candidate is max-ts with latest-arrival tie-break; nulls
+    // (non-live or out-of-condition rows) are ignored by min/max.
+    val preRow = deduped
       .agg(
         count(lit(1)).as("n_all"),
-        count(when(liveCond, 1)).as("n_live"),
         min("offset").as("min_off"),
+        min(when(col("ts") > stopNs, col("offset"))).as("cutoff"))
+      .collect()(0)
+    if (preRow.getAs[Long]("n_all") == 0L) return
+    val cutoffOpt = Option(preRow.getAs[java.lang.Long]("cutoff")).map(_.toLong)
+    val liveCond  = cutoffOpt
+      .map(c => col("offset") < lit(c))
+      .getOrElse(lit(true))
+    val payload = struct(deduped.columns.map(col): _*)
+    val aggRow = deduped
+      .agg(
+        count(when(liveCond, 1)).as("n_live"),
         min(when(liveCond, struct(col("offset"), col("ts")))).as("head"),
         max(when(liveCond, struct(col("offset"), col("ts")))).as("tail"),
-        min("__cut").as("cutoff"),
         count(when(liveCond && col("ts") >= startNs && col("ts") <= stopNs, 1))
           .as("n_window"),
         max(when(liveCond && col("ts") < startNs,
           struct(col("ts"), col("offset"), payload.as("p")))).as("buf_cand"))
       .collect()(0)
-    if (aggRow.getAs[Long]("n_all") == 0L) return
 
     // cross-batch consecutive dedup: drop the batch head if it repeats the
     // previous batch's tail timestamp
@@ -215,20 +248,20 @@ class StreamingJob(
       case null => None
       case r    => Some(r.getAs[Long]("ts"))
     }
+    val minOff = preRow.getAs[Long]("min_off")
     val boundary = !module.acceptRepeats &&
       headTs.exists(state.lastTs.contains) &&
-      aggRow.getAs[Row]("head").getAs[Long]("offset") == aggRow.getAs[Long]("min_off")
+      aggRow.getAs[Row]("head").getAs[Long]("offset") == minOff
     Option(aggRow.getAs[Row]("tail")).foreach(t =>
       state.lastTs = Some(t.getAs[Long]("ts")))
 
-    val cutoff = Option(aggRow.getAs[java.lang.Long]("cutoff"))
-    if (cutoff.isDefined) state.finished = true
+    if (cutoffOpt.isDefined) state.finished = true
     val live = {
-      val base = cutoff match {
+      val base = cutoffOpt match {
         case Some(c) => deduped.filter(col("offset") < c)
         case None    => deduped
       }
-      if (boundary) base.filter(col("offset") =!= aggRow.getAs[Long]("min_off"))
+      if (boundary) base.filter(col("offset") =!= minOff)
       else base
     }
 
@@ -239,7 +272,7 @@ class StreamingJob(
       val row   = cand.getAs[Row]("p")
       val tsIdx = deduped.schema.fieldIndex("ts")
       val isBoundaryRow = boundary &&
-        cand.getAs[Long]("offset") == aggRow.getAs[Long]("min_off")
+        cand.getAs[Long]("offset") == minOff
       if (!isBoundaryRow &&
         state.buffered.forall(_.getLong(tsIdx) <= cand.getAs[Long]("ts"))) {
         state.buffered = Some(row)
@@ -268,7 +301,7 @@ class StreamingJob(
     * additionally write a native .h5 of the full tree (the reference's
     * final artifact).
     */
-  def finish(emitHdf5: Option[String] = None): Unit = {
+  def finish(emitHdf5: Option[String] = None): Unit = synchronized {
     plan.streams.foreach { s =>
       WriterModules.registry.get(s.module).foreach { module =>
         val key = streamKey(s)
@@ -315,12 +348,11 @@ class StreamingJob(
     tables.foreach { case (table, out0) =>
       try {
         // renumber to consecutive ids (module row keys are sparse sort
-        // keys), then continue sink row numbering and the ev44 shifts
-        // across batches
-        val consec = org.apache.spark.sql.expressions.Window.orderBy(col("row"))
-        var out = out0.withColumn("row",
-          row_number().over(consec).cast("long") - 1 +
-            lit(state.rowsWritten.getOrElse(table, 0L)))
+        // keys) continuing sink row numbering across batches — distributed
+        // two-pass prefix sum, no single-partition stage even for the
+        // exploded ev44 events table
+        var out = graft.operators.Rows.indexed(
+          out0, "row", start = state.rowsWritten.getOrElse(table, 0L))
         if (module.id == "ev44" && table == "index")
           out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
         if (module.id == "ev44" && table == "cue")
