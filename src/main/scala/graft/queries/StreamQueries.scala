@@ -148,6 +148,114 @@ object StreamQueries {
         .select(col("event_id"), graft.functions.Decode.decode_f144(col("buf")).as("d"))
         .select(col("event_id"), col("d.source_name").as("source_name"),
           expr("d.timestamp div 1000").as("ts_us"), col("d.value").as("value"))
+    },
+
+    // D2 — per-schema wire roundtrips for the remaining payload decoders
+    // (al00_Writer.cpp:57-70, ep01_Writer.cpp:38-46, tdct_Writer.cpp:67-83,
+    // se00_Writer.cpp:135-224, ad00_Writer.cpp:142-204,
+    // da00_Writer.cpp:333-387): encode deterministic wire messages from the
+    // events table, decode with the native expression, identity oracle.
+    "d2_al00_roundtrip" -> { (s, dir) =>
+      val enc = udf((src: String, ts: Long, sev: Short, msg: String) =>
+        graft.functions.FbEncoders.al00(src, ts, sev, msg))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("user-"), col("user_id")), col("ts"),
+            when(col("event_type") === "error", lit(2))
+              .when(col("event_type") === "signup", lit(1))
+              .otherwise(lit(0)).cast("short"),
+            col("props")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_al00(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          expr("d.timestamp div 1000").as("ts_us"),
+          col("d.severity").as("severity"), col("d.message").as("message"))
+    },
+
+    "d2_ep01_roundtrip" -> { (s, dir) =>
+      val enc = udf((src: String, ts: Long, st: Short) =>
+        graft.functions.FbEncoders.ep01(src, ts, st))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("user-"), col("user_id")), col("ts"),
+            when(col("event_type") === "signup", lit(1)).otherwise(lit(0))
+              .cast("short")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_ep01(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          expr("d.timestamp div 1000").as("ts_us"), col("d.status").as("status"))
+    },
+
+    "d2_tdct_roundtrip" -> { (s, dir) =>
+      val enc = udf((name: String, ts: Long) =>
+        graft.functions.FbEncoders.tdct(
+          name, Seq(ts, ts + 1000000L, ts + 2000000L), 7L))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("chopper-"), col("user_id")), col("ts")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_tdct(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          col("d.sequence_counter").as("sequence_counter"),
+          posexplode(col("d.timestamps")).as(Seq("pos", "t")))
+        .select(col("event_id"), col("source_name"), col("sequence_counter"),
+          col("pos"), expr("t div 1000").as("time_us"))
+    },
+
+    "d2_se00_roundtrip" -> { (s, dir) =>
+      val enc = udf((name: String, ch: Int, mc: Long, pt: Long, v: Double) =>
+        graft.functions.FbEncoders.se00(name, ch, 1000000.0, None, mc, pt,
+          Seq(v, v + 0.5, v + 1.0), "float64"))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("sensor-"), col("user_id")),
+            (col("user_id") % 8).cast("int"), col("event_id"), col("ts"),
+            col("value")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_se00(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          col("d.channel").as("channel"),
+          col("d.message_counter").as("message_counter"),
+          expr("d.packet_timestamp div 1000").as("packet_ts_us"),
+          col("d.values_type").as("values_type"),
+          posexplode(col("d.values")).as(Seq("pos", "sample")))
+        // generated per-element timestamps t0 + i·Δ (se00_Writer.cpp:209-219)
+        .select(col("event_id"), col("source_name"), col("channel"),
+          col("message_counter"), col("packet_ts_us"), col("values_type"),
+          col("pos"), col("sample"),
+          (col("packet_ts_us") + col("pos") * 1000L).as("sample_ts_us"))
+    },
+
+    "d2_ad00_roundtrip" -> { (s, dir) =>
+      val enc = udf((src: String, ts: Long, v: Double) =>
+        graft.functions.FbEncoders.ad00(src, ts, Seq(2L, 3L),
+          (0 until 6).map(i => v + i), "float64"))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("cam-"), col("user_id")), col("ts"), col("value")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_ad00(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          expr("d.timestamp div 1000").as("ts_us"),
+          col("d.data_type").as("data_type"),
+          element_at(col("d.dimensions"), 1).as("dim0"),
+          element_at(col("d.dimensions"), 2).as("dim1"),
+          posexplode(col("d.data")).as(Seq("pos", "elem")))
+    },
+
+    "d2_da00_roundtrip" -> { (s, dir) =>
+      val enc = udf((src: String, ts: Long, v: Double) =>
+        graft.functions.FbEncoders.da00(src, ts, Seq(
+          graft.functions.FbEncoders.Da00Var("signal", "K", "", Seq("x"),
+            Seq(3L), "int32", (0 until 3).map(i => math.floor(v) + i)))))
+      ev(s, dir)
+        .select(col("event_id"),
+          enc(concat(lit("user-"), col("user_id")), col("ts"), col("value")).as("buf"))
+        .select(col("event_id"), graft.functions.Decode.decode_da00(col("buf")).as("d"))
+        .select(col("event_id"), col("d.source_name").as("source_name"),
+          expr("d.timestamp div 1000").as("ts_us"),
+          element_at(col("d.data"), 1).as("v0"))
+        .select(col("event_id"), col("source_name"), col("ts_us"),
+          col("v0.name").as("vname"), col("v0.unit").as("unit"),
+          element_at(col("v0.axes"), 1).as("axis"),
+          element_at(col("v0.shape"), 1).as("shape0"),
+          col("v0.data_type").as("data_type"),
+          posexplode(col("v0.data")).as(Seq("pos", "elem")))
     }
   )
 
@@ -218,6 +326,41 @@ object StreamQueries {
     "d1_decode_roundtrip" ->
       """SELECT event_id, 'user-' || CAST(user_id AS VARCHAR) AS source_name,
         |       epoch_us(ts) AS ts_us, value
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "d2_al00_roundtrip" ->
+      """SELECT event_id, 'user-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(CASE WHEN event_type = 'error' THEN 2 WHEN event_type = 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS severity,
+        |  props AS message
+        |FROM events""".stripMargin,
+    "d2_ep01_roundtrip" ->
+      """SELECT event_id, 'user-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS SMALLINT) AS status
+        |FROM events""".stripMargin,
+    "d2_tdct_roundtrip" ->
+      """SELECT event_id, 'chopper-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  CAST(7 AS BIGINT) AS sequence_counter, CAST(i AS INTEGER) AS pos,
+        |  epoch_us(ts) + i * 1000 AS time_us
+        |FROM events, generate_series(0, 2) AS t(i)""".stripMargin,
+    "d2_se00_roundtrip" ->
+      """SELECT event_id, 'sensor-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  CAST(user_id % 8 AS INTEGER) AS channel, event_id AS message_counter,
+        |  epoch_us(ts) AS packet_ts_us, 'float64' AS values_type,
+        |  CAST(i AS INTEGER) AS pos, value + i * 0.5 AS sample,
+        |  epoch_us(ts) + i * 1000 AS sample_ts_us
+        |FROM events, generate_series(0, 2) AS t(i)""".stripMargin,
+    "d2_ad00_roundtrip" ->
+      """SELECT event_id, 'cam-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  epoch_us(ts) AS ts_us, 'float64' AS data_type,
+        |  CAST(2 AS BIGINT) AS dim0, CAST(3 AS BIGINT) AS dim1,
+        |  CAST(i AS INTEGER) AS pos, value + i AS elem
+        |FROM events, generate_series(0, 5) AS t(i)""".stripMargin,
+    "d2_da00_roundtrip" ->
+      """SELECT event_id, 'user-' || CAST(user_id AS VARCHAR) AS source_name,
+        |  epoch_us(ts) AS ts_us, 'signal' AS vname, 'K' AS unit, 'x' AS axis,
+        |  CAST(3 AS BIGINT) AS shape0, 'int32' AS data_type,
+        |  CAST(i AS INTEGER) AS pos, CAST(floor(value) + i AS DOUBLE) AS elem
+        |FROM events, generate_series(0, 2) AS t(i)""".stripMargin
   )
 }
