@@ -109,7 +109,8 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     }
 
   /** Periodic x5f2 status heartbeat (`src/Status/StatusReporter` cadence),
-    * including per-stream write counters (A3).
+    * including per-stream write counters (A3) and the approximate output
+    * size (A4, `src/FileWriterTask.cpp:102-114`).
     */
   def statusMessage(updateIntervalMs: Long = 2000): Array[Byte] = {
     val json = state match {
@@ -118,7 +119,8 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
         val streams = job.metrics.map { case (k, m) =>
           s""""$k":{${m.map { case (n, v) => s""""$n":$v""" }.mkString(",")}}"""
         }.mkString(",")
-        s"""{"state":"writing","job_id":"$j","streams":{$streams}}"""
+        s"""{"state":"writing","job_id":"$j","file_size":${job.approxFileSizeBytes},""" +
+          s""""streams":{$streams}}"""
     }
     encodeStatus(serviceId, json, updateIntervalMs)
   }

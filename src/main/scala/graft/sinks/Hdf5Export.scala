@@ -11,9 +11,10 @@ import org.json4s.jackson.JsonMethods
   * (manifest + tables) into one native `.h5` file via [[Hdf5Writer]] — the
   * "custom HDF5 sink" end of the pipeline. Runs driver-side single-writer,
   * exactly the discipline of the reference's writer thread
-  * (`src/Stream/MessageWriter.cpp:31-36`); per-stream datasets stream
-  * through one collect each (bounded by the largest single stream, not the
-  * job).
+  * (`src/Stream/MessageWriter.cpp:31-36`); each column streams through
+  * `toLocalIterator` chunks into the writer's buffer, so the memory
+  * ceiling is the emitted file itself, never a full `collect()` of a
+  * table in Row form.
   */
 object Hdf5Export {
 
@@ -47,10 +48,9 @@ object Hdf5Export {
           val df    = spark.read.parquet(dir.toString)
           val sorted =
             if (df.columns.contains("row")) df.orderBy("row") else df
-          val rows     = sorted.collect()
           val groupKey = par.mkString("/")
           sorted.schema.fields.filterNot(_.name == "row").foreach { f =>
-            datasetOf(f, rows, sorted.schema.fieldIndex(f.name)).foreach { dv =>
+            streamedColumn(sorted, f).foreach { dv =>
               val unitAttr = units.get(groupKey).flatMap(_.get(f.name))
                 .map(u => Seq("units" -> (StrAttr(u): AttrValue))).getOrElse(Nil)
               val name = if (table == "data" || table == "meta") f.name
@@ -80,38 +80,61 @@ object Hdf5Export {
     case _ => Map.empty
   }
 
-  private def datasetOf(
-      f: StructField,
-      rows: Array[org.apache.spark.sql.Row],
-      idx: Int
-  ): Option[DataValue] = f.dataType match {
-    case LongType    => Some(I64Data(rows.map(_.getLong(idx))))
-    case IntegerType => Some(I32Data(rows.map(_.getInt(idx))))
-    case ShortType   => Some(I16Data(rows.map(_.getShort(idx))))
-    case DoubleType  => Some(F64Data(rows.map(_.getDouble(idx))))
-    case StringType  => Some(StrData(rows.map(r => Option(r.getString(idx)).getOrElse(""))))
-    case BooleanType => Some(I16Data(rows.map(r => if (r.getBoolean(idx)) 1.toShort else 0.toShort)))
-    case ArrayType(et, _) =>
-      // uniform-width array columns become 2-D datasets; ragged are skipped
-      val seqs = rows.map(_.getSeq[Any](idx))
-      if (seqs.isEmpty) None
-      else {
-        val w = seqs.head.size
-        if (!seqs.forall(_.size == w) || w == 0) None
-        else et match {
-          case DoubleType =>
-            Some(F64Data(seqs.flatMap(_.map(_.asInstanceOf[Double])),
-              Seq(seqs.length.toLong, w.toLong)))
-          case LongType =>
-            Some(I64Data(seqs.flatMap(_.map(_.asInstanceOf[Long])),
-              Seq(seqs.length.toLong, w.toLong)))
-          case IntegerType =>
-            Some(I32Data(seqs.flatMap(_.map(_.asInstanceOf[Int])),
-              Seq(seqs.length.toLong, w.toLong)))
-          case _ => None
+  /** rows pulled per chunk — bounds driver memory to one chunk per pull. */
+  private val ChunkRows = 65536
+
+  /** One column as a lazily-streamed dataset: the writer pulls chunks off
+    * `toLocalIterator` (one Spark partition resident at a time) instead of
+    * a full `collect()`, so the export's memory ceiling is the emitted file
+    * bytes, not 2× the largest table in Row form. A zero-length typed seed
+    * chunk pins the dtype of empty columns.
+    */
+  private def streamedColumn(
+      df: org.apache.spark.sql.DataFrame,
+      f: StructField
+  ): Option[DataValue] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, expr, size => asize}
+    def rows = df.select(col(f.name)).toLocalIterator().asScala
+    def chunks[T](seed: DataValue)(enc: Seq[org.apache.spark.sql.Row] => DataValue) =
+      Iterator(seed) ++ rows.grouped(ChunkRows).map(enc)
+    f.dataType match {
+      case LongType => Some(StreamedData(chunks(I64Data(Array.empty[Long]))(rs =>
+        I64Data(rs.map(_.getLong(0)).toArray))))
+      case IntegerType => Some(StreamedData(chunks(I32Data(Array.empty[Int]))(rs =>
+        I32Data(rs.map(_.getInt(0)).toArray))))
+      case ShortType => Some(StreamedData(chunks(I16Data(Array.empty[Short]))(rs =>
+        I16Data(rs.map(_.getShort(0)).toArray))))
+      case DoubleType => Some(StreamedData(chunks(F64Data(Array.empty[Double]))(rs =>
+        F64Data(rs.map(_.getDouble(0)).toArray))))
+      case BooleanType => Some(StreamedData(chunks(I16Data(Array.empty[Short]))(rs =>
+        I16Data(rs.map(r => if (r.getBoolean(0)) 1.toShort else 0.toShort).toArray))))
+      case StringType =>
+        // fixed-width strings need the global max byte-width up front
+        val w = Option(df.agg(expr(s"max(octet_length(`${f.name}`))")).head.get(0))
+          .map(_.asInstanceOf[Number].intValue).getOrElse(1)
+        Some(StreamedData(chunks(StrData(Array.empty[String]))(rs =>
+          StrData(rs.map(r => Option(r.getString(0)).getOrElse("")).toArray)),
+          strWidth = math.max(1, w)))
+      case ArrayType(et, _) =>
+        // uniform-width array columns become 2-D datasets; ragged skipped
+        val widths = df.select(asize(col(f.name)).as("w")).distinct()
+          .collect().map(_.getInt(0))
+        if (widths.length != 1 || widths.head <= 0) None
+        else {
+          val w = widths.head
+          et match {
+            case DoubleType => Some(StreamedData(chunks(F64Data(Array.empty[Double]))(rs =>
+              F64Data(rs.flatMap(_.getSeq[Double](0)).toArray)), rowWidth = w))
+            case LongType => Some(StreamedData(chunks(I64Data(Array.empty[Long]))(rs =>
+              I64Data(rs.flatMap(_.getSeq[Long](0)).toArray)), rowWidth = w))
+            case IntegerType => Some(StreamedData(chunks(I32Data(Array.empty[Int]))(rs =>
+              I32Data(rs.flatMap(_.getSeq[Int](0)).toArray)), rowWidth = w))
+            case _ => None
+          }
         }
-      }
-    case _ => None
+      case _ => None
+    }
   }
 
   /** path-keyed tree assembled incrementally, emitted as writer nodes. */

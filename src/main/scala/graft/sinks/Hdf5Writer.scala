@@ -16,8 +16,10 @@ import java.nio.file.{Files, Paths}
   * every HDF5 reader including h5py consumes identically).
   *
   * Layout strategy: one buffer, addresses allocated append-only; each
-  * group = object header + local heap + one B-tree node + one SNOD with
-  * all children (sufficient for NeXus-scale fan-out).
+  * group = object header + local heap + one fixed-size B-tree leaf node
+  * pointing at fixed-size symbol-table nodes of ≤ 2·leaf_k children each
+  * (the block sizes libhdf5 derives from the superblock's declared k
+  * values) — up to 2·internal_k · 2·leaf_k = 256 children per group.
   */
 final class Hdf5Writer {
 
@@ -48,6 +50,20 @@ final class Hdf5Writer {
   final case class I64Data(xs: Array[Long], dims: Seq[Long] = Nil)   extends DataValue
   final case class F64Data(xs: Array[Double], dims: Seq[Long] = Nil) extends DataValue
   final case class StrData(xs: Array[String])                        extends DataValue
+
+  /** Incrementally-appended dataset: same-typed chunks are encoded into the
+    * file buffer as they are pulled, so the producer (e.g. a Spark
+    * `toLocalIterator`) never holds the whole dataset — peak driver memory
+    * is one chunk plus the file bytes, not a second full copy.
+    * Prepend a zero-length typed chunk to pin the dtype of empty datasets.
+    * `strWidth` fixes the string element width (chunks can't see the global
+    * max); `rowWidth` > 0 emits a 2-D dataspace `(n/rowWidth, rowWidth)`.
+    */
+  final case class StreamedData(
+      chunks: Iterator[DataValue],
+      strWidth: Int = 0,
+      rowWidth: Int = 0
+  ) extends DataValue
 
   /** Write a root tree to an .h5 file. */
   def write(path: String, rootChildren: Seq[Node],
@@ -92,6 +108,14 @@ final class Hdf5Writer {
 
   // ---- groups ---------------------------------------------------------
 
+  /** Superblock-declared B-tree ranks; the node block sizes libhdf5
+    * derives from them are fixed, not data-dependent.
+    */
+  private val LeafK      = 4
+  private val InternalK  = 16
+  private val SnodBytes  = 8 + 2 * LeafK * 40
+  private val BtreeBytes = 24 + (2 * InternalK + 1) * 8 + 2 * InternalK * 8
+
   /** Returns the group's object header address. */
   private def writeGroup(g: Group): Long = {
     // children first (addresses needed for the symbol table)
@@ -121,32 +145,45 @@ final class Hdf5Writer {
       buf.append(b.array())
     }
 
-    // SNOD with all entries
-    val snodAddr = {
-      val b = ByteBuffer.allocate(8 + entries.size * 40).order(ByteOrder.LITTLE_ENDIAN)
+    // Symbol table nodes: libhdf5 reads FIXED-size blocks of
+    // 8 + 2·leaf_k·40 bytes and rejects nodes holding more than 2·leaf_k
+    // entries (the superblock declares leaf k), so entries are split into
+    // full-capacity SNODs and every block is padded to capacity.
+    val snodGroups = entries.zip(nameOffsets).grouped(2 * LeafK).toSeq
+    val snods = snodGroups.map { chunk =>
+      val b = ByteBuffer.allocate(SnodBytes).order(ByteOrder.LITTLE_ENDIAN)
       b.put("SNOD".getBytes); b.put(1.toByte); b.put(0.toByte)
-      b.putShort(entries.size.toShort)
-      entries.zip(nameOffsets).foreach { case ((_, objAddr), nameOff) =>
+      b.putShort(chunk.size.toShort)
+      chunk.foreach { case ((_, objAddr), nameOff) =>
         b.putLong(nameOff); b.putLong(objAddr)
         b.putInt(0); b.putInt(0)       // cache type 0
         b.putLong(0L); b.putLong(0L)   // scratch
       }
-      buf.append(b.array())
+      val addr    = buf.append(b.array()) // trailing slots stay zeroed
+      val lastOff = chunk.last._2        // heap offset of largest name
+      (addr, lastOff)
     }
 
-    // B-tree v1, node type 0, one leaf pointing at the SNOD
+    // B-tree v1 leaf (node type 0): one FIXED 24 + (2k+1)·8 + 2k·8 byte
+    // block (544 for internal k=16 — libhdf5 reads the whole node, so a
+    // truncated block near EOF would run past the end-of-file address).
+    // Keys bound each SNOD's names: key0 = heap offset 0 (the empty
+    // string, smallest), key_{i+1} = offset of the largest name in SNOD i.
+    require(snods.size <= 2 * InternalK,
+      s"group fan-out ${entries.size} exceeds one B-tree node " +
+        s"(${2 * InternalK} symbol nodes × ${2 * LeafK} entries)")
     val btreeAddr = {
-      val b = ByteBuffer.allocate(24 + 2 * 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      val b = ByteBuffer.allocate(BtreeBytes).order(ByteOrder.LITTLE_ENDIAN)
       b.put("TREE".getBytes)
       b.put(0.toByte)  // node type: group
       b.put(0.toByte)  // level: leaf
-      b.putShort(if (entries.isEmpty) 0 else 1) // entries used
+      b.putShort(snods.size.toShort)            // entries used
       b.putLong(Undef); b.putLong(Undef)        // siblings
-      // key0, child0, key1 — keys are heap offsets of bounding names
-      b.putLong(0L)
-      b.putLong(snodAddr)
-      b.putLong(nameOffsets.lastOption.getOrElse(0L))
-      buf.append(b.array())
+      b.putLong(0L)                             // key0
+      snods.foreach { case (addr, lastOff) =>
+        b.putLong(addr); b.putLong(lastOff)     // child_i, key_{i+1}
+      }
+      buf.append(b.array()) // unused key/child slots stay zeroed
     }
 
     // object header: symbol table message + attributes
@@ -160,38 +197,64 @@ final class Hdf5Writer {
 
   // ---- datasets -------------------------------------------------------
 
+  /** (dtype message, element size, encoded bytes, element count, dims). */
+  private def encodeValue(
+      v: DataValue, strWidth: Int
+  ): (Array[Byte], Int, Array[Byte], Long, Seq[Long]) = v match {
+    case I16Data(xs, dm) =>
+      val b = ByteBuffer.allocate(2 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putShort); (fixedPoint(2), 2, b.array(), xs.length.toLong, dm)
+    case I32Data(xs, dm) =>
+      val b = ByteBuffer.allocate(4 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putInt); (fixedPoint(4), 4, b.array(), xs.length.toLong, dm)
+    case I64Data(xs, dm) =>
+      val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putLong); (fixedPoint(8), 8, b.array(), xs.length.toLong, dm)
+    case F64Data(xs, dm) =>
+      val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putDouble); (ieeeF64, 8, b.array(), xs.length.toLong, dm)
+    case StrData(xs) =>
+      val w =
+        if (strWidth > 0) strWidth
+        else math.max(1, if (xs.isEmpty) 1 else xs.map(_.getBytes("UTF-8").length).max)
+      val out = new ByteArrayOutputStream
+      xs.foreach { s =>
+        val sb = s.getBytes(StandardCharsets.UTF_8)
+        out.write(sb, 0, math.min(sb.length, w))
+        (sb.length until w).foreach(_ => out.write(0))
+      }
+      (fixedString(w), w, out.toByteArray, xs.length.toLong, Nil)
+    case _: StreamedData =>
+      throw new IllegalArgumentException("streamed chunks must be primitive")
+  }
+
   private def writeDataset(d: Dataset): Long = {
-    val (dtypeMsg, elemSize, bytes, n, dims) = d.data match {
-      case I16Data(xs, dm) =>
-        val b = ByteBuffer.allocate(2 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
-        xs.foreach(b.putShort); (fixedPoint(2), 2, b.array(), xs.length.toLong, dm)
-      case I32Data(xs, dm) =>
-        val b = ByteBuffer.allocate(4 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
-        xs.foreach(b.putInt); (fixedPoint(4), 4, b.array(), xs.length.toLong, dm)
-      case I64Data(xs, dm) =>
-        val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
-        xs.foreach(b.putLong); (fixedPoint(8), 8, b.array(), xs.length.toLong, dm)
-      case F64Data(xs, dm) =>
-        val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
-        xs.foreach(b.putDouble); (ieeeF64, 8, b.array(), xs.length.toLong, dm)
-      case StrData(xs) =>
-        val w = math.max(1, if (xs.isEmpty) 1 else xs.map(_.getBytes("UTF-8").length).max)
-        val out = new ByteArrayOutputStream
-        xs.foreach { s =>
-          val sb = s.getBytes(StandardCharsets.UTF_8)
-          out.write(sb, 0, math.min(sb.length, w))
-          (sb.length until w).foreach(_ => out.write(0))
+    val (dtypeMsg, elemSize, dataAddr, n, dims) = d.data match {
+      case StreamedData(chunks, sw, rowWidth) =>
+        val addr = buf.size
+        var count = 0L
+        var dt: Option[(Array[Byte], Int)] = None
+        chunks.foreach { c =>
+          val (m, es, bytes, k, _) = encodeValue(c, sw)
+          if (dt.isEmpty) dt = Some((m, es))
+          buf.append(bytes)
+          count += k
         }
-        (fixedString(w), w, out.toByteArray, xs.length.toLong, Nil)
+        val (m, es) = dt.getOrElse((ieeeF64, 8))
+        val dm = if (rowWidth > 0 && count % rowWidth == 0 && count > 0)
+          Seq(count / rowWidth, rowWidth.toLong) else Nil
+        (m, es, addr, count, dm)
+      case v =>
+        val (m, es, bytes, k, dm) = encodeValue(v, 0)
+        (m, es, buf.append(bytes), k, dm)
     }
-    val shape    = if (dims.nonEmpty) dims else Seq(n)
-    val dataAddr = buf.append(bytes)
+    val shape = if (dims.nonEmpty) dims else Seq(n)
     val layout = {
       val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
       b.put(3.toByte) // layout v3
       b.put(1.toByte) // contiguous
       b.putLong(dataAddr)
-      b.putLong(bytes.length.toLong)
+      b.putLong(n * elemSize)
       (0x0008, b.array())
     }
     writeObjectHeader(Seq(
@@ -255,7 +318,10 @@ final class Hdf5Writer {
     val (dt, data) = value match {
       case StrAttr(s) =>
         val sb = s.getBytes(StandardCharsets.UTF_8)
-        (fixedString(math.max(1, sb.length)), sb)
+        // an empty string still carries one NUL data byte so the declared
+        // 1-byte datatype has real backing data (not alignment padding)
+        (fixedString(math.max(1, sb.length)),
+          if (sb.isEmpty) Array[Byte](0) else sb)
       case F64Attr(v) =>
         val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(v)
         (ieeeF64, b.array())
@@ -281,6 +347,9 @@ final class Hdf5Writer {
     val body = new ByteArrayOutputStream
     messages.foreach { case (tpe, m) =>
       val padded = align8(m.length)
+      require(padded <= 0xFFFF,
+        s"object-header message type 0x${tpe.toHexString} is $padded bytes; " +
+          "the v1 size field is u16 — value would silently wrap")
       val h = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
       h.putShort(tpe.toShort)
       h.putShort(padded.toShort)

@@ -96,6 +96,23 @@ class StreamingJob(
   def shouldStop(nowMs: Long, leewayMs: Long = 10000): Boolean =
     nowMs > stopMsCur + leewayMs
 
+  /** A4 — approximate output size in bytes: sum of the part files under
+    * the output tree, the parquet-mirror analog of the reference's
+    * periodic file stat (`src/FileWriterTask.cpp:102-114`, cadence
+    * `src/StreamController.cpp:75-82`). Driver-side directory walk — no
+    * Spark job.
+    */
+  def approxFileSizeBytes: Long = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+  }
+
   /** Per-stream counters for the x5f2 status JSON (A3 analog:
     * writes-done per source, `src/Stream/MessageWriter.cpp:38-56`).
     */

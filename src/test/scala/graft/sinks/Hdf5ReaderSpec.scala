@@ -93,14 +93,26 @@ object MiniHdf5Reader {
   private def readGroupEntries(bb: ByteBuffer, btree: Long, heap: Long): Map[String, Long] = {
     val t = btree.toInt
     require(bb.get(t) == 'T' && bb.get(t + 1) == 'R', "TREE signature")
+    // enforce libhdf5's fixed node extents from the superblock's declared
+    // k values: a truncated node would make the metadata read run past EOA
+    val leafK      = bb.getShort(16).toInt
+    val internalK  = bb.getShort(18).toInt
+    val btreeBytes = 24 + (2 * internalK + 1) * 8 + 2 * internalK * 8
+    val snodBytes  = 8 + 2 * leafK * 40
+    require(t + btreeBytes <= bb.capacity,
+      s"B-tree node at $t truncated: needs $btreeBytes bytes before EOF")
     val entries = bb.getShort(t + 6) & 0xffff
+    require(entries <= 2 * internalK, s"B-tree node holds $entries > ${2 * internalK}")
     if (entries == 0) return Map.empty
     // heap data segment address from the heap header
     val heapSeg = bb.getLong(heap.toInt + 24)
     (0 until entries).flatMap { e =>
       val snod = bb.getLong(t + 24 + 16 * e + 8).toInt
       require(bb.get(snod) == 'S' && bb.get(snod + 1) == 'N', "SNOD signature")
+      require(snod + snodBytes <= bb.capacity,
+        s"SNOD at $snod truncated: needs $snodBytes bytes before EOF")
       val count = bb.getShort(snod + 6) & 0xffff
+      require(count <= 2 * leafK, s"SNOD holds $count > ${2 * leafK} entries")
       (0 until count).map { i =>
         val ste     = snod + 8 + 40 * i
         val nameOff = bb.getLong(ste)
@@ -200,6 +212,34 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
       .asInstanceOf[Array[Long]].toSeq == Seq(0L, 4L, 8L, 12L))
     assert(root.groups("entry").groups("start_time").datasets("")
       .asInstanceOf[Array[String]].head == "1970-01-01T00:00:10Z")
+  }
+
+  test("wide groups split across fixed-capacity symbol-table nodes") {
+    val w = new Hdf5Writer
+    import w._
+    val path = Files.createTempFile("graft", ".h5").toString
+    // 23 children > 2·leaf_k=8 forces a multi-SNOD B-tree (the f144
+    // stream layout alone emits 8 sibling datasets; entry groups exceed it)
+    val kids = (0 until 23).map(i => Dataset(f"d$i%02d", I64Data(Array(i.toLong))))
+    w.write(path, Seq(Group("wide", kids, Seq("empty" -> StrAttr("")))))
+    val wide = MiniHdf5Reader.read(path).groups("wide")
+    assert(wide.groups.keySet == (0 until 23).map(i => f"d$i%02d").toSet)
+    (0 until 23).foreach { i =>
+      assert(wide.groups(f"d$i%02d").datasets("").asInstanceOf[Array[Long]].toSeq ==
+        Seq(i.toLong))
+    }
+    assert(wide.attrs("empty") == "")
+  }
+
+  test("group fan-out beyond one B-tree node is rejected, not corrupted") {
+    val w = new Hdf5Writer
+    import w._
+    val path = Files.createTempFile("graft", ".h5").toString
+    val kids = (0 until 300).map(i => Dataset(f"d$i%03d", I64Data(Array(i.toLong))))
+    val e = intercept[IllegalArgumentException] {
+      w.write(path, Seq(Group("huge", kids)))
+    }
+    assert(e.getMessage.contains("fan-out"))
   }
 
   test("empty groups and empty datasets survive") {

@@ -63,6 +63,15 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("row").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("A4: approx file size grows with appends and lands in x5f2 status") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    val before = job.approxFileSizeBytes
+    assert(before > 0) // manifest.json exists after create
+    job.processBatch("f144", Seq(f144(0, 10100, 10.0), f144(1, 10200, 15.0)).toDF())
+    assert(job.approxFileSizeBytes > before)
+  }
+
   test("buffered value flushes at job end when no in-window data arrives") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
