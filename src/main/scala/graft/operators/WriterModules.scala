@@ -46,6 +46,18 @@ object WriterModules {
     }
   }
 
+  /** Cross-batch append cursor — the writer-module member fields the
+    * reference carries between writeImpl calls, passed in per batch:
+    * `rowStart` = message rows already written ("NrOfWrites"),
+    * `eventsWritten` = ev44 cumulative events (`ev44_Writer.cpp:118-126`),
+    * `lastCue` = the greedy cue-chain anchor (`LastCueIndex` /
+    * `LastIndexAtWrite`, `ev44_Writer.cpp:127-134`, `f144_Writer.cpp:259-263`).
+    */
+  final case class Cursor(
+      rowStart: Long = 0L,
+      eventsWritten: Long = 0L,
+      lastCue: Long = 0L)
+
   trait WriterModule {
     def id: String
     /** Only ev44 accepts repeated timestamps (`ev44_Writer.h:22`). */
@@ -59,7 +71,12 @@ object WriterModules {
     def groupAttrs(cfg: ModuleConfig): Map[String, String] =
       Map("NX_class" -> nxClass)
     /** message DF (post route/dedup/window) → named output tables. */
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame]
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor = Cursor()): Map[String, DataFrame]
+    /** next cue-chain anchor after a cue at `maxCueIndex` (f144 family
+      * stores the write COUNT, ev44 the event INDEX — `f144_Writer.cpp:260`
+      * vs `ev44_Writer.cpp:133`).
+      */
+    def nextLastCue(maxCueIndex: Long): Long = maxCueIndex + 1
     /** scalar datasets written at job close (running aggregates). */
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
@@ -83,14 +100,21 @@ object WriterModules {
       Map("time" -> "ns", "value" -> u, "minimum_value" -> u,
         "maximum_value" -> u, "average_value" -> u)
     }
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val data = withRow(df)
         .select(col("row"), col("ts").as("time"),
           col("value").cast(cfg.dtype("double")).as("value"))
       val cue = cfg.long("cue_interval") match {
         case Some(n) if n > 0 =>
-          Map("cue" -> data.filter((col("row") + 1) % n === 0)
-            .select(col("row").as("cue_index"), col("time").as("cue_timestamp_zero")))
+          // greedy chain anchored at the cross-batch cursor: writes
+          // increment by one, so cues land at lastCue + n, + 2n, …
+          // exactly (`f144_Writer.cpp:259-263`); cue_index is the GLOBAL
+          // row index
+          val gw = col("row") + 1 + lit(cur.rowStart) // 1-based global write
+          Map("cue" -> data
+            .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
+            .select(col("row"), (gw - 1).as("cue_index"),
+              col("time").as("cue_timestamp_zero")))
         case _ => Map.empty[String, DataFrame] // default u32::max ⇒ off (f144_Writer.h:79-80)
       }
       Map("data" -> data) ++ cue
@@ -108,7 +132,7 @@ object WriterModules {
     */
   object Ep01 extends WriterModule {
     val id = "ep01"
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] =
       Map("data" -> withRow(df).select(col("row"),
         col("ts").as("connection_status_time"),
         col("status").cast("short").as("connection_status")))
@@ -119,7 +143,7 @@ object WriterModules {
     */
   object Al00 extends WriterModule {
     val id = "al00"
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] =
       Map("data" -> withRow(df).select(col("row"),
         col("ts").as("alarm_time"),
         col("severity").cast("short").as("alarm_severity"),
@@ -137,7 +161,11 @@ object WriterModules {
     override def acceptRepeats = true
     override def emitBuffered  = false
     override def nxClass       = "NXevent_data"
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    /** ev44 anchors the chain at the cue EVENT INDEX (`LastCueIndex =
+      * EventsWritten - 1`, `ev44_Writer.cpp:133`), not the write count.
+      */
+    override def nextLastCue(maxCueIndex: Long): Long = maxCueIndex
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       // one distributed pass assigns both the message row index and the
       // exclusive running event count (EventsWritten, ev44_Writer.cpp:118-126)
       val base = Rows.indexed(
@@ -163,19 +191,39 @@ object WriterModules {
         .select((col("row") * 1000000 + col("pos")).as("row"),
           col("col.time_of_flight").as("event_time_offset"),
           col("col.pixel_id").as("event_id"))
-      // cue on event-count thresholds (grid form of ev44_Writer.cpp:127-134's
-      // greedy chain): cue after the message that crosses an interval
-      // boundary, stamped with its last event's absolute time
+      // cue via the EXACT greedy chain of ev44_Writer.cpp:127-134: cue
+      // when cumulative events exceed lastCue + interval, the new anchor
+      // being that message's last event index. Event counts jump per
+      // message, so the anchor is data-dependent and inherently
+      // sequential; each link resolves with one tiny min-aggregate over
+      // the (row, count) projection — #jobs = #cues in the batch (bounded
+      // by batchEvents / interval; the reference default is 10⁸ events).
       val interval = cfg.long("cue_interval").getOrElse(100000000L)
-      val cue = nonEmpty
-        .filter(expr(s"(events_after - 1) div $interval") >
-          expr(s"(events_written - 1) div $interval"))
-        .select(
-          (col("events_after") - 1).as("cue_index"),
-          (element_at(col("reference_time"), -1) +
-            element_at(col("time_of_flight"), -1).cast("long"))
-            .as("cue_timestamp_zero"),
-          col("row"))
+      val cand = nonEmpty.select(
+        col("row"),
+        (col("events_after") + lit(cur.eventsWritten)).as("ea"),
+        (element_at(col("reference_time"), -1) +
+          element_at(col("time_of_flight"), -1).cast("long")).as("cue_ts"))
+        .persist()
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      try {
+        var last     = cur.lastCue
+        var draining = true
+        while (draining) {
+          val h = cand.filter(col("ea") > lit(last + interval))
+            .orderBy(col("row")).limit(1).collect()
+          if (h.isEmpty) draining = false
+          else {
+            val r = h(0)
+            hits += ((r.getAs[Long]("row"), r.getAs[Long]("ea") - 1,
+              r.getAs[Long]("cue_ts")))
+            last = r.getAs[Long]("ea") - 1
+          }
+        }
+      } finally cand.unpersist()
+      val session = df.sparkSession
+      import session.implicits._
+      val cue = hits.toSeq.toDF("row", "cue_index", "cue_timestamp_zero")
       Map("events" -> events, "index" -> index, "cue" -> cue)
     }
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
@@ -190,12 +238,18 @@ object WriterModules {
     val id = "ad00"
     override def units(cfg: ModuleConfig): Map[String, String] =
       Map("time" -> "ns", "value" -> "")
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val data = withRow(df).select(col("row"), col("ts").as("time"),
         transform(col("data"), _.cast(cfg.dtype("double"))).as("value"),
         col("dimensions").as("shape"))
-      val cue = data.filter((col("row") + 1) % cfg.long("cue_interval").getOrElse(1000L) === 0)
-        .select(col("row").as("cue_index"), col("time").as("cue_timestamp_zero"))
+      // message-count cue chain (`ad00_Writer.cpp:198-202` CueCounter):
+      // unit increments ⇒ anchored grid, global across batches
+      val n  = cfg.long("cue_interval").getOrElse(1000L)
+      val gw = col("row") + 1 + lit(cur.rowStart)
+      val cue = data
+        .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
+        .select(col("row"), (gw - 1).as("cue_index"),
+          col("time").as("cue_timestamp_zero"))
       Map("data" -> data, "cue" -> cue)
     }
   }
@@ -284,7 +338,7 @@ object WriterModules {
           vs.flatMap(v => (v \ "name") match { case JString(s) => Some(s); case _ => None })
         case _ => Nil
       }
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val vars = {
         val declared = variableNames(cfg)
         if (declared.nonEmpty) declared else Seq("signal")
@@ -307,7 +361,7 @@ object WriterModules {
     */
   object Se00 extends WriterModule {
     val id = "se00"
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val ex = withRow(df)
         .select(col("row"), col("ts"), col("time_delta"), col("timestamps"),
           posexplode(col("values")).as(Seq("pos", "value")))
@@ -328,7 +382,7 @@ object WriterModules {
     */
   object Tdct extends WriterModule {
     val id = "tdct"
-    def tables(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = {
+    def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val ex = withRow(df.filter(size(col("timestamps")) > 0))
         .select(col("row"), posexplode(col("timestamps")).as(Seq("pos", "t")))
       Map("data" -> ex.select(

@@ -175,7 +175,7 @@ class StreamingJob(
       out.writeObject(processedBatch.toMap)
       out.writeObject(states.toMap.map { case (k, s) =>
         k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
-          s.rowsWritten.toMap, s.schema, s.writeErrors))
+          s.rowsWritten.toMap, s.schema, s.writeErrors, s.lastCue))
       })
     } finally out.close()
     java.nio.file.Files.move(tmp, stateFile,
@@ -197,10 +197,10 @@ class StreamingJob(
           processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
           val saved = in.readObject().asInstanceOf[Map[String,
             (Option[Long], Option[Row], Boolean, Long, Map[String, Long],
-              StructType, Long)]]
-          saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs)) =>
+              StructType, Long, Long)]]
+          saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs, lc)) =>
             states(k) = StreamState(lt, buf, fin, ev,
-              mutable.Map(rows.toSeq: _*), sch, errs)
+              mutable.Map(rows.toSeq: _*), sch, errs, lc)
           }
         } finally in.close()
       } catch {
@@ -354,8 +354,12 @@ class StreamingJob(
     // reference's MessageWriter (`src/Stream/MessageWriter.cpp:77-105`):
     // a failed table append is counted and surfaced in status, the stream
     // keeps running
+    val cursor = WriterModules.Cursor(
+      rowStart = state.rowsWritten.getOrElse("data", 0L),
+      eventsWritten = state.eventsWritten,
+      lastCue = state.lastCue)
     val tables =
-      try module.tables(df, ModuleConfig(s.config))
+      try module.tables(df, ModuleConfig(s.config), cursor)
       catch {
         case e: Exception =>
           state.writeErrors += 1
@@ -372,11 +376,15 @@ class StreamingJob(
           out0, "row", start = state.rowsWritten.getOrElse(table, 0L))
         if (module.id == "ev44" && table == "index")
           out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
-        if (module.id == "ev44" && table == "cue")
-          out = out.withColumn("cue_index", col("cue_index") + lit(state.eventsWritten))
         out = out.persist()
         val n = out.count()
         sink.append(key, table, out, rows = n)
+        // advance the greedy cue-chain anchor (modules emit GLOBAL
+        // cue_index values from the cursor)
+        if (table == "cue" && n > 0) {
+          val mx = out.agg(max("cue_index")).collect()(0).getLong(0)
+          state.lastCue = module.nextLastCue(mx)
+        }
         out.unpersist()
         state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
       } catch {
@@ -405,7 +413,8 @@ object StreamingJob {
       var eventsWritten: Long = 0L,
       rowsWritten: mutable.Map[String, Long] = mutable.Map.empty,
       var schema: StructType = null,
-      var writeErrors: Long = 0L
+      var writeErrors: Long = 0L,
+      var lastCue: Long = 0L
   )
 
   /** Kafka source for the real deployment: one streaming frame per data

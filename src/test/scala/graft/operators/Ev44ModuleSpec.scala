@@ -64,4 +64,50 @@ class Ev44ModuleSpec extends SparkSpec {
     // stamped with last ref time + last tof of the crossing message
     assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(203L, 403L))
   }
+
+  test("ev44 cue follows the greedy chain, not a grid (ev44_Writer.cpp:127-134)") {
+    // 4-event messages, interval 5: cums 4,8,12,16,20. Greedy: 8 > 0+5 →
+    // cue at 7, anchor 7; 12 ≤ 12; 16 > 12 → cue at 15, anchor 15; 20 ≤ 20.
+    // A grid would also cue at 11 — the overshoot divergence.
+    val df = (0 until 5).map(i =>
+      msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
+    val cue = Ev44.tables(df, cfg(5))("cue").orderBy("cue_index").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L, 15L))
+    assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(204L, 404L))
+  }
+
+  test("one message spanning multiple intervals emits a single cue") {
+    val df = Seq(msg(0, Seq(100L), Seq(0), (1 to 17).toSeq)).toDF() // 3×interval 5
+    val cue = Ev44.tables(df, cfg(5))("cue").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(16L))
+  }
+
+  test("cue chain continues across batches via the cursor") {
+    import graft.operators.WriterModules.Cursor
+    // batch 1: cums 4, 8 → cue at 7 (anchor 7)
+    val b1 = (0 until 2).map(i =>
+      msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
+    val c1 = Ev44.tables(b1, cfg(5))("cue").collect()
+    assert(c1.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L))
+    // batch 2 with cursor (eventsWritten=8, lastCue=7): cums 12, 16 →
+    // 12 ≤ 12, 16 > 12 → cue at 15 — NOT 11, proving the anchor carried
+    val b2 = (2 until 4).map(i =>
+      msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
+    val c2 = Ev44.tables(b2, cfg(5),
+      Cursor(rowStart = 2, eventsWritten = 8, lastCue = 7))("cue").collect()
+    assert(c2.map(_.getAs[Long]("cue_index")).toSeq == Seq(15L))
+  }
+
+  test("f144 cue chain anchors at the cursor across batches") {
+    import graft.sources.Fixtures.F144Msg
+    import graft.operators.WriterModules.{Cursor, F144}
+    // batch 2 of 4 writes after 7 global writes with lastCue=6 (cue fired
+    // at global row 5, i.e. write 6): next cues at writes 9 (row 8)…
+    val df = (0 until 4).map(i =>
+      F144Msg("t", "s", i.toLong, i.toLong, 2000L + i, i.toDouble)).toDF()
+    val cue = F144.tables(df, cfg(3), Cursor(rowStart = 7, lastCue = 6))("cue")
+      .orderBy("cue_index").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(8L))
+    assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(2001L))
+  }
 }

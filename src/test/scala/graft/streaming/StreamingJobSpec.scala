@@ -82,6 +82,26 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(4.0))
   }
 
+  test("ev44 cue chain is stable across micro-batches (greedy, not grid)") {
+    val cueTemplate =
+      """{ "children": [
+        |  { "name": "events", "type": "group", "children": [
+        |    { "module": "ev44",
+        |      "config": { "source": "det", "topic": "tp", "cue_interval": 5 } } ] }
+        |] }""".stripMargin
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(cueTemplate), out, 10000, 15000)
+    // two batches of two 4-event messages: greedy cues at event indexes
+    // 7 then 15 (a per-batch grid would emit 7 and 11)
+    job.processBatch("ev44", Seq(
+      ev44(0, 10100, (1 to 4).toSeq), ev44(1, 10200, (1 to 4).toSeq)).toDF())
+    job.processBatch("ev44", Seq(
+      ev44(2, 10300, (1 to 4).toSeq), ev44(3, 10400, (1 to 4).toSeq)).toDF())
+    job.finish()
+    val cue = spark.read.parquet(s"$out/data/events/cue").orderBy("row").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L, 15L))
+  }
+
   test("ev44: event_index continues across micro-batches") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
