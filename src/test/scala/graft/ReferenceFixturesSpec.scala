@@ -59,6 +59,70 @@ class ReferenceFixturesSpec extends SparkSpec {
       Seq(10100000000L, 10150000000L, 10200000000L))
   }
 
+  test("static_information: statics, inferred shapes, attrs, links " +
+    "(test_static_information.py)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val out      = run("static_information_template.json", "static_information_data.json")
+    val manifest = JsonMethods.parse(Files.readString(Paths.get(s"$out/manifest.json")))
+
+    def static(path: String): JValue = (manifest \ "statics") match {
+      case JArray(ss) => ss.find(s => (s \ "path") == JString(path))
+        .getOrElse(fail(s"static $path missing"))
+      case _ => fail("no statics in manifest")
+    }
+    def nums(jv: JValue): Seq[Double] = jv match {
+      case JArray(xs) => xs.flatMap(nums)
+      case JInt(i)    => Seq(i.toDouble)
+      case JDouble(d) => Seq(d)
+      case _          => Nil
+    }
+    def dims(jv: JValue): Seq[Int] = jv match {
+      case JArray(xs) => xs.length +: xs.headOption.map(dims).getOrElse(Nil)
+      case _          => Nil
+    }
+
+    // test_static_data_is_written goldens (values + inferred shapes + dtype)
+    val det = static("entry/instrument/example_detector/detector_number")
+    assert(nums(det \ "values") == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert((det \ "dtype") == JString("int32"))
+    val xoff = static("entry/instrument/example_detector/x_pixel_offset")
+    assert(nums(xoff \ "values") == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    val cyl = static("entry/instrument/example_detector/pixel_shape/cylinders")
+    assert(dims(cyl \ "values") == Seq(1, 3))
+    assert(nums(cyl \ "values") == Seq(0.0, 1.0, 2.0))
+    val vert = static("entry/instrument/example_detector/pixel_shape/vertices")
+    assert(dims(vert \ "values") == Seq(3, 3))
+    assert(nums(vert \ "values") == Seq(0, 0, 0, 0, 0.05, 0, 0.002, 0, 0))
+    // dataset-level attribute values (units on vertices/x_pixel_offset)
+    def attrOf(jv: JValue, name: String): Option[JValue] = (jv \ "attributes") match {
+      case JArray(as) => as.find(a => (a \ "name") == JString(name)).map(_ \ "values")
+      case _          => None
+    }
+    assert(attrOf(vert, "units").contains(JString("m")))
+    assert(attrOf(xoff, "units").contains(JString("m")))
+    // scalar string statics
+    assert((static("entry/title") \ "values") == JString("This is a title"))
+    assert((static("entry/instrument/chopper/depends_on") \ "values") == JString("."))
+
+    // test_can_create_links goldens: resolved absolute-path link targets
+    def link(path: String): JValue = (manifest \ "links") match {
+      case JArray(ls) => ls.find(l => (l \ "path") == JString(path))
+        .getOrElse(fail(s"link $path missing"))
+      case _ => fail("no links in manifest")
+    }
+    assert((link("entry/instrument/links/linked_value") \ "resolved") ==
+      JString("entry/instrument/chopper/delay/value"))
+    assert((link("entry/instrument/links/linked_time") \ "resolved") ==
+      JString("entry/instrument/chopper/delay/time"))
+    // the linked stream has the 4 in-window samples (len(linked_value)==4)
+    val delay = table(out, "entry/instrument/chopper/delay/data").collect()
+    assert(delay.map(_.getAs[Double]("value")).toSeq ==
+      Seq(1000.0, 2000.0, 3000.0, 4000.0))
+    assert(delay.map(_.getAs[Long]("time")).toSeq ==
+      Seq(10150000000L, 10300000000L, 10450000000L, 10600000000L))
+  }
+
   test("writer_modules: the full multi-module corpus reproduces its goldens") {
     val out = run("writer_modules_template.json", "writer_modules_data.json")
     val rs = table(out, "entry/instrument/chopper/rotation_speed/data").collect()
