@@ -194,7 +194,13 @@ object DocQueries {
         .localCheckpoint(true)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      // iterate to the TRUE fixpoint — a silent cap would return labels
+      // that disagree with the oracle on any component whose diameter
+      // exceeds it; the hard bound exists only to fail loudly on a bug
+      // (min-label propagation converges in ≤ diameter ≤ #nodes rounds)
+      while (!converged) {
+        require(iter < 10000,
+          s"label propagation not converged after $iter rounds — graph bug?")
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
           .groupBy(col("doc_a").as("id"))
@@ -230,24 +236,50 @@ object DocQueries {
         .toDF()
     },
 
-    // SimHash near-dup pairs: block on the high 16 bits, verify hamming ≤ 6.
+    // SimHash near-dup pairs: multi-rotation 16-bit prefix blocking,
+    // verify hamming ≤ 6 (see [[simhashPairs]]).
     "dedup_simhash_pairs" -> { (s, dir) =>
       import graft.functions.SimHash32.simhash32
-      val sh = docs(s, dir)
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
-        .withColumn("blk", expr("simhash >> 16"))
-      val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-      val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming")
-        )
-        .filter(col("hamming") <= 6)
+      simhashPairs(
+        docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
     }
   )
+
+  /** SimHash near-dup candidate pairs over a (doc_id, simhash) frame:
+    * LSH blocking on the high 16 bits of FOUR 8-bit rotations of the
+    * 32-bit hash, so any pair whose differing bits fit one cyclic 16-bit
+    * window shares ≥1 block — in particular pure prefix(high-bit) flips,
+    * which a single high-16 table provably misses. Residual gap
+    * (documented, inherent to 4 tables): diff bits straddling opposite
+    * windows (e.g. bits {0,8,16,24}) can still evade all four blocks; the
+    * full ≤6-bit guarantee would need all C(4,2) clean-block-pair tables.
+    * Candidates dedup before the exact hamming verify.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val rotBlocks = (0 until 4).map { r =>
+      val rot = 8 * r
+      struct(lit(r).as("rot"),
+        expr(s"((shiftleft(simhash, $rot) % 4294967296) + " +
+          s"shiftright(simhash, ${32 - rot})) >> 16").as("blk"))
+    }
+    val blocks = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(array(rotBlocks: _*)).as("rb"))
+      .select(col("doc_id"), col("simhash"),
+        col("rb.rot").as("rot"), col("rb.blk").as("blk"))
+    val a = blocks.select(col("rot"), col("blk"),
+      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = blocks.select(col("rot"), col("blk"),
+      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("rot", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several rotations
+  }
 
   private val SqlToks = "string_split(text, ' ')"
 
@@ -403,11 +435,14 @@ object DocQueries {
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id),
-        |blk AS (SELECT doc_id, simhash, simhash >> 16 AS blk FROM sh)
-        |SELECT doc_a, doc_b, hamming FROM (
+        |blk AS (
+        |  SELECT doc_id, simhash, r.rot AS rot,
+        |    (((simhash << (8 * r.rot)) % 4294967296) + (simhash >> (32 - 8 * r.rot))) >> 16 AS blk
+        |  FROM sh, generate_series(0, 3) AS r(rot))
+        |SELECT DISTINCT doc_a, doc_b, hamming FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE hamming <= 6""".stripMargin
   )
 }
