@@ -338,6 +338,46 @@ object WriterModules {
           vs.flatMap(v => (v \ "name") match { case JString(s) => Some(s); case _ => None })
         case _ => Nil
       }
+
+    /** Runtime constants-consistency check (`da00_Writer.cpp:92-118`):
+      * constants are written once at structure creation, but later
+      * messages may still CARRY a variable of the same name — the
+      * reference compares that payload against the declared data and
+      * warns "Data for constant {} is not consistent". Returns the
+      * mismatch count per constant (one distributed aggregate; fed into
+      * the stream's write-error counters).
+      */
+    def constantMismatches(df: DataFrame, cfg: ModuleConfig): Map[String, Long] = {
+      def nums(jv: JValue): Seq[Double] = jv match {
+        case JArray(xs)  => xs.flatMap(nums)
+        case JInt(i)     => Seq(i.toDouble)
+        case JLong(l)    => Seq(l.toDouble)
+        case JDouble(d)  => Seq(d)
+        case JDecimal(d) => Seq(d.toDouble)
+        case _           => Nil
+      }
+      val declared: Seq[(String, Seq[Double])] = cfg.fields.get("constants") match {
+        case Some(JArray(cs)) =>
+          cs.flatMap { c =>
+            ((c \ "name"), (c \ "data")) match {
+              case (JString(n), d @ JArray(_)) => Some(n -> nums(d))
+              case _                           => None // declared without data: filled by first message
+            }
+          }
+        case _ => Nil
+      }
+      if (declared.isEmpty) Map.empty
+      else {
+        val checks = declared.map { case (n, xs) =>
+          sum(when(col("name") === n &&
+            !(col("data") <=> typedLit(xs)), 1L).otherwise(0L)).as(n)
+        }
+        val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+        declared.map { case (n, _) =>
+          n -> Option(row.getAs[java.lang.Long](n)).map(_.toLong).getOrElse(0L)
+        }.toMap
+      }
+    }
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val vars = {
         val declared = variableNames(cfg)

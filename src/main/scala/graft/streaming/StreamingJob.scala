@@ -398,6 +398,19 @@ class StreamingJob(
         .agg(coalesce(sum(size(col("time_of_flight"))), lit(0L)))
         .collect()(0).getLong(0)
     }
+    // da00 constants-consistency warnings surface as write errors in the
+    // x5f2 status (`da00_Writer.cpp:92-118` "Data for constant {} is not
+    // consistent")
+    if (module.id == "da00") {
+      val mism = WriterModules.Da00.constantMismatches(df, ModuleConfig(s.config))
+      val total = mism.values.sum
+      if (total > 0) {
+        state.writeErrors += total
+        mism.filter(_._2 > 0).foreach { case (n, c) =>
+          System.err.println(s"[graft] data for constant $n is not consistent ($c msgs)")
+        }
+      }
+    }
   }
 }
 

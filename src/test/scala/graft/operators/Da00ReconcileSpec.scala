@@ -42,3 +42,58 @@ class Da00ReconcileSpec extends AnyFunSuite {
     assert(!out(1).declared && out(1).shape.contains(Seq(2L, 2L)))
   }
 }
+
+/** Runtime constants-consistency check (`da00_Writer.cpp:92-118`): a later
+  * message carrying a constant's name with DIFFERENT data is flagged; the
+  * streaming job surfaces the count as write errors.
+  */
+class Da00ConstantsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.sources.Fixtures.Da00Msg
+
+  private def cfgJ(json: String) = ModuleConfig(
+    JsonMethods.parse(json) match {
+      case JObject(fs) => fs.toMap
+      case _           => Map.empty
+    })
+
+  private def msg(off: Long, name: String, data: Seq[Double]) =
+    Da00Msg("tp", "arr", off, 10100 + off, (10100 + off) * 1000000L, name, "x", data)
+
+  test("constant carried with different data is counted; matching is not") {
+    val c = cfgJ("""{"constants":[{"name":"cal","data_type":"float64","data":[1.0,2.0]}]}""")
+    val df = Seq(
+      msg(0, "cal", Seq(1.0, 2.0)),    // consistent
+      msg(1, "cal", Seq(1.0, 9.0)),    // mismatch
+      msg(2, "signal", Seq(5.0)),      // not a constant — ignored
+      msg(3, "cal", Seq(1.0, 2.0, 3.0)) // mismatch (shape)
+    ).toDF()
+    assert(Da00.constantMismatches(df, c) == Map("cal" -> 2L))
+  }
+
+  test("no declared constant data ⇒ nothing to check") {
+    val c = cfgJ("""{"constants":[{"name":"cal","data_type":"float64"}]}""")
+    assert(Da00.constantMismatches(Seq(msg(0, "cal", Seq(1.0))).toDF(), c).isEmpty)
+  }
+
+  test("streaming job surfaces constant mismatches as write errors") {
+    val template =
+      """{ "children": [
+        |  { "name": "arr", "type": "group", "children": [
+        |    { "module": "da00",
+        |      "config": { "source": "arr", "topic": "tp",
+        |                  "variables": [ {"name": "signal"} ],
+        |                  "constants": [
+        |                    {"name": "cal", "data_type": "float64",
+        |                     "data": [1.0, 2.0]} ] } } ] }
+        |] }""".stripMargin
+    val out = java.nio.file.Files.createTempDirectory("graft-da00").toString
+    val job = new graft.streaming.StreamingJob(
+      spark, graft.plans.NexusPlan.parse(template), out, 10000, 15000)
+    job.processBatch("da00", Seq(
+      msg(0, "signal", Seq(7.0)),
+      msg(1, "cal", Seq(1.0, 2.0)),
+      msg(2, "cal", Seq(4.0, 4.0))).toDF())
+    assert(job.metrics("arr")("write_errors") == 1L)
+  }
+}
