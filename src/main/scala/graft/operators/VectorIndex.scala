@@ -16,26 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Squared-L2 distances from a vector column to every centroid.
-    * Deliberately k separate per-centroid expressions: a single
-    * array-of-arrays literal with a `transform` lambda halves codegen
-    * compile time but doubles RUN time (higher-order functions evaluate
-    * interpreted, measured 2× slower end-to-end) — the unrolled form wins.
+  import graft.functions.VectorExpressions.{centroid_dists, dot_product, l2_norm, nearest_centroid}
+
+  /** Squared-L2 distances from a vector column to every centroid — one
+    * native expression over the literal k×d matrix (earlier rounds
+    * measured both alternatives and both lose: k unrolled fold
+    * expressions cost seconds of codegen compile; a `transform` lambda
+    * halves compile but doubles RUN time because higher-order functions
+    * evaluate interpreted — the native loop wins on both axes).
     */
   private def dist2All(v: Column, cents: Seq[Seq[Double]]): Column =
-    array(cents.map(c => dist2(v, c)): _*)
-
-  /** Squared-L2 distance between a vector column and one literal centroid. */
-  private def dist2(v: Column, cent: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, lit(cent.toArray), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+    centroid_dists(v, cents)
 
   /** Nearest-cell id against literal centroids (ties → lowest cell). */
-  private def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column = {
-    val dists = dist2All(v, cents)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def nearestCell(v: Column, cents: Seq[Seq[Double]]): Column =
+    nearest_centroid(v, cents)
 
   /** Widened embedding view: (vec_id, v: array<double>). */
   def vectors(emb: DataFrame): DataFrame =
@@ -90,7 +85,7 @@ object VectorIndex {
       nProbe: Int
   ): DataFrame = {
     val qd = queries
-      .withColumn("qn", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("qn", l2_norm(col("v")))
       .withColumn("dists", dist2All(col("v"), cents))
       .withColumn("probes",
         slice(array_sort(
@@ -99,14 +94,12 @@ object VectorIndex {
           1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
         explode(transform(col("probes"), _.getField("cell"))).as("cell"))
-    val cd = corpus
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val cd = corpus.withColumn("nrm", l2_norm(col("v")))
     val scored = cd
       .join(broadcast(qd), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
-          (col("qn") * col("nrm"))).as("cosine"))
+        (dot_product(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }

@@ -196,19 +196,28 @@ object DocQueries {
       var iter = 0
       // iterate to the TRUE fixpoint — a silent cap would return labels
       // that disagree with the oracle on any component whose diameter
-      // exceeds it; the hard bound exists only to fail loudly on a bug
-      // (min-label propagation converges in ≤ diameter ≤ #nodes rounds)
+      // exceeds it; the hard bound exists only to fail loudly on a bug.
+      // Each round combines one neighbor-min step with one pointer jump
+      // (label := label(label)), so long chains converge in O(log d)
+      // rounds instead of O(d) — every round is a fixed number of
+      // key-equality shuffles, nothing driver-side but the counter.
       while (!converged) {
-        require(iter < 10000,
+        require(iter < 100,
           s"label propagation not converged after $iter rounds — graph bug?")
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
           .groupBy(col("doc_a").as("id"))
           .agg(min("label").as("nmin"))
-        val next = labels.withColumnRenamed("label", "old")
+        val stepped = labels.withColumnRenamed("label", "old")
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("old"),
-            least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+            least(col("old"), coalesce(col("nmin"), col("old"))).as("mid"))
+        // pointer jump: a label is itself a doc id — follow it one hop
+        val next = stepped
+          .join(stepped.select(col("id").as("mid"), col("mid").as("hop")),
+            Seq("mid"), "left")
+          .select(col("id"), col("old"),
+            least(col("mid"), coalesce(col("hop"), col("mid"))).as("label"))
           .localCheckpoint(true)
         val changed = next.filter(col("label") =!= col("old")).count()
         labels = next.drop("old")

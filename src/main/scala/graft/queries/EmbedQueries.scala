@@ -20,16 +20,19 @@ object EmbedQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Graft.embeddings(s, dir)
 
-  /** embedding widened to double + precomputed L2 norm. */
+  import graft.functions.VectorExpressions.{dot_product, l2_norm}
+
+  /** embedding widened to double + precomputed L2 norm (native loop — the
+    * higher-order-function fold evaluates interpreted, VectorExpressions).
+    */
   private def withNorm(d: DataFrame): DataFrame =
     d.select(
       col("vec_id"),
       col("label"),
       transform(col("embedding"), _.cast("double")).as("v")
-    ).withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    ).withColumn("nrm", l2_norm(col("v")))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   private val NumQueries = 20
   private val K          = 5
@@ -105,7 +108,7 @@ object EmbedQueries {
         .groupBy("label")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("label").as("c_label"), transform(col("pc"), _.getField("c")).as("cv"))
-        .withColumn("cn", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("cn", l2_norm(col("cv")))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       import org.apache.spark.sql.expressions.Window
