@@ -65,6 +65,15 @@ class StreamingJob(
 
   def stopTimeMs: Long = stopMsCur
 
+  // pause/resume parity (`src/Stream/Partition.cpp:179-181`: paused
+  // streamers skip polling): a paused job blocks its foreachBatch callback
+  // threads, which stalls the streaming triggers — upstream Kafka
+  // consumption halts exactly like the reference's paused consumers.
+  @volatile private var paused = false
+  def isPaused: Boolean = paused
+  def pause(): Unit     = { paused = true }
+  def resume(): Unit    = synchronized { paused = false; notifyAll() }
+
   private val states         = mutable.Map.empty[String, StreamState]
   private val processedBatch = mutable.Map.empty[String, Long]
   private var autoBatchId    = -1L
@@ -140,6 +149,7 @@ class StreamingJob(
     // (`src/Stream/MessageWriter.cpp:31-36`) — states/processedBatch are
     // plain mutable maps and saveState rewrites one shared file
     synchronized {
+      while (paused) wait(100) // releases the monitor; resume() notifies
       val relevant = plan.streams.filter(_.module == schemaId)
       if (relevant.isEmpty) return
       val id = if (batchId >= 0) batchId else { autoBatchId += 1; autoBatchId }

@@ -63,6 +63,26 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("row").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("paused job blocks batch processing until resume (pause/resume parity)") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.pause()
+    val df = Seq(f144(0, 10100, 10.0)).toDF()
+    val t  = new Thread(() => job.processBatch("f144", df))
+    t.start()
+    // the worker parks in the pause wait-loop; nothing is written
+    val deadline = System.currentTimeMillis() + 10000
+    while (t.getState != Thread.State.TIMED_WAITING &&
+      System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(t.getState == Thread.State.TIMED_WAITING)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/data/entry/speed/data")))
+    job.resume()
+    t.join(30000)
+    assert(!t.isAlive)
+    val d = spark.read.parquet(s"$out/data/entry/speed/data").collect()
+    assert(d.map(_.getAs[Double]("value")).toSeq == Seq(10.0))
+  }
+
   test("A4: approx file size grows with appends and lands in x5f2 status") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
