@@ -77,18 +77,33 @@ object WriterModules {
       * vs `ev44_Writer.cpp:133`).
       */
     def nextLastCue(maxCueIndex: Long): Long = maxCueIndex + 1
+    /** Tables whose `row` sort keys are ALREADY globally unique and
+      * monotone as emitted (dense data rows started at `cur.rowStart`;
+      * cue rows reuse their message's global row) — the sink appends them
+      * without a renumber pass. Exploding modules override: their sparse
+      * `row·2³² + pos` keys need the write-side dense renumber.
+      */
+    def denseRowTables: Set[String] = Set("data", "cue")
     /** scalar datasets written at job close (running aggregates). */
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
 
-  /** Arrival-order row index within the stream, computed distributed
-    * ([[Rows.indexed]] two-pass prefix sum — no single-partition stage; the
-    * reference's single-writer discipline
+  /** Arrival-order GLOBAL row index within the stream, computed
+    * distributed ([[Rows.indexed]] two-pass prefix sum — no
+    * single-partition stage; the reference's single-writer discipline
     * (`src/Stream/MessageWriter.cpp:31-36`) constrains output order, not
-    * the numbering computation).
+    * the numbering computation). Starts at the cross-batch cursor so
+    * non-exploding tables need no second numbering pass at append time.
     */
-  private def withRow(df: DataFrame): DataFrame =
-    Rows.indexed(df, "offset")
+  private def withRow(df: DataFrame, cur: Cursor = Cursor()): DataFrame =
+    Rows.indexed(df, "offset", start = cur.rowStart)
+
+  /** Sparse sort key for exploded rows: message row in the high 32 bits,
+    * element position low — unique and monotone within a batch (renumbered
+    * dense at append; bounds: <2³¹ messages/batch, <2³² elems/message).
+    */
+  private def sparseKey: org.apache.spark.sql.Column =
+    (col("row") * lit(4294967296L) + col("pos")).as("row")
 
   /** f144 scalar log: (time, value) + cue index + min/max/mean metadata
     * (`src/WriterModule/f144/f144_Writer.cpp:197-276`).
@@ -101,16 +116,15 @@ object WriterModules {
         "maximum_value" -> u, "average_value" -> u)
     }
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
-      val data = withRow(df)
+      val data = withRow(df, cur)
         .select(col("row"), col("ts").as("time"),
           col("value").cast(cfg.dtype("double")).as("value"))
       val cue = cfg.long("cue_interval") match {
         case Some(n) if n > 0 =>
           // greedy chain anchored at the cross-batch cursor: writes
           // increment by one, so cues land at lastCue + n, + 2n, …
-          // exactly (`f144_Writer.cpp:259-263`); cue_index is the GLOBAL
-          // row index
-          val gw = col("row") + 1 + lit(cur.rowStart) // 1-based global write
+          // exactly (`f144_Writer.cpp:259-263`); rows are global already
+          val gw = col("row") + 1 // 1-based global write count
           Map("cue" -> data
             .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
             .select(col("row"), (gw - 1).as("cue_index"),
@@ -133,7 +147,7 @@ object WriterModules {
   object Ep01 extends WriterModule {
     val id = "ep01"
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] =
-      Map("data" -> withRow(df).select(col("row"),
+      Map("data" -> withRow(df, cur).select(col("row"),
         col("ts").as("connection_status_time"),
         col("status").cast("short").as("connection_status")))
   }
@@ -144,7 +158,7 @@ object WriterModules {
   object Al00 extends WriterModule {
     val id = "al00"
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] =
-      Map("data" -> withRow(df).select(col("row"),
+      Map("data" -> withRow(df, cur).select(col("row"),
         col("ts").as("alarm_time"),
         col("severity").cast("short").as("alarm_severity"),
         when(length(col("message")) === 0, lit("NO ALARM MESSAGE"))
@@ -165,6 +179,8 @@ object WriterModules {
       * EventsWritten - 1`, `ev44_Writer.cpp:133`), not the write count.
       */
     override def nextLastCue(maxCueIndex: Long): Long = maxCueIndex
+    /** events/index carry sparse exploded keys → dense renumber at append. */
+    override def denseRowTables: Set[String] = Set("cue")
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       // one distributed pass assigns both the message row index and the
       // exclusive running event count (EventsWritten, ev44_Writer.cpp:118-126)
@@ -182,13 +198,13 @@ object WriterModules {
         .select(col("row"), col("events_written"),
           posexplode(arrays_zip(col("reference_time"), col("reference_time_index"))))
         .select(
-          (col("row") * 1000000 + col("pos")).as("row"),
+          sparseKey,
           col("col.reference_time").as("event_time_zero"),
           (col("col.reference_time_index").cast("long") + col("events_written"))
             .as("event_index"))
       val events = base
         .select(col("row"), posexplode(arrays_zip(col("time_of_flight"), col("pixel_id"))))
-        .select((col("row") * 1000000 + col("pos")).as("row"),
+        .select(sparseKey,
           col("col.time_of_flight").as("event_time_offset"),
           col("col.pixel_id").as("event_id"))
       // cue via the EXACT greedy chain of ev44_Writer.cpp:127-134: cue
@@ -215,7 +231,9 @@ object WriterModules {
           if (h.isEmpty) draining = false
           else {
             val r = h(0)
-            hits += ((r.getAs[Long]("row"), r.getAs[Long]("ea") - 1,
+            // sort key = the global event index itself: monotone and
+            // unique across batches with no renumber pass
+            hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
               r.getAs[Long]("cue_ts")))
             last = r.getAs[Long]("ea") - 1
           }
@@ -239,13 +257,13 @@ object WriterModules {
     override def units(cfg: ModuleConfig): Map[String, String] =
       Map("time" -> "ns", "value" -> "")
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
-      val data = withRow(df).select(col("row"), col("ts").as("time"),
+      val data = withRow(df, cur).select(col("row"), col("ts").as("time"),
         transform(col("data"), _.cast(cfg.dtype("double"))).as("value"),
         col("dimensions").as("shape"))
       // message-count cue chain (`ad00_Writer.cpp:198-202` CueCounter):
-      // unit increments ⇒ anchored grid, global across batches
+      // unit increments ⇒ anchored grid; rows are global across batches
       val n  = cfg.long("cue_interval").getOrElse(1000L)
-      val gw = col("row") + 1 + lit(cur.rowStart)
+      val gw = col("row") + 1
       val cue = data
         .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
         .select(col("row"), (gw - 1).as("cue_index"),
@@ -391,7 +409,7 @@ object WriterModules {
         .pivot(col("name"), vars)
         .agg(first(col("data")))
       val cols = Seq(col("row"), col("ts").as("time")) ++ vars.map(col)
-      Map("data" -> withRow(pivoted).select(cols: _*))
+      Map("data" -> withRow(pivoted, cur).select(cols: _*))
     }
   }
 
@@ -401,12 +419,16 @@ object WriterModules {
     */
   object Se00 extends WriterModule {
     val id = "se00"
+    /** exploded per-element rows → sparse keys, renumbered at append;
+      * zero-element messages rejected (F8, `se00_Writer.cpp:202-204`).
+      */
+    override def denseRowTables: Set[String] = Set.empty
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
-      val ex = withRow(df)
+      val ex = withRow(df.filter(size(col("values")) > 0))
         .select(col("row"), col("ts"), col("time_delta"), col("timestamps"),
           posexplode(col("values")).as(Seq("pos", "value")))
       val data = ex.select(
-        (col("row") * 1000000 + col("pos")).as("row"),
+        sparseKey,
         coalesce(
           element_at(col("timestamps"), col("pos") + 1),
           (col("ts") + col("pos") * col("time_delta")).cast("long")
@@ -422,11 +444,12 @@ object WriterModules {
     */
   object Tdct extends WriterModule {
     val id = "tdct"
+    /** exploded rows → sparse keys, renumbered at append. */
+    override def denseRowTables: Set[String] = Set.empty
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       val ex = withRow(df.filter(size(col("timestamps")) > 0))
         .select(col("row"), posexplode(col("timestamps")).as(Seq("pos", "t")))
-      Map("data" -> ex.select(
-        (col("row") * 1000000 + col("pos")).as("row"), col("t").as("time")))
+      Map("data" -> ex.select(sparseKey, col("t").as("time")))
     }
   }
 

@@ -378,12 +378,14 @@ class StreamingJob(
       }
     tables.foreach { case (table, out0) =>
       try {
-        // renumber to consecutive ids (module row keys are sparse sort
-        // keys) continuing sink row numbering across batches — distributed
-        // two-pass prefix sum, no single-partition stage even for the
-        // exploded ev44 events table
-        var out = graft.operators.Rows.indexed(
-          out0, "row", start = state.rowsWritten.getOrElse(table, 0L))
+        // dense tables emit global row keys directly (module numbering
+        // started at the cursor); only sparse exploded keys need the
+        // distributed renumber pass — a two-pass prefix sum, never a
+        // single-partition stage, even for the exploded ev44 events table
+        var out =
+          if (module.denseRowTables.contains(table)) out0
+          else graft.operators.Rows.indexed(
+            out0, "row", start = state.rowsWritten.getOrElse(table, 0L))
         if (module.id == "ev44" && table == "index")
           out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
         out = out.persist()
