@@ -251,6 +251,71 @@ object DocQueries {
       import graft.functions.SimHash32.simhash32
       simhashPairs(
         docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
+    },
+
+    // --- training-set assembly -----------------------------------------
+    // Deterministic stratified sampling: hash-bucket on doc_id (md5, the
+    // oracle-shared hash) with a per-language rate — reproducible across
+    // runs/engines, no RNG state, embarrassingly parallel (pure filter).
+    "sample_stratified" -> { (s, dir) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(30))
+    },
+
+    // TF-IDF top terms per document: one explode + two keyed aggregations
+    // (term frequency, document frequency) + a per-doc top-k window —
+    // every shuffle keyed, corpus size enters as one scalar.
+    "tfidf_top_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d     = docs(s, dir)
+      val nDocs = d.count()
+      val terms = d.select(col("doc_id"), explode(toks).as("term"))
+      val tf    = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq   = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w     = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfq, "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rnk"))
+    },
+
+    // Sequence packing (concat-and-chop): documents stream in doc_id order
+    // within each source shard; token offsets come from a PARTITIONED
+    // running sum, then context-window ids are plain arithmetic. The
+    // standard LLM pretraining packer, shuffle = one hash on source.
+    "pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cap = 2048
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      d.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"start_tok div $cap").as("bin_id"),
+          (col("start_tok") % cap).as("bin_offset"))
+    },
+
+    // Benchmark decontamination: any document sharing an 8-gram with the
+    // benchmark set (here: doc_id < 10) is dropped. Bench grams are tiny →
+    // broadcast; corpus grams never self-join.
+    "decontaminate" -> { (s, dir) =>
+      val grams = docs(s, dir)
+        .withColumn("tk", toks)
+        .filter(size(col("tk")) >= 8) // pre-shingle filter (see shingled)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
+      val bench = grams.filter(col("doc_id") < 10).select("g8").distinct()
+      val contaminated = grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), "g8")
+        .select("doc_id").distinct()
+      docs(s, dir)
+        .filter(col("doc_id") >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
     }
   )
 
@@ -452,6 +517,44 @@ object DocQueries {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
-        |WHERE hamming <= 6""".stripMargin
+        |WHERE hamming <= 6""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT tfs.doc_id, tfs.term, tfs.tf, dfs.df,
+        |              round(tfs.tf * ln(nn.n / dfs.df), 6) AS tfidf
+        |       FROM tfs, dfs, nn WHERE tfs.term = dfs.term)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |                  - n_tokens AS start_tok FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(start_tok // 2048 AS BIGINT) AS bin_id,
+        |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
+        |FROM c""".stripMargin,
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(generate_series(1, len(tk) - 7),
+        |                       i -> array_to_string(list_slice(tk, i, i + 7), ' ')))) AS g8
+        |      FROM tok WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 10),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g8) WHERE g.doc_id >= 10)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
   )
 }
