@@ -144,29 +144,32 @@ object DocQueries {
 
     // MinHash + LSH: 16 signatures, 4 bands × 4 rows; candidates share a
     // band key (equality shuffle join), then exact Jaccard verification.
+    // Shingle sets RIDE THROUGH the band join (4 band rows per doc), so the
+    // md5-shingling pipeline runs once and the verify step needs no
+    // re-join back to the corpus — one self-join total, no recomputation.
     "dedup_minhash_lsh" -> { (s, dir) =>
       val sh = shingled(docs(s, dir))
       val sig = sh
         .withColumn("hx", shingleHashes(col("shd")))
         .select(
-          col("doc_id") +: (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
+          col("doc_id") +: col("shd") +:
+            (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
         )
       val bandStructs = (0 until Bands).map { bnd =>
         val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
         struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
       }
-      val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val cand = bands.as("x")
+      val bands = sig.select(col("doc_id"), col("shd"),
+        explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("shd"),
+          col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      bands.as("x")
         .join(bands.as("y"), Seq("band", "bkey"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          jaccard(col("x.shd"), col("y.shd")).as("jac"))
         .filter(col("jac") >= 0.4)
+        .distinct() // a pair can collide in several bands
     },
 
     // SimHash signature per doc: 32 bits, majority vote over token hashes.
