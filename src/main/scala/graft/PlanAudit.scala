@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints the formatted physical plan for selected
+  * contract queries so scan pushdown (`PushedFilters`), pruned schemas
+  * (`ReadSchema`), broadcast joins, and whole-stage-codegen spans can be
+  * eyeballed per round. Not part of the driver contract — a builder tool.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("f1_route_source", "q6_forecast_revenue", "dedup_exact",
+        "sample_stratified", "dedup_minhash_lsh", "q3_shipping_priority")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
