@@ -122,6 +122,26 @@ class StreamingJobSpec extends SparkSpec {
     assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L, 15L))
   }
 
+  test("cue-chain anchor survives a restart (lastCue in the checkpoint)") {
+    val cueTemplate =
+      """{ "children": [
+        |  { "name": "events", "type": "group", "children": [
+        |    { "module": "ev44",
+        |      "config": { "source": "det", "topic": "tp", "cue_interval": 5 } } ] }
+        |] }""".stripMargin
+    val out  = Files.createTempDirectory("graft-stream").toString
+    val job1 = new StreamingJob(spark, NexusPlan.parse(cueTemplate), out, 10000, 15000)
+    job1.processBatch("ev44", Seq(
+      ev44(0, 10100, (1 to 4).toSeq), ev44(1, 10200, (1 to 4).toSeq)).toDF())
+    // crash + restart over the same output dir: the anchor (7) must load
+    val job2 = new StreamingJob(spark, NexusPlan.parse(cueTemplate), out, 10000, 15000)
+    job2.processBatch("ev44", Seq(
+      ev44(2, 10300, (1 to 4).toSeq), ev44(3, 10400, (1 to 4).toSeq)).toDF())
+    job2.finish()
+    val cue = spark.read.parquet(s"$out/data/events/cue").orderBy("row").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L, 15L))
+  }
+
   test("ev44: event_index continues across micro-batches") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
