@@ -390,15 +390,17 @@ class StreamingJob(
           out = out.withColumn("event_index", col("event_index") + lit(state.eventsWritten))
         out = out.persist()
         val n = out.count()
-        sink.append(key, table, out, rows = n)
-        // advance the greedy cue-chain anchor (modules emit GLOBAL
-        // cue_index values from the cursor)
-        if (table == "cue" && n > 0) {
-          val mx = out.agg(max("cue_index")).collect()(0).getLong(0)
-          state.lastCue = module.nextLastCue(mx)
+        if (n > 0) { // empty tables (e.g. no cue this batch) write nothing
+          sink.append(key, table, out, rows = n)
+          // advance the greedy cue-chain anchor (modules emit GLOBAL
+          // cue_index values from the cursor)
+          if (table == "cue") {
+            val mx = out.agg(max("cue_index")).collect()(0).getLong(0)
+            state.lastCue = module.nextLastCue(mx)
+          }
+          state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
         }
         out.unpersist()
-        state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
       } catch {
         case e: Exception =>
           state.writeErrors += 1
