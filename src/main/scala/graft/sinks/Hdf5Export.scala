@@ -26,6 +26,10 @@ object Hdf5Export {
       if (Files.exists(Paths.get(s"$outDir/closing.json")))
         JsonMethods.parse(Files.readString(Paths.get(s"$outDir/closing.json")))
       else JObject()
+    val manifest =
+      if (Files.exists(Paths.get(s"$outDir/manifest.json")))
+        JsonMethods.parse(Files.readString(Paths.get(s"$outDir/manifest.json")))
+      else JObject()
     val units      = twoLevel(closing \ "units")
     val groupAttrs = twoLevel(closing \ "group_attributes")
     val mdat = (closing \ "mdat") match {
@@ -66,7 +70,123 @@ object Hdf5Export {
     mdat.foreach { case (k, v) =>
       tree.addDataset(Seq("entry"), Dataset(k, StrData(Array(v))))
     }
+
+    // create-phase structure from the manifest: static dataset values
+    // (shape from JSON nesting, `HDFOperations::writeDataset`,
+    // `src/HDFOperations.cpp:325-352`), group attributes, and links.
+    (manifest \ "statics") match {
+      case JArray(ss) => ss.foreach { st =>
+        (st \ "path") match {
+          case JString(p) =>
+            val parts = p.split('/').toSeq
+            val dtype = (st \ "dtype") match { case JString(d) => Some(d); case _ => None }
+            staticValue(st \ "values", dtype).foreach { dv =>
+              val attrs = (st \ "attributes") match {
+                case JArray(as) => as.flatMap(a => ((a \ "name"), (a \ "values")) match {
+                  case (JString(n), v) => attrValue(v).map(n -> _)
+                  case _               => None
+                })
+                case _ => Nil
+              }
+              tree.addDataset(parts.dropRight(1), Dataset(parts.last, dv, attrs))
+            }
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    (manifest \ "groups") match {
+      case JArray(gs) => gs.foreach { g =>
+        ((g \ "path"), (g \ "attributes")) match {
+          case (JString(p), JArray(as)) if p.nonEmpty =>
+            tree.addAttrs(p.split('/').toSeq, as.flatMap(a =>
+              ((a \ "name"), (a \ "values")) match {
+                case (JString(n), v) => attrValue(v).map(n -> _)
+                case _               => None
+              }))
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    // links: HDF5 hard links alias one object from two groups; this
+    // single-pass writer materializes the alias as a VALUE COPY instead
+    // (readers see identical data — the reference's own domain test
+    // asserts value equality, `test_static_information.py:18-29`).
+    (manifest \ "links") match {
+      case JArray(ls) => ls.foreach { l =>
+        ((l \ "path"), (l \ "resolved")) match {
+          case (JString(p), JString(target)) =>
+            tree.resolveLinkCopy(p.split('/').toSeq, target.split('/').toSeq)
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
     writer.write(h5Path, tree.build())
+  }
+
+  /** Static JSON values → a typed dataset (declared dtype wins; shape from
+    * nesting; inferred from JSON types otherwise).
+    */
+  private def staticValue(jv: JValue, dtype: Option[String]): Option[DataValue] = {
+    def dims(v: JValue): Seq[Long] = v match {
+      case JArray(xs) => xs.length.toLong +: xs.headOption.map(dims).getOrElse(Nil)
+      case _          => Nil
+    }
+    def nums(v: JValue): Seq[Double] = v match {
+      case JArray(xs)  => xs.flatMap(nums)
+      case JInt(i)     => Seq(i.toDouble)
+      case JLong(l)    => Seq(l.toDouble)
+      case JDouble(d)  => Seq(d)
+      case JDecimal(d) => Seq(d.toDouble)
+      case _           => Nil
+    }
+    def strs(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.flatMap(strs)
+      case JString(s) => Seq(s)
+      case _          => Nil
+    }
+    val dm      = dims(jv)
+    val shape   = if (dm.size > 1) dm else Nil
+    val numeric = nums(jv)
+    dtype.map(_.toLowerCase) match {
+      case Some("string")                    => Some(StrData(strs(jv).toArray))
+      case Some("int8" | "int16" | "uint8")  => Some(I16Data(numeric.map(_.toShort).toArray, shape))
+      case Some("int32" | "uint16" | "int")  => Some(I32Data(numeric.map(_.toInt).toArray, shape))
+      case Some("int64" | "uint32" | "uint64" | "long") =>
+        Some(I64Data(numeric.map(_.toLong).toArray, shape))
+      case Some("float" | "float32")         => Some(F32Data(numeric.map(_.toFloat).toArray, shape))
+      case Some("double" | "float64")        => Some(F64Data(numeric.toArray, shape))
+      case Some(_)                           => Some(F64Data(numeric.toArray, shape))
+      case None => jv match {
+        case JString(_) | JArray(JString(_) :: _) => Some(StrData(strs(jv).toArray))
+        case JNothing | JNull                     => None
+        case v if nums(v).nonEmpty || v == JArray(Nil) =>
+          val allInts = v match {
+            case _ if strs(v).nonEmpty => false
+            case _ => flattenIsIntegral(v)
+          }
+          if (allInts) Some(I64Data(numeric.map(_.toLong).toArray, shape))
+          else Some(F64Data(numeric.toArray, shape))
+        case _ => None
+      }
+    }
+  }
+
+  private def flattenIsIntegral(v: JValue): Boolean = v match {
+    case JArray(xs)           => xs.forall(flattenIsIntegral)
+    case JInt(_) | JLong(_)   => true
+    case _                    => false
+  }
+
+  private def attrValue(jv: JValue): Option[AttrValue] = jv match {
+    case JString(s)  => Some(StrAttr(s))
+    case JInt(i)     => Some(I64Attr(i.toLong))
+    case JLong(l)    => Some(I64Attr(l))
+    case JDouble(d)  => Some(F64Attr(d))
+    case JDecimal(d) => Some(F64Attr(d.toDouble))
+    case _           => None // array attributes not emitted (none in corpus)
   }
 
   private def twoLevel(jv: JValue): Map[String, Map[String, String]] = jv match {
@@ -96,8 +216,9 @@ object Hdf5Export {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.{col, expr, size => asize}
     def rows = df.select(col(f.name)).toLocalIterator().asScala
-    def chunks[T](seed: DataValue)(enc: Seq[org.apache.spark.sql.Row] => DataValue) =
-      Iterator(seed) ++ rows.grouped(ChunkRows).map(enc)
+    def chunks[T](seed: DataValue)(enc: Seq[org.apache.spark.sql.Row] => DataValue)
+        : () => Iterator[DataValue] =
+      () => Iterator(seed) ++ rows.grouped(ChunkRows).map(enc)
     f.dataType match {
       case LongType => Some(StreamedData(chunks(I64Data(Array.empty[Long]))(rs =>
         I64Data(rs.map(_.getLong(0)).toArray))))
@@ -148,6 +269,18 @@ object Hdf5Export {
     def addAttrs(path: Seq[String], as: Seq[(String, AttrValue)]): Unit =
       attrs(path) = attrs.getOrElse(path, Nil) ++ as
 
+    /** Materialize a link as a copy of its target dataset (streamed values
+      * re-pull the source, so both nodes emit the full data).
+      */
+    def resolveLinkCopy(linkPath: Seq[String], targetPath: Seq[String]): Unit = {
+      val tPar  = targetPath.dropRight(1)
+      val tName = targetPath.last
+      datasets.find { case (p, d) => p == tPar && d.name == tName }.foreach {
+        case (_, d) =>
+          datasets += ((linkPath.dropRight(1), Dataset(linkPath.last, d.data, d.attrs)))
+      }
+    }
+
     def build(): Seq[Node] = buildLevel(Nil)
 
     private def buildLevel(prefix: Seq[String]): Seq[Node] = {
@@ -157,7 +290,10 @@ object Hdf5Export {
         .map(_(prefix.length))
         .distinct.sorted
       val subgroups = childNames.map { n =>
-        Group(n, buildLevel(prefix :+ n), attrs.getOrElse(prefix :+ n, Nil))
+        // create-phase and close-phase attrs may both name e.g. NX_class —
+        // last writer wins, one message per name
+        val as = attrs.getOrElse(prefix :+ n, Nil).reverse.distinctBy(_._1).reverse
+        Group(n, buildLevel(prefix :+ n), as)
       }
       here ++ subgroups
     }

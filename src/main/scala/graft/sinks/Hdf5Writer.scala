@@ -48,6 +48,7 @@ final class Hdf5Writer {
   final case class I16Data(xs: Array[Short], dims: Seq[Long] = Nil)  extends DataValue
   final case class I32Data(xs: Array[Int], dims: Seq[Long] = Nil)    extends DataValue
   final case class I64Data(xs: Array[Long], dims: Seq[Long] = Nil)   extends DataValue
+  final case class F32Data(xs: Array[Float], dims: Seq[Long] = Nil)  extends DataValue
   final case class F64Data(xs: Array[Double], dims: Seq[Long] = Nil) extends DataValue
   final case class StrData(xs: Array[String])                        extends DataValue
 
@@ -55,12 +56,14 @@ final class Hdf5Writer {
     * file buffer as they are pulled, so the producer (e.g. a Spark
     * `toLocalIterator`) never holds the whole dataset — peak driver memory
     * is one chunk plus the file bytes, not a second full copy.
+    * `chunks` is a THUNK returning a fresh iterator, so one value can back
+    * several dataset nodes (link copies re-pull the source).
     * Prepend a zero-length typed chunk to pin the dtype of empty datasets.
     * `strWidth` fixes the string element width (chunks can't see the global
     * max); `rowWidth` > 0 emits a 2-D dataspace `(n/rowWidth, rowWidth)`.
     */
   final case class StreamedData(
-      chunks: Iterator[DataValue],
+      chunks: () => Iterator[DataValue],
       strWidth: Int = 0,
       rowWidth: Int = 0
   ) extends DataValue
@@ -210,6 +213,9 @@ final class Hdf5Writer {
     case I64Data(xs, dm) =>
       val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
       xs.foreach(b.putLong); (fixedPoint(8), 8, b.array(), xs.length.toLong, dm)
+    case F32Data(xs, dm) =>
+      val b = ByteBuffer.allocate(4 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(b.putFloat); (ieeeF32, 4, b.array(), xs.length.toLong, dm)
     case F64Data(xs, dm) =>
       val b = ByteBuffer.allocate(8 * xs.length).order(ByteOrder.LITTLE_ENDIAN)
       xs.foreach(b.putDouble); (ieeeF64, 8, b.array(), xs.length.toLong, dm)
@@ -234,7 +240,7 @@ final class Hdf5Writer {
         val addr = buf.size
         var count = 0L
         var dt: Option[(Array[Byte], Int)] = None
-        chunks.foreach { c =>
+        chunks().foreach { c =>
           val (m, es, bytes, k, _) = encodeValue(c, sw)
           if (dt.isEmpty) dt = Some((m, es))
           buf.append(bytes)
@@ -298,6 +304,20 @@ final class Hdf5Writer {
     b.put(52.toByte); b.put(11.toByte) // exponent loc/size
     b.put(0.toByte); b.put(52.toByte)  // mantissa loc/size
     b.putInt(1023)                     // exponent bias
+    b.array()
+  }
+
+  private val ieeeF32: Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x11.toByte)       // version 1, class 1 (float)
+    b.put(0x20.toByte)       // little-endian, IEEE: sign at 31
+    b.put(31.toByte)         // sign location
+    b.put(0.toByte)
+    b.putInt(4)
+    b.putShort(0); b.putShort(32) // bit offset, precision
+    b.put(23.toByte); b.put(8.toByte) // exponent loc/size
+    b.put(0.toByte); b.put(23.toByte) // mantissa loc/size
+    b.putInt(127)                     // exponent bias
     b.array()
   }
 

@@ -77,6 +77,7 @@ object MiniHdf5Reader {
         case 0 if esz == 2 => Array.tabulate(n)(i => bb.getShort(d + 2 * i))
         case 0 if esz == 4 => Array.tabulate(n)(i => bb.getInt(d + 4 * i))
         case 0 if esz == 8 => Array.tabulate(n)(i => bb.getLong(d + 8 * i))
+        case 1 if esz == 4 => Array.tabulate(n)(i => bb.getFloat(d + 4 * i))
         case 1 if esz == 8 => Array.tabulate(n)(i => bb.getDouble(d + 8 * i))
         case 3 =>
           Array.tabulate(n) { i =>
@@ -212,6 +213,44 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
       .asInstanceOf[Array[Long]].toSeq == Seq(0L, 4L, 8L, 12L))
     assert(root.groups("entry").groups("start_time").datasets("")
       .asInstanceOf[Array[String]].head == "1970-01-01T00:00:10Z")
+  }
+
+  test("statics, attributes, and links land in the native .h5 " +
+    "(test_static_information.py goldens)") {
+    val refRoot = "/root/reference/domain-tests"
+    assume(Files.exists(Paths.get(refRoot)), "reference checkout not present")
+    val out = Files.createTempDirectory("graft-h5s").toString
+    graft.FileMaker.run(
+      spark,
+      Files.readString(Paths.get(s"$refRoot/nexus_templates/static_information_template.json")),
+      Files.readString(Paths.get(s"$refRoot/data_files/static_information_data.json")),
+      out)
+    val h5 = s"$out/static.h5"
+    Hdf5Export.export(spark, out, h5)
+    val root = MiniHdf5Reader.read(h5)
+    val inst = root.groups("entry").groups("instrument")
+    val det  = inst.groups("example_detector")
+    assert(det.groups("detector_number").datasets("").asInstanceOf[Array[Int]].toSeq ==
+      Seq(1, 2, 3, 4, 5))
+    assert(det.groups("x_pixel_offset").datasets("").asInstanceOf[Array[Float]].toSeq ==
+      Seq(10f, 20f, 30f, 40f, 50f))
+    assert(det.groups("x_pixel_offset").attrs("units") == "m")
+    val shape = det.groups("pixel_shape")
+    assert(shape.groups("cylinders").datasets("").asInstanceOf[Array[Int]].toSeq ==
+      Seq(0, 1, 2)) // 1×3 — flattened values with a 2-D dataspace
+    assert(shape.groups("vertices").datasets("").asInstanceOf[Array[Float]].toSeq ==
+      Seq(0f, 0f, 0f, 0f, 0.05f, 0f, 0.002f, 0f, 0f))
+    assert(root.groups("entry").groups("title").datasets("")
+      .asInstanceOf[Array[String]].head == "This is a title")
+    assert(inst.groups("chopper").attrs("NX_class") == "NXdisk_chopper")
+    // links materialize as value copies equal to their targets
+    val delay = inst.groups("chopper").groups("delay")
+    val links = inst.groups("links")
+    assert(links.groups("linked_value").datasets("").asInstanceOf[Array[Double]].toSeq ==
+      delay.groups("value").datasets("").asInstanceOf[Array[Double]].toSeq)
+    assert(links.groups("linked_time").datasets("").asInstanceOf[Array[Long]].toSeq ==
+      delay.groups("time").datasets("").asInstanceOf[Array[Long]].toSeq)
+    assert(links.groups("linked_value").datasets("").asInstanceOf[Array[Double]].length == 4)
   }
 
   test("wide groups split across fixed-capacity symbol-table nodes") {
