@@ -39,5 +39,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_ev44"),
       info("decode_ev44", "decode_ev44(bytes) - ev44 event payload"),
       (args: Seq[Expression]) => Decode.DecodeEv44(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_al00"),
+      info("decode_al00", "decode_al00(bytes) - al00 alarm payload"),
+      (args: Seq[Expression]) => Decode.DecodeAl00(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_ep01"),
+      info("decode_ep01", "decode_ep01(bytes) - ep01 connection-status payload"),
+      (args: Seq[Expression]) => Decode.DecodeEp01(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_tdct"),
+      info("decode_tdct", "decode_tdct(bytes) - tdct chopper-timestamps payload"),
+      (args: Seq[Expression]) => Decode.DecodeTdct(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_se00"),
+      info("decode_se00", "decode_se00(bytes) - se00 sample-environment payload"),
+      (args: Seq[Expression]) => Decode.DecodeSe00(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_ad00"),
+      info("decode_ad00", "decode_ad00(bytes) - ad00 area-detector payload"),
+      (args: Seq[Expression]) => Decode.DecodeAd00(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_da00"),
+      info("decode_da00", "decode_da00(bytes) - da00 data-array payload"),
+      (args: Seq[Expression]) => Decode.DecodeDa00(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) =>
+        graft.functions.VectorExpressions.DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of an array<double>"),
+      (args: Seq[Expression]) =>
+        graft.functions.VectorExpressions.L2Norm(args.head)))
   }
 }

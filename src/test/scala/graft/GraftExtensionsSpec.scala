@@ -53,4 +53,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(err == "BufferTooSmall")
   }
+
+  test("all eight payload decoders and vector math are callable from SQL") {
+    import spark.implicits._
+    Seq(Tuple1(FbEncoders.al00("a", 5L, 2, "hot")))
+      .toDF("value").createOrReplaceTempView("al")
+    assert(spark.sql("SELECT decode_al00(value).message FROM al")
+      .collect().head.getString(0) == "hot")
+    Seq(Tuple1(FbEncoders.se00("s", 1, 2.0, None, 1L, 9L, Seq(3.0, 4.0))))
+      .toDF("value").createOrReplaceTempView("se")
+    assert(spark.sql("SELECT decode_se00(value).values FROM se")
+      .collect().head.getSeq[Double](0) == Seq(3.0, 4.0))
+    Seq(Tuple1(FbEncoders.da00("s", 7L,
+      Seq(FbEncoders.Da00Var("v", "", "", Seq("x"), Seq(1L), "float64", Seq(8.5))))))
+      .toDF("value").createOrReplaceTempView("da")
+    assert(spark.sql("SELECT decode_da00(value).data[0].data[0] FROM da")
+      .collect().head.getDouble(0) == 8.5)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_norm(array(3.0d, 4.0d)) AS n")
+      .collect().head
+    assert(dot.getDouble(0) == 11.0)
+    assert(dot.getDouble(1) == 5.0)
+    // the remaining decoders resolve (analysis succeeds)
+    Seq("decode_ep01", "decode_tdct", "decode_ad00").foreach { f =>
+      assert(spark.sql(s"SELECT $f(value) FROM junk").collect().length == 1)
+    }
+  }
 }
