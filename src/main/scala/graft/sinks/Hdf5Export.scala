@@ -109,6 +109,25 @@ object Hdf5Export {
       }
       case _ => ()
     }
+    // da00 plan-time constants: written once at structure creation
+    // (`da00_Writer.cpp` constants handling) — rendered as datasets under
+    // the stream group from their declared spec
+    (manifest \ "constants") match {
+      case JArray(cs) => cs.foreach { c =>
+        ((c \ "stream"), (c \ "spec" \ "name")) match {
+          case (JString(streamPath), JString(name)) =>
+            val spec  = c \ "spec"
+            val dtype = (spec \ "data_type") match {
+              case JString(d) => Some(d); case _ => None
+            }
+            staticValue(spec \ "data", dtype).foreach { dv =>
+              tree.addDataset(streamPath.split('/').toSeq, Dataset(name, dv))
+            }
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
     // links: HDF5 hard links alias one object from two groups; this
     // single-pass writer materializes the alias as a VALUE COPY instead
     // (readers see identical data — the reference's own domain test

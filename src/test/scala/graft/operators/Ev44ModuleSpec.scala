@@ -76,6 +76,16 @@ class Ev44ModuleSpec extends SparkSpec {
     assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(204L, 404L))
   }
 
+  test("long cue chains resolve link by link (30 messages, interval 2)") {
+    // 1-event messages, interval 2: first fire at E=3 (3 > 0+2), anchor 2;
+    // then every second event (E > anchor+2, anchor := E-1) → cue_index
+    // 2,4,…,28 — 14 links; exercises the iterative min-agg loop deep
+    val df = (0 until 30).map(i =>
+      msg(i.toLong, Seq(100L * (i + 1)), Seq(0), Seq(1))).toDF()
+    val cue = Ev44.tables(df, cfg(2))("cue").orderBy("cue_index").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == (2L to 28L by 2))
+  }
+
   test("one message spanning multiple intervals emits a single cue") {
     val df = Seq(msg(0, Seq(100L), Seq(0), (1 to 17).toSeq)).toDF() // 3×interval 5
     val cue = Ev44.tables(df, cfg(5))("cue").collect()

@@ -253,6 +253,32 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
     assert(links.groups("linked_value").datasets("").asInstanceOf[Array[Double]].length == 4)
   }
 
+  test("da00 plan-time constants land in the native .h5") {
+    import spark.implicits._
+    val template =
+      """{ "children": [
+        |  { "name": "arr", "type": "group", "children": [
+        |    { "module": "da00",
+        |      "config": { "source": "arr", "topic": "tp",
+        |                  "variables": [ {"name": "signal"} ],
+        |                  "constants": [
+        |                    {"name": "cal", "data_type": "float64",
+        |                     "data": [1.5, 2.5]} ] } } ] }
+        |] }""".stripMargin
+    val out = Files.createTempDirectory("graft-h5c").toString
+    val job = new graft.streaming.StreamingJob(
+      spark, graft.plans.NexusPlan.parse(template), out, 10000, 15000)
+    job.processBatch("da00", Seq(
+      graft.sources.Fixtures.Da00Msg("tp", "arr", 0, 10100, 10100000000L,
+        "signal", "x", Seq(7.0))).toDF())
+    job.finish()
+    val h5 = s"$out/out.h5"
+    Hdf5Export.export(spark, out, h5)
+    val arr = MiniHdf5Reader.read(h5).groups("arr")
+    assert(arr.groups("cal").datasets("").asInstanceOf[Array[Double]].toSeq ==
+      Seq(1.5, 2.5))
+  }
+
   test("wide groups split across fixed-capacity symbol-table nodes") {
     val w = new Hdf5Writer
     import w._
