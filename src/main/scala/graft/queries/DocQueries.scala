@@ -215,13 +215,15 @@ object DocQueries {
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("old"),
             least(col("old"), coalesce(col("nmin"), col("old"))).as("mid"))
-        // pointer jump: a label is itself a doc id — follow it one hop
+        // pointer jump: a label is itself a doc id — follow it one hop.
+        // LAZY checkpoint: the convergence count below materializes it in
+        // the same job (one job per round, lineage still truncated)
         val next = stepped
           .join(stepped.select(col("id").as("mid"), col("mid").as("hop")),
             Seq("mid"), "left")
           .select(col("id"), col("old"),
             least(col("mid"), coalesce(col("hop"), col("mid"))).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val changed = next.filter(col("label") =!= col("old")).count()
         labels = next.drop("old")
         converged = changed == 0
