@@ -19,6 +19,12 @@ trait CommandTransport {
     * at-most-one-job-per-worker contract (`Handler.cpp:45-53`).
     */
   def commitJobPool(): Unit
+  /** Switch command consumption to the run's control topic (`Some(t)`, the
+    * pl72 `control_topic`) or back to the default (`None`) — the
+    * reference's alternative-command-channel switch (`Handler.cpp:84-105`).
+    * Default no-op for transports with a single channel.
+    */
+  def useControlTopic(topic: Option[String]): Unit = ()
 }
 
 /** The reference's `Handler::loopFunction` re-expressed
@@ -42,9 +48,15 @@ final class CommandLoop(
     val wasIdle = master.currentJob.isEmpty
     val inbound = if (wasIdle) transport.pollJobPool() else transport.pollCommands()
     val handled = inbound.toSeq.flatMap(master.handle)
-    // accepting a job commits the pool offset and stops pool consumption
-    if (wasIdle && master.currentJob.nonEmpty) transport.commitJobPool()
+    // accepting a job commits the pool offset, stops pool consumption,
+    // and switches commands to the run's control topic
+    if (wasIdle && master.currentJob.nonEmpty) {
+      transport.commitJobPool()
+      transport.useControlTopic(master.activeControlTopic)
+    }
     val progressed = master.checkProgress(nowMs)
+    // run completed (wrdn emitted) → revert to the default command channel
+    if (!wasIdle && master.currentJob.isEmpty) transport.useControlTopic(None)
     (handled ++ progressed).foreach(o => transport.produce(o.kind, o.payload))
     val status =
       if (nowMs - lastStatusAt >= statusIntervalMs) {

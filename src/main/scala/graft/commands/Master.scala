@@ -18,14 +18,26 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
   import CommandProtocol._
 
   sealed trait State
-  case object Idle                                              extends State
-  final case class Writing(jobId: String, job: StreamingJob)    extends State
+  case object Idle extends State
+  final case class Writing(
+      jobId: String,
+      job: StreamingJob,
+      controlTopic: String = "") extends State
+
+  /** Job-specific control topic while writing (pl72's `control_topic`,
+    * switched to by the reference for the run's commands and reverted at
+    * completion — `Handler.cpp:84-105`); empty ⇒ stay on the default.
+    */
+  def activeControlTopic: Option[String] = state match {
+    case Writing(_, _, t) if t.nonEmpty => Some(t)
+    case _                              => None
+  }
 
   @volatile private var state: State = Idle
 
   def currentState: State = state
   def currentJob: Option[StreamingJob] = state match {
-    case Writing(_, j) => Some(j)
+    case Writing(_, j, _) => Some(j)
     case Idle          => None
   }
 
@@ -43,7 +55,7 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     * structure, sane window; at-most-one job.
     */
   private def start(cmd: RunStart): Seq[Outbound] = state match {
-    case Writing(id, _) =>
+    case Writing(id, _, _) =>
       reject(cmd.jobId, s"already writing job $id")
     case Idle =>
       if (!isValidUuid(cmd.jobId))
@@ -58,7 +70,7 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
           val stop = if (cmd.stopTimeMs == 0) Long.MaxValue / 2000000 else cmd.stopTimeMs
           val job = new StreamingJob(
             spark, plan, s"$outRoot/${cmd.filename}", cmd.startTimeMs, stop)
-          state = Writing(cmd.jobId, job)
+          state = Writing(cmd.jobId, job, cmd.controlTopic)
           Seq(Outbound("answ",
             encodeAnswer(cmd.jobId, cmd.jobId, success = true, "started")))
         } catch {
@@ -72,7 +84,7 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     */
   private def stop(cmd: RunStop): Seq[Outbound] = state match {
     case Idle => reject(cmd.jobId, "not writing")
-    case Writing(id, job) =>
+    case Writing(id, job, _) =>
       if (cmd.jobId != id)
         reject(cmd.jobId, s"job id mismatch (writing $id)")
       else if (cmd.serviceId.nonEmpty && cmd.serviceId != serviceId)
@@ -101,9 +113,9 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     */
   def checkProgress(nowMs: Long = System.currentTimeMillis()): Seq[Outbound] =
     state match {
-      case Writing(id, job) if job.allStreamsFinished =>
+      case Writing(id, job, _) if job.allStreamsFinished =>
         finishNow(id, job, "all streams finished")
-      case Writing(id, job) if job.shouldStop(nowMs) =>
+      case Writing(id, job, _) if job.shouldStop(nowMs) =>
         finishNow(id, job, "wall clock past stop time")
       case _ => Nil
     }
@@ -115,7 +127,7 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
   def statusMessage(updateIntervalMs: Long = 2000): Array[Byte] = {
     val json = state match {
       case Idle => """{"state":"idle"}"""
-      case Writing(j, job) =>
+      case Writing(j, job, _) =>
         val streams = job.metrics.map { case (k, m) =>
           s""""$k":{${m.map { case (n, v) => s""""$n":$v""" }.mkString(",")}}"""
         }.mkString(",")

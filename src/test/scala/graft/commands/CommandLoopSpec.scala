@@ -27,7 +27,10 @@ class CommandLoopSpec extends SparkSpec {
     val pool      = mutable.Queue.empty[Array[Byte]]
     val commands  = mutable.Queue.empty[Array[Byte]]
     val out       = mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val topicSwitches = mutable.ArrayBuffer.empty[Option[String]]
     var committed = 0
+    override def useControlTopic(topic: Option[String]): Unit =
+      topicSwitches += topic
     def pollJobPool(): Option[Array[Byte]] =
       if (pool.isEmpty) None else Some(pool.dequeue())
     def pollCommands(): Option[Array[Byte]] =
@@ -74,6 +77,8 @@ class CommandLoopSpec extends SparkSpec {
     assert(loop.tick(1100) == Seq("answ"))
     assert(byteField(tr.out.last._2, 2) == 1, "start must be accepted")
     assert(tr.committed == 1, "pool offset committed after accepting the job")
+    assert(tr.topicSwitches.toSeq == Seq(Some("ctl")),
+      "commands switch to the run's control topic")
     val job = master.currentJob.getOrElse(fail("not writing"))
 
     // two schemas flow through real streaming queries
@@ -117,6 +122,8 @@ class CommandLoopSpec extends SparkSpec {
     assert(byteField(wrdn, 2) == 0, "no error on completion")
     assert(master.currentJob.isEmpty, "back to idle after wrdn")
     assert(strField(tr.out.last._2, 6).contains("\"state\":\"idle\""))
+    assert(tr.topicSwitches.toSeq == Seq(Some("ctl"), None),
+      "control topic reverts after wrdn")
 
     // protocol order exactly as the integration test expects
     assert(tr.out.map(_._1).toSeq ==
