@@ -140,6 +140,39 @@ class CommandLoopSpec extends SparkSpec {
     assert(ev.map(_.getAs[Int]("event_time_offset")).toSeq == Seq(1, 2))
   }
 
+  test("pool rejoin: a finished worker accepts the next job (test_filewriter.py:197)") {
+    val outRoot = Files.createTempDirectory("graft-cmd").toString
+    val master  = new Master(spark, "svc-3", outRoot)
+    val tr      = new MemTransport
+    val loop    = new CommandLoop(master, tr, statusIntervalMs = 100000)
+    def startJob(file: String): String = {
+      val id = java.util.UUID.randomUUID().toString
+      tr.pool += encodeRunStart(RunStart(10000, 15000, "r", "i", template,
+        id, "svc-3", file, "ctl"))
+      id
+    }
+    val id1 = startJob("f1")
+    loop.tick(1)
+    val job1 = master.currentJob.get
+    job1.processBatch("f144", Seq(
+      F144Msg("tp", "speed", 0, 10100, 10100000000L, 1.0),
+      F144Msg("tp", "speed", 1, 16000, 16000000000L, 9.0)).toDF())
+    job1.processBatch("ev44", Seq(
+      Ev44Msg("tp", "det", 0, 16000, 16000000000L, Seq(16000000000L),
+        Seq(0), Seq(1), Seq(2))).toDF())
+    assert(loop.tick(2).contains("wrdn"))
+    // idle again: the next pool record is picked up on the following tick
+    val id2 = startJob("f2")
+    loop.tick(3)
+    assert(master.currentJob.nonEmpty)
+    assert(master.currentState.asInstanceOf[master.Writing].jobId == id2)
+    assert(tr.committed == 2)
+    assert(id1 != id2)
+    // both outputs exist independently
+    assert(Files.exists(java.nio.file.Paths.get(s"$outRoot/f1/manifest.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$outRoot/f2/manifest.json")))
+  }
+
   test("second pl72 while writing is rejected (at-most-one job per worker)") {
     val outRoot = Files.createTempDirectory("graft-cmd").toString
     val master  = new Master(spark, "svc-2", outRoot)
