@@ -138,6 +138,24 @@ object AnalyticsQueries {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // Conversion funnel view → click → purchase: first-occurrence times per
+    // step from ONE conditional aggregation pass (no per-step self-joins);
+    // ordered conversion is plain arithmetic on the three scalars.
+    "events_funnel" -> { (s, dir) =>
+      Graft.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("first_view_us"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("first_click_us"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase_us"))
+        .withColumn("converted",
+          col("first_view_us").isNotNull && col("first_click_us").isNotNull &&
+            col("first_purchase_us").isNotNull &&
+            col("first_view_us") < col("first_click_us") &&
+            col("first_click_us") < col("first_purchase_us"))
+    },
+
     // Daily rollup: day × type counts and exact-cents revenue.
     "events_daily_rollup" -> ((s, dir) =>
       Graft.events(s, dir)
@@ -324,6 +342,18 @@ object AnalyticsQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "events_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
+        |  coalesce(
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) <
+        |      min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    AND min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) <
+        |      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END),
+        |    FALSE) AS converted
+        |FROM events GROUP BY user_id""".stripMargin,
     "asof_latest_click" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),

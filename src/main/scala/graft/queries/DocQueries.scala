@@ -258,6 +258,28 @@ object DocQueries {
         docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
     },
 
+    // PII masking: email addresses then long digit runs replaced by
+    // sentinels, plus per-doc detection counts — one codegen'd regex pass.
+    // Patterns restricted to the RE2 ∩ java.util.regex dialect so the
+    // DuckDB oracle is bit-identical. The corpus is synthetic lorem, so a
+    // deterministic contact string is appended to give the masker real
+    // work on every row (the d1-roundtrip pattern).
+    "text_pii_mask" -> { (s, dir) =>
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numPat   = "[0-9]{4,}"
+      val synth = concat(substring(col("text"), 1, 20),
+        lit(" contact doc"), col("doc_id"), lit("@example.com tel 5550199"))
+      docs(s, dir)
+        .select(col("doc_id"), synth.as("raw"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          regexp_replace(
+            regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            numPat, "<NUM>").as("masked"))
+    },
+
     // --- training-set assembly -----------------------------------------
     // Deterministic stratified sampling: hash-bucket on doc_id (md5, the
     // oracle-shared hash) with a per-language rate — reproducible across
@@ -523,6 +545,18 @@ object DocQueries {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE hamming <= 6""".stripMargin,
+    "text_pii_mask" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 20) || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com tel 5550199' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS masked
+        |FROM r""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
