@@ -258,6 +258,24 @@ object DocQueries {
         docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
     },
 
+    // Dedup DROP LIST — the step real pipelines ship: for every verified
+    // near-dup pair, the lower-quality member is dropped (tie → keep the
+    // lower doc_id). Linear in the pair count; composes the LSH verify
+    // with the quality score through two keyed joins.
+    "dedup_drop_list" -> { (s, dir) =>
+      val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      val q = queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score"))
+      pairs
+        .join(q.select(col("doc_id").as("doc_a"), col("quality_score").as("qa")), "doc_a")
+        .join(q.select(col("doc_id").as("doc_b"), col("quality_score").as("qb")), "doc_b")
+        .select(
+          when(col("qa") > col("qb"), col("doc_b"))
+            .when(col("qb") > col("qa"), col("doc_a"))
+            .otherwise(col("doc_b")) // tie → survivor is the lower id
+            .as("doc_id"))
+        .distinct()
+    },
+
     // PII masking: email addresses then long digit runs replaced by
     // sentinels, plus per-doc detection counts — one codegen'd regex pass.
     // Patterns restricted to the RE2 ∩ java.util.regex dialect so the
@@ -545,6 +563,18 @@ object DocQueries {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE hamming <= 6""".stripMargin,
+    "dedup_drop_list" ->
+      s"""WITH $SqlLshCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents))
+         |SELECT DISTINCT
+         |  CASE WHEN qa.qs > qb.qs THEN doc_b
+         |       WHEN qb.qs > qa.qs THEN doc_a
+         |       ELSE doc_b END AS doc_id
+         |FROM pairs JOIN q qa ON qa.doc_id = doc_a JOIN q qb ON qb.doc_id = doc_b""".stripMargin,
     "text_pii_mask" ->
       """WITH r AS (
         |  SELECT doc_id,
