@@ -97,6 +97,21 @@ object EmbedQueries {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     },
 
+    // ANN quality measurement: recall@k of the IVF probe against the exact
+    // brute-force top-k — "measure, don't guess" for the pruning trade.
+    // Both sides are existing verified queries; one semi-join + one small
+    // aggregate on top.
+    "embed_ivf_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = queries("embed_ivf_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
+    },
+
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
     "embed_ivf_knn" -> { (s, dir) =>
@@ -162,6 +177,50 @@ object EmbedQueries {
         |             unnest(generate_series(0, len(embedding) - 1)) AS pos
         |      FROM embeddings)
         |GROUP BY label, pos""".stripMargin,
+    "embed_ivf_recall" ->
+      s"""WITH $SqlNorm,
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= $K),
+         |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
+         |       FROM (SELECT label, unnest(embedding) AS e,
+         |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |             FROM embeddings)
+         |       GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cb GROUP BY label),
+         |cn AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT query_id, qv, qn, c_label AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, cn.c_label,
+         |           row_number() OVER (
+         |             PARTITION BY q.query_id
+         |             ORDER BY round(list_dot_product(q.qv, cn.cv) / (q.qn * cn.cn), 6) DESC,
+         |                      cn.c_label) AS crank
+         |    FROM q, cn)
+         |  WHERE crank = 1),
+         |scored AS (
+         |  SELECT a.query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |  FROM assign a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM scored) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
     "embed_ivf_knn" ->
       s"""WITH $SqlNorm,
          |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
