@@ -108,6 +108,41 @@ class Ev44ModuleSpec extends SparkSpec {
     assert(c2.map(_.getAs[Long]("cue_index")).toSeq == Seq(15L))
   }
 
+  test("greedy cue chain matches a sequential simulation under random batch splits") {
+    import graft.operators.WriterModules.Cursor
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val interval = 3 + rnd.nextInt(8)
+      val sizes    = Seq.fill(12 + rnd.nextInt(10))(1 + rnd.nextInt(6))
+      // plain sequential reference (ev44_Writer.cpp:118-134)
+      var events = 0L; var last = 0L
+      val expect = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sizes.foreach { n =>
+        events += n
+        if (events > last + interval) { expect += events - 1; last = events - 1 }
+      }
+      // module output over random batch boundaries, cursor carried manually
+      val msgs = sizes.zipWithIndex.map { case (n, i) =>
+        msg(i.toLong, Seq(1000L + i), Seq(0), (1 to n).toSeq)
+      }
+      val splitAt = 1 + rnd.nextInt(msgs.size - 1)
+      val got     = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur     = Cursor()
+      Seq(msgs.take(splitAt), msgs.drop(splitAt)).foreach { batch =>
+        val t = Ev44.tables(batch.toDF(), cfg(interval), cur)
+        val cues = t("cue").orderBy("cue_index").collect()
+          .map(_.getAs[Long]("cue_index"))
+        got ++= cues
+        val ev = batch.map(_.time_of_flight.size.toLong).sum
+        cur = Cursor(
+          eventsWritten = cur.eventsWritten + ev,
+          lastCue = cues.lastOption.map(Ev44.nextLastCue).getOrElse(cur.lastCue))
+      }
+      assert(got.toSeq == expect.toSeq,
+        s"trial $trial interval=$interval sizes=$sizes split=$splitAt")
+    }
+  }
+
   test("f144 cue chain anchors at the cursor across batches") {
     import graft.sources.Fixtures.F144Msg
     import graft.operators.WriterModules.{Cursor, F144}
