@@ -130,6 +130,18 @@ object StreamKernel {
       )
   }
 
+  /** F8 — per-error-type rejection counters over decoded envelopes
+    * (`src/Stream/Partition.cpp:225-253`: BufferTooSmall /
+    * UnknownFlatbufferID / NotValidFlatbuffer / ZeroTimestamp each count
+    * separately; invalid messages are counted, never fatal). One keyed
+    * aggregation; feed the result into status reporting.
+    */
+  def errorCounters(decodedEnvelopes: DataFrame): DataFrame =
+    decodedEnvelopes
+      .filter(!col("env.valid"))
+      .groupBy(col("env.error").as("error"))
+      .agg(count(lit(1)).as("n"))
+
   /** A1 — running min/max/mean/count attached as observed metrics: the
     * aggregates ride along with the real write (no second pass over the
     * data) and surface per batch/epoch through QueryExecution /

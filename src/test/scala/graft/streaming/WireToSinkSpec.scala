@@ -72,4 +72,20 @@ class WireToSinkSpec extends SparkSpec {
     assert(env.map(_.getAs[Long]("time")).toSeq ==
       Seq(10150000000L, 10151000000L, 77L, 88L))
   }
+
+  test("rejected wire messages count per error type (F8 counters)") {
+    import graft.operators.StreamKernel
+    val mixed = Seq(
+      (0L, FbEncoders.f144("s", 123L, 1.0)),                  // valid
+      (1L, Array[Byte](1, 2, 3)),                             // too small
+      (2L, "xxxxzzzz-not-a-flatbuffer-at-all".getBytes),      // unknown id
+      (3L, FbEncoders.f144("s", 0L, 1.0)),                    // zero timestamp
+      (4L, "xxxxzzzz-also-not-valid-content".getBytes)        // unknown id
+    ).toDF("offset", "value")
+      .withColumn("env", Decode.decode_envelope(col("value")))
+    val counts = StreamKernel.errorCounters(mixed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "BufferTooSmall" -> 1L, "UnknownFlatbufferID" -> 2L, "ZeroTimestamp" -> 1L))
+  }
 }
