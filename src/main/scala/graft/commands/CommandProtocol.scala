@@ -177,4 +177,43 @@ object CommandProtocol {
   /** UUID validation for job/command ids (`Handler.cpp:138-146`). */
   def isValidUuid(s: String): Boolean =
     try { UUID.fromString(s); true } catch { case _: IllegalArgumentException => false }
+
+  // ---- outbound decoders ----------------------------------------------
+  // The monitoring/orchestration side of a deployment consumes answ/x5f2/
+  // wrdn; full codecs keep the protocol surface symmetric and testable.
+
+  final case class Answer(commandId: String, jobId: String, success: Boolean,
+      message: String)
+  final case class Status(serviceId: String, statusJson: String,
+      updateIntervalMs: Long)
+  final case class Finished(serviceId: String, jobId: String, error: Boolean,
+      fileName: String, metadata: String, message: String)
+
+  def decodeAnswer(bytes: Array[Byte]): Either[String, Answer] = {
+    if (schemaId(bytes) != "answ") return Left("not an answ buffer")
+    val r = new Reader(bytes); val root = r.rootTable
+    try {
+      val oc = r.field(root, 2)
+      Right(Answer(str(r, root, 0), str(r, root, 1),
+        oc >= 0 && r.i8(oc) != 0, str(r, root, 3)))
+    } catch { case _: IndexOutOfBoundsException => Left("NotValidFlatbuffer") }
+  }
+
+  def decodeStatus(bytes: Array[Byte]): Either[String, Status] = {
+    if (schemaId(bytes) != "x5f2") return Left("not an x5f2 buffer")
+    val r = new Reader(bytes); val root = r.rootTable
+    try Right(Status(str(r, root, 2), str(r, root, 6), lng(r, root, 5)))
+    catch { case _: IndexOutOfBoundsException => Left("NotValidFlatbuffer") }
+  }
+
+  def decodeFinished(bytes: Array[Byte]): Either[String, Finished] = {
+    if (schemaId(bytes) != "wrdn") return Left("not a wrdn buffer")
+    val r = new Reader(bytes); val root = r.rootTable
+    try {
+      val er = r.field(root, 2)
+      Right(Finished(str(r, root, 0), str(r, root, 1),
+        er >= 0 && r.i8(er) != 0, str(r, root, 3), str(r, root, 4),
+        str(r, root, 5)))
+    } catch { case _: IndexOutOfBoundsException => Left("NotValidFlatbuffer") }
+  }
 }

@@ -170,6 +170,21 @@ class WireFuzzSpec extends SparkSpec {
     }
   }
 
+  test("outbound answ/x5f2/wrdn round-trip for arbitrary content") {
+    forAll(Gen.zip(sourceGen, sourceGen, Gen.oneOf(true, false),
+      Gen.chooseNum(0L, Long.MaxValue / 2))) { case (a, b, flag, t) =>
+      assert(CommandProtocol.decodeAnswer(
+        CommandProtocol.encodeAnswer(a, b, flag, a)) ==
+        Right(CommandProtocol.Answer(a, b, flag, a)))
+      val st = CommandProtocol.decodeStatus(
+        CommandProtocol.encodeStatus(a, b, t)).toOption.get
+      assert(st.serviceId == a && st.statusJson == b && st.updateIntervalMs == t)
+      assert(CommandProtocol.decodeFinished(
+        CommandProtocol.encodeFinished(a, b, flag, a, b, a)) ==
+        Right(CommandProtocol.Finished(a, b, flag, a, b, a)))
+    }
+  }
+
   test("envelope decode never throws on arbitrary byte garbage") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
