@@ -266,6 +266,21 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("value"))) / 100.0).as("total_value"))),
 
+    // Skew-safe two-phase aggregation: partials on (key, deterministic
+    // salt) then merge — any single task's group bounded at ~1/16 of the
+    // hottest key. The shared oracle proves result identity with a plain
+    // group-by; exact integer cents make the partial order irrelevant.
+    "events_type_counts_salted" -> { (s, dir) =>
+      import graft.operators.Salting
+      Graft.events(s, dir)
+        .withColumn("__salt", Salting.salt(col("event_id"), 16))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc"))
+        .groupBy("event_type")
+        .agg(sum("pn").cast("long").as("n"),
+          (sum("pc") / 100.0).as("total_value"))
+    },
+
     // Exact interpolated percentiles per event type (single shuffle; both
     // engines use linear interpolation on the sorted values).
     "value_percentiles" -> ((s, dir) =>
@@ -441,6 +456,10 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM events GROUP BY ROLLUP (day, event_type)""".stripMargin,
+    "events_type_counts_salted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
