@@ -122,18 +122,33 @@ object CommandProtocol {
 
   // ---- outbound -------------------------------------------------------
 
-  /** answ command answer (`src/CommandSystem/FeedbackProducer.cpp` analog).
-    * Field ids: command_id, job_id, outcome (0 fail / 1 success), message.
+  /** answ ActionType / ActionOutcome enums (streaming-data-types
+    * `answ_action_response.fbs`; usage in
+    * `src/CommandSystem/FeedbackProducer.cpp:48-53` and
+    * `tests/CommandSystem/HandlerTests.cpp:187-188`).
     */
-  def encodeAnswer(commandId: String, jobId: String, success: Boolean,
-      message: String): Array[Byte] = {
+  object ActionType { val StartJob: Short = 0; val SetStopTime: Short = 1 }
+  object ActionOutcome { val Success: Short = 0; val Failure: Short = 1 }
+
+  /** answ command answer, upstream ActionResponse layout
+    * (`FeedbackProducer.cpp:59-61` `CreateActionResponse` argument order):
+    * field ids service_id@0, job_id@1, action@2 (short enum), outcome@3
+    * (short enum), status_code@4 (i32), stop_time@5 (ms, i64), message@6,
+    * command_id@7.
+    */
+  def encodeAnswer(serviceId: String, jobId: String, action: Short,
+      outcome: Short, statusCode: Int, stopTimeMs: Long, message: String,
+      commandId: String): Array[Byte] = {
     val b  = new FlatBufferBuilder(256)
-    val ci = b.createString(commandId); val ji = b.createString(jobId)
-    val ms = b.createString(message)
-    b.startTable(4)
-    b.addOffset(0, ci, 0); b.addOffset(1, ji, 0)
-    b.addByte(2, (if (success) 1 else 0).toByte, 0)
-    b.addOffset(3, ms, 0)
+    val si = b.createString(Option(serviceId).getOrElse(""))
+    val ji = b.createString(Option(jobId).getOrElse(""))
+    val ms = b.createString(Option(message).getOrElse(""))
+    val ci = b.createString(Option(commandId).getOrElse(""))
+    b.startTable(8)
+    b.addOffset(0, si, 0); b.addOffset(1, ji, 0)
+    b.addShort(2, action, 0); b.addShort(3, outcome, 0)
+    b.addInt(4, statusCode, 0); b.addLong(5, stopTimeMs, 0L)
+    b.addOffset(6, ms, 0); b.addOffset(7, ci, 0)
     b.finish(b.endTable(), "answ")
     b.sizedByteArray()
   }
@@ -182,8 +197,11 @@ object CommandProtocol {
   // The monitoring/orchestration side of a deployment consumes answ/x5f2/
   // wrdn; full codecs keep the protocol surface symmetric and testable.
 
-  final case class Answer(commandId: String, jobId: String, success: Boolean,
-      message: String)
+  final case class Answer(serviceId: String, jobId: String, action: Short,
+      outcome: Short, statusCode: Int, stopTimeMs: Long, message: String,
+      commandId: String) {
+    def success: Boolean = outcome == ActionOutcome.Success
+  }
   final case class Status(serviceId: String, statusJson: String,
       updateIntervalMs: Long)
   final case class Finished(serviceId: String, jobId: String, error: Boolean,
@@ -192,11 +210,15 @@ object CommandProtocol {
   def decodeAnswer(bytes: Array[Byte]): Either[String, Answer] = {
     if (schemaId(bytes) != "answ") return Left("not an answ buffer")
     val r = new Reader(bytes); val root = r.rootTable
-    try {
-      val oc = r.field(root, 2)
-      Right(Answer(str(r, root, 0), str(r, root, 1),
-        oc >= 0 && r.i8(oc) != 0, str(r, root, 3)))
-    } catch { case _: IndexOutOfBoundsException => Left("NotValidFlatbuffer") }
+    def shrt(id: Int): Short = {
+      val p = r.field(root, id); if (p < 0) 0 else r.i16(p)
+    }
+    def int(id: Int): Int = {
+      val p = r.field(root, id); if (p < 0) 0 else r.i32(p)
+    }
+    try Right(Answer(str(r, root, 0), str(r, root, 1), shrt(2), shrt(3),
+      int(4), lng(r, root, 5), str(r, root, 6), str(r, root, 7)))
+    catch { case _: IndexOutOfBoundsException => Left("NotValidFlatbuffer") }
   }
 
   def decodeStatus(bytes: Array[Byte]): Either[String, Status] = {

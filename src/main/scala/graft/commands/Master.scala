@@ -71,8 +71,9 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
           val job = new StreamingJob(
             spark, plan, s"$outRoot/${cmd.filename}", cmd.startTimeMs, stop)
           state = Writing(cmd.jobId, job, cmd.controlTopic)
-          Seq(Outbound("answ",
-            encodeAnswer(cmd.jobId, cmd.jobId, success = true, "started")))
+          Seq(Outbound("answ", encodeAnswer(serviceId, cmd.jobId,
+            ActionType.StartJob, ActionOutcome.Success, 0, stop,
+            "started", cmd.jobId)))
         } catch {
           case e: Exception => reject(cmd.jobId, s"bad nexus_structure: ${e.getMessage}")
         }
@@ -83,17 +84,18 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     * the matching job (and service, when set) may be stopped.
     */
   private def stop(cmd: RunStop): Seq[Outbound] = state match {
-    case Idle => reject(cmd.jobId, "not writing")
+    case Idle => reject(cmd.jobId, "not writing", ActionType.SetStopTime)
     case Writing(id, job, _) =>
       if (cmd.jobId != id)
-        reject(cmd.jobId, s"job id mismatch (writing $id)")
+        reject(cmd.jobId, s"job id mismatch (writing $id)", ActionType.SetStopTime)
       else if (cmd.serviceId.nonEmpty && cmd.serviceId != serviceId)
-        reject(cmd.jobId, "service id mismatch")
+        reject(cmd.jobId, "service id mismatch", ActionType.SetStopTime)
       else if (cmd.stopTimeMs == 0L) finishNow(id, job, "stopped immediately")
       else if (job.setStopTime(cmd.stopTimeMs))
-        Seq(Outbound("answ", encodeAnswer(cmd.commandId, id, success = true,
-          s"stop time set to ${cmd.stopTimeMs}")))
-      else reject(cmd.jobId, "job already past stop")
+        Seq(Outbound("answ", encodeAnswer(serviceId, id,
+          ActionType.SetStopTime, ActionOutcome.Success, 0, cmd.stopTimeMs,
+          s"stop time set to ${cmd.stopTimeMs}", cmd.commandId)))
+      else reject(cmd.jobId, "job already past stop", ActionType.SetStopTime)
   }
 
   /** Called by the stop monitor when all streams are finished (or on
@@ -137,6 +139,8 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     encodeStatus(serviceId, json, updateIntervalMs)
   }
 
-  private def reject(jobId: String, why: String): Seq[Outbound] =
-    Seq(Outbound("answ", encodeAnswer(jobId, jobId, success = false, why)))
+  private def reject(jobId: String, why: String,
+      action: Short = CommandProtocol.ActionType.StartJob): Seq[Outbound] =
+    Seq(Outbound("answ", encodeAnswer(serviceId, jobId, action,
+      ActionOutcome.Failure, 1, 0L, why, jobId)))
 }

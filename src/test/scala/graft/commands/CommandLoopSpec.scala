@@ -75,7 +75,10 @@ class CommandLoopSpec extends SparkSpec {
     tr.pool += encodeRunStart(RunStart(10000, 15000, "run-1", "inst",
       template, jobId, "svc-1", "outfile", "ctl"))
     assert(loop.tick(1100) == Seq("answ"))
-    assert(byteField(tr.out.last._2, 2) == 1, "start must be accepted")
+    val startAnsw = decodeAnswer(tr.out.last._2).toOption.get
+    assert(startAnsw.success, "start must be accepted")
+    assert(startAnsw.action == ActionType.StartJob)
+    assert(startAnsw.serviceId == "svc-1" && startAnsw.jobId == jobId)
     assert(tr.committed == 1, "pool offset committed after accepting the job")
     assert(tr.topicSwitches.toSeq == Seq(Some("ctl")),
       "commands switch to the run's control topic")
@@ -105,7 +108,10 @@ class CommandLoopSpec extends SparkSpec {
       // 6s4t moves the stop earlier → answ(success)
       tr.commands += encodeRunStop(RunStop(12000, "run-1", jobId, "svc-1", "cmd-7"))
       assert(loop.tick(2300) == Seq("answ"))
-      assert(byteField(tr.out.last._2, 2) == 1, "stop-time update accepted")
+      val stopAnsw = decodeAnswer(tr.out.last._2).toOption.get
+      assert(stopAnsw.success, "stop-time update accepted")
+      assert(stopAnsw.action == ActionType.SetStopTime)
+      assert(stopAnsw.stopTimeMs == 12000 && stopAnsw.commandId == "cmd-7")
       assert(job.stopTimeMs == 12000)
 
       // data past the new stop finishes both streams → stop monitor → wrdn

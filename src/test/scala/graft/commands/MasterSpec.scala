@@ -32,7 +32,12 @@ class MasterSpec extends SparkSpec {
     val st = RunStop(14000, "run", rs.jobId, "svc-1", UUID.randomUUID().toString)
     assert(decodeRunStop(encodeRunStop(st)) == Right(st))
     assert(schemaId(encodeRunStart(rs)) == "pl72")
-    assert(schemaId(encodeAnswer("c", "j", success = true, "m")) == "answ")
+    val answ = encodeAnswer("s", "j", ActionType.StartJob,
+      ActionOutcome.Success, 0, 15000L, "m", "c")
+    assert(schemaId(answ) == "answ")
+    assert(decodeAnswer(answ) == Right(Answer("s", "j", ActionType.StartJob,
+      ActionOutcome.Success, 0, 15000L, "m", "c")))
+    assert(decodeAnswer(answ).toOption.get.success)
     assert(schemaId(encodeFinished("s", "j", error = false, "f", "{}", "m")) == "wrdn")
     assert(schemaId(statusBytes) == "x5f2")
   }

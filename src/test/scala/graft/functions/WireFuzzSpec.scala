@@ -173,9 +173,13 @@ class WireFuzzSpec extends SparkSpec {
   test("outbound answ/x5f2/wrdn round-trip for arbitrary content") {
     forAll(Gen.zip(sourceGen, sourceGen, Gen.oneOf(true, false),
       Gen.chooseNum(0L, Long.MaxValue / 2))) { case (a, b, flag, t) =>
+      val action  = if (flag) CommandProtocol.ActionType.StartJob
+                    else CommandProtocol.ActionType.SetStopTime
+      val outcome = if (flag) CommandProtocol.ActionOutcome.Success
+                    else CommandProtocol.ActionOutcome.Failure
       assert(CommandProtocol.decodeAnswer(
-        CommandProtocol.encodeAnswer(a, b, flag, a)) ==
-        Right(CommandProtocol.Answer(a, b, flag, a)))
+        CommandProtocol.encodeAnswer(a, b, action, outcome, 42, t, b, a)) ==
+        Right(CommandProtocol.Answer(a, b, action, outcome, 42, t, b, a)))
       val st = CommandProtocol.decodeStatus(
         CommandProtocol.encodeStatus(a, b, t)).toOption.get
       assert(st.serviceId == a && st.statusJson == b && st.updateIntervalMs == t)
