@@ -3,24 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Document fingerprint via a Rabin–Karp rolling hash over UTF-8 bytes —
-  * one pass, order-sensitive (unlike md5-of-normalized-text it
-  * distinguishes permutations cheaply and supports incremental extension).
-  * Base 257, modulus 2^61−1 (Mersenne, reduction via shift-add); the same
-  * construction as content-defined chunking hashes.
+/** Shared Rabin–Karp modular arithmetic: base 257 over bytes, modulus
+  * 2^61−1 (Mersenne, reduction via shift-add) — the same construction as
+  * content-defined chunking hashes.
   */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+object RollingMod {
+  val Mod: Long  = (1L << 61) - 1
+  val Base: Long = 257L
 
-  override def dataType: DataType = LongType
-
-  private val Mod  = (1L << 61) - 1
-  private val Base = 257L
-
-  private def mulMod(a: Long, b: Long): Long = {
+  def mulMod(a: Long, b: Long): Long = {
     // 128-bit multiply-reduce via Math.multiplyHigh (Java 9+)
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
@@ -31,10 +26,9 @@ case class RollingHash(child: Expression)
     r
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h     = 0L
-    var i     = 0
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
     while (i < bytes.length) {
       h = mulMod(h, Base) + (bytes(i) & 0xff)
       if (h >= Mod) h -= Mod
@@ -42,11 +36,89 @@ case class RollingHash(child: Expression)
     }
     h
   }
+}
+
+/** Document fingerprint via a Rabin–Karp rolling hash over UTF-8 bytes —
+  * one pass, order-sensitive (unlike md5-of-normalized-text it
+  * distinguishes permutations cheaply and supports incremental extension).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMod.hashBytes(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+/** Sliding-window polynomial hash over a precomputed Array[Long] of
+  * element hashes: output i (0-based) is the base-`WindowBase` polynomial
+  * of elements [i, i+width) mod 2^61−1 — i.e. the hash every `w`-token
+  * gram of a document, computed in ONE O(n) pass via the rolling update
+  * G' = (G − x_out·B^(w−1))·B + x_in instead of O(n·w) per-window folds.
+  * The gram-table primitive of substring-level dedup (the public
+  * shingle-span approach; cf. the reference's windowed stream processing,
+  * `src/Stream/MessageWriter.cpp` being per-message one-pass in the same
+  * spirit).
+  */
+case class WindowPolyHash(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, s"window width must be >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  import RollingMod.{mulMod, Mod}
+  private val B: Long = WindowPolyHash.WindowBase
+  // B^(width-1) mod M — the weight of the outgoing element
+  private val topW: Long =
+    (1 until width).foldLeft(1L)((acc, _) => mulMod(acc, B))
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toLongArray()
+    val n  = xs.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var h   = 0L
+    var i   = 0
+    while (i < width) { // first window: plain fold
+      h = mulMod(h, B) + xs(i)
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    out(0) = h
+    var j = 1
+    while (j < n) { // roll: drop xs(j-1), add xs(j+width-1)
+      val dropped = mulMod(xs(j - 1), topW)
+      h = h - dropped
+      if (h < 0) h += Mod
+      h = mulMod(h, B) + xs(j + width - 1)
+      if (h >= Mod) h -= Mod
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowPolyHash =
+    copy(child = c)
 }
 
 object RollingHash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+}
+
+object WindowPolyHash {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  /** Token-level base — distinct from the byte-level base so a gram hash
+    * is never confusable with a byte hash of the concatenation.
+    */
+  val WindowBase: Long = 1000003L
+
+  def window_poly_hash(c: Column, width: Int): Column =
+    column(WindowPolyHash(expression(c), width))
 }

@@ -345,6 +345,12 @@ object DocQueries {
           (col("start_tok") % cap).as("bin_offset"))
     },
 
+    // Substring-level exact dedup: maximal verbatim token spans (≥ 50
+    // tokens) appearing in ≥ 2 distinct documents — catches boilerplate /
+    // license / memorization-risk spans embedded in otherwise-distinct
+    // docs, which doc-level MinHash misses (see [[substringSpans]]).
+    "dedup_substring_spans" -> ((s, dir) => substringSpans(docs(s, dir), 50)),
+
     // Benchmark decontamination: any document sharing an 8-gram with the
     // benchmark set (here: doc_id < 10) is dropped. Bench grams are tiny →
     // broadcast; corpus grams never self-join.
@@ -363,6 +369,61 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }
   )
+
+  /** Substring-level exact dedup (the public shingle-span approach):
+    * hash every `w`-token window of every document with ONE O(n) rolling
+    * pass ([[graft.functions.WindowPolyHash]] over per-token
+    * [[graft.functions.RollingHash]]es — no w× concat blow-up), keep the
+    * gram positions whose hash occurs in ≥ 2 distinct docs, and merge
+    * consecutive duplicated positions per doc into MAXIMAL spans
+    * (gaps-and-islands). Emits 1-based token and char offsets (char
+    * offsets w.r.t. the single-space token join — identical to the raw
+    * text for single-spaced corpora) plus an md5 span fingerprint, so
+    * equal spans across docs are joinable by `span_fp`.
+    *
+    * Scale shape: the gram table is ~1 row/token but only (hash, doc_id,
+    * pos) wide; duplicate detection is one partial-aggregated shuffle on
+    * the 8-byte hash; everything after operates on the (rare) duplicated
+    * positions only. No all-pairs join anywhere, span merge is a per-doc
+    * window.
+    */
+  def substringSpans(d: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.RollingHash.rolling_hash
+    import graft.functions.WindowPolyHash.window_poly_hash
+    val base = d
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        window_poly_hash(transform(col("tk"), t => rolling_hash(t)), w).as("gh"))
+    val pos = base.select(col("doc_id"),
+      posexplode(col("gh")).as(Seq("p0", "gram")))
+    val dup = pos.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val dupPos = pos.join(dup, "gram").select("doc_id", "p0")
+    val islands = Window.partitionBy("doc_id").orderBy("p0")
+    val spans = dupPos
+      .withColumn("isl", col("p0") - row_number().over(islands))
+      .groupBy("doc_id", "isl")
+      .agg((min("p0") + 1).cast("long").as("tok_start"),
+        (max("p0") + w).cast("long").as("tok_end"),
+        count(lit(1)).as("n_grams"))
+    spans.join(base.select("doc_id", "tk"), "doc_id")
+      .select(
+        col("doc_id"), col("tok_start"), col("tok_end"),
+        when(col("tok_start") === 1, 1L)
+          .otherwise(length(concat_ws(" ",
+            slice(col("tk"), lit(1), col("tok_start") - 1))) + 2)
+          .cast("long").as("char_start"),
+        length(concat_ws(" ", slice(col("tk"), lit(1), col("tok_end"))))
+          .cast("long").as("char_end"),
+        md5(concat_ws(" ",
+          slice(col("tk"), col("tok_start"), col("tok_end") - col("tok_start") + 1)))
+          .as("span_fp"),
+        col("n_grams"))
+  }
 
   /** SimHash near-dup candidate pairs over a (doc_id, simhash) frame:
     * LSH blocking on the high 16 bits of FOUR 8-bit rotations of the
@@ -615,6 +676,46 @@ object DocQueries {
         |       CAST(start_tok // 2048 AS BIGINT) AS bin_id,
         |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
         |FROM c""".stripMargin,
+    // Same arithmetic as RollingHash/WindowPolyHash: byte-level base-257
+    // token hashes folded at token level with base 1000003, both mod
+    // 2^61−1 (HUGEINT keeps products exact; ord≡byte on this ASCII
+    // corpus, the text_rolling_fingerprint precedent).
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 50),
+        |hx AS (
+        |  SELECT doc_id, tk, list_transform(tk, s -> CASE WHEN length(s) = 0
+        |    THEN CAST(0 AS HUGEINT)
+        |    ELSE list_reduce(
+        |      list_transform(generate_series(1, length(s)),
+        |                     i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
+        |      (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 49),
+        |    i -> struct_pack(p := i, gram := CAST(list_reduce(
+        |           list_slice(hs, i, i + 49),
+        |           (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)))) AS u
+        |  FROM hx),
+        |g2 AS (SELECT doc_id, u.p AS p, u.gram AS gram FROM g),
+        |d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, p FROM g2 JOIN d USING (gram)),
+        |isl AS (SELECT doc_id, p,
+        |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |        FROM dp),
+        |sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS tok_start,
+        |              CAST(max(p) + 49 AS BIGINT) AS tok_end,
+        |              CAST(count(*) AS BIGINT) AS n_grams
+        |       FROM isl GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, tok_start, tok_end,
+        |  CAST(CASE WHEN tok_start = 1 THEN 1
+        |       ELSE length(array_to_string(list_slice(tk, 1, tok_start - 1), ' ')) + 2
+        |       END AS BIGINT) AS char_start,
+        |  CAST(length(array_to_string(list_slice(tk, 1, tok_end), ' ')) AS BIGINT) AS char_end,
+        |  md5(array_to_string(list_slice(tk, tok_start, tok_end), ' ')) AS span_fp,
+        |  n_grams
+        |FROM sp JOIN t ON t.doc_id = sp.doc_id""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
