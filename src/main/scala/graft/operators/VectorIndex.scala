@@ -87,10 +87,13 @@ object VectorIndex {
     val qd = queries
       .withColumn("qn", l2_norm(col("v")))
       .withColumn("dists", dist2All(col("v"), cents))
+      // index-carrying structs: two equidistant centroids keep distinct
+      // cell ids (a value lookup via array_position would resolve both
+      // to the first match and silently probe one cell twice)
       .withColumn("probes",
         slice(array_sort(
           transform(col("dists"),
-            (d: Column) => struct(d.as("d"), (array_position(col("dists"), d) - 1).cast("int").as("cell")))),
+            (d: Column, i: Column) => struct(d.as("d"), i.cast("int").as("cell")))),
           1, nProbe))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("qn"),
         explode(transform(col("probes"), _.getField("cell"))).as("cell"))

@@ -181,55 +181,15 @@ object DocQueries {
     },
 
     // Duplicate clusters: connected components over the MinHash-LSH
-    // candidate pairs via iterative label propagation (each node takes the
-    // min label among itself and its neighbors until fixpoint) — the
-    // canonical-group assignment step of a dedup pipeline. Iterations are
-    // joins; the driver only checks the convergence counter.
+    // candidate pairs via alternating large-star/small-star rounds —
+    // the canonical-group assignment step of a dedup pipeline. O(log n)
+    // rounds of two keyed shuffles each; at the fixpoint the edge set IS
+    // the star forest, so labels need no separate propagation (see
+    // [[graft.operators.ConnectedComponents]]).
     "dedup_clusters" -> { (s, dir) =>
       val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
-      // localCheckpoint truncates lineage: each iteration's plan stays
-      // O(1) instead of stacking the whole LSH pipeline per round
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      // iterate to the TRUE fixpoint — a silent cap would return labels
-      // that disagree with the oracle on any component whose diameter
-      // exceeds it; the hard bound exists only to fail loudly on a bug.
-      // Each round combines one neighbor-min step with one pointer jump
-      // (label := label(label)), so long chains converge in O(log d)
-      // rounds instead of O(d) — every round is a fixed number of
-      // key-equality shuffles, nothing driver-side but the counter.
-      while (!converged) {
-        require(iter < 100,
-          s"label propagation not converged after $iter rounds — graph bug?")
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "doc_b"), "doc_b")
-          .groupBy(col("doc_a").as("id"))
-          .agg(min("label").as("nmin"))
-        val stepped = labels.withColumnRenamed("label", "old")
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("old"),
-            least(col("old"), coalesce(col("nmin"), col("old"))).as("mid"))
-        // pointer jump: a label is itself a doc id — follow it one hop.
-        // LAZY checkpoint: the convergence count below materializes it in
-        // the same job (one job per round, lineage still truncated)
-        val next = stepped
-          .join(stepped.select(col("id").as("mid"), col("mid").as("hop")),
-            Seq("mid"), "left")
-          .select(col("id"), col("old"),
-            least(col("mid"), coalesce(col("hop"), col("mid"))).as("label"))
-          .localCheckpoint(false)
-        val changed = next.filter(col("label") =!= col("old")).count()
-        labels = next.drop("old")
-        converged = changed == 0
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      graft.operators.ConnectedComponents.labels(pairs)._1
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
 
     // Multimodal: binary payload + typed metadata through the per-partition

@@ -82,19 +82,30 @@ object EmbedQueries {
         .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
         .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))),
 
-    // k-means IVF with multi-probe search — the production ANN scale path
-    // (trained quantizer; no SQL oracle: iterative float training — the
-    // driver records a rows-only check; exactness vs brute force is proven
-    // in VectorIndexSpec's full-probe test).
+    // k-means IVF at FULL probe (nProbe = k) — the trained-quantizer scale
+    // path driven end-to-end (Lloyd's training, cell assignment,
+    // multi-probe cell selection, per-cell scoring) under an EXACT oracle:
+    // probing every cell must reproduce brute-force top-k bit-for-bit, so
+    // the whole k-means pipeline is hash-checked against the brute SQL
+    // without DuckDB reproducing float iteration. The rank window runs on
+    // the ROUNDED cosine so ties break exactly as in the oracle. The
+    // nProbe<k pruning trade is measured by embed_ivf_recall and
+    // VectorIndexSpec's partial-probe recall floor.
     "embed_ivf_kmeans_knn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       import graft.operators.VectorIndex
       val vecs   = VectorIndex.vectors(Graft.embeddings(s, dir))
       val cents  = VectorIndex.trainCentroids(vecs, k = 8, iters = 3)
       val corpus = VectorIndex.assign(vecs, cents)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
       VectorIndex.search(corpus, cents,
-        vecs.filter(col("vec_id") < NumQueries), topK = K, nProbe = 2)
+        vecs.filter(col("vec_id") < NumQueries),
+        topK = Int.MaxValue, nProbe = 8)
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+          round(col("cosine"), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
     },
 
     // ANN quality measurement: recall@k of the IVF probe against the exact
@@ -154,6 +165,19 @@ object EmbedQueries {
       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // full-probe IVF ≡ brute force: the kmeans path must land on the
+    // brute-force answer exactly, so it shares the brute oracle
+    "embed_ivf_kmeans_knn" ->
+      s"""WITH $SqlNorm,
+         |p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= $K""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH $SqlNorm,
          |p AS (

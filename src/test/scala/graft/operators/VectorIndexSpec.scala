@@ -61,4 +61,23 @@ class VectorIndexSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean > 0.5, s"mean recall@5 was $mean")
   }
+
+  test("equidistant centroids probe two DISTINCT cells") {
+    import spark.implicits._
+    // two identical centroids: any query is equidistant to cells 0 and 1;
+    // cell 2 is far away. nProbe=2 must cover BOTH near cells, so the
+    // corpus point planted in cell 1 is reachable.
+    val dupCents = Seq(Seq(0.0, 0.0), Seq(0.0, 0.0), Seq(100.0, 100.0))
+    val corpus2 = Seq(
+      (100L, Seq(0.1, 0.0), 0), // in cell 0
+      (101L, Seq(0.0, 0.1), 1), // planted in cell 1 (ties broken manually)
+      (102L, Seq(99.0, 99.0), 2)
+    ).toDF("vec_id", "v", "cell")
+    val q = Seq((1L, Seq(0.05, 0.05))).toDF("vec_id", "v")
+    val hits = VectorIndex
+      .search(corpus2, dupCents, q, topK = 3, nProbe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(hits == Set(100L, 101L),
+      s"expected both equidistant cells probed, got $hits")
+  }
 }
