@@ -123,6 +123,23 @@ object EmbedQueries {
           .as("recall_at_k"))
     },
 
+    // Persisted bucketed IVF index: the corpus is materialized ONCE
+    // bucketed by cell; the probe reads only the probed cells' buckets
+    // and joins broadcast queries with zero corpus-side Exchange — the
+    // serving shape where index build cost amortizes over query runs
+    // (see [[graft.operators.IvfIndex]]; plan-level no-Exchange +
+    // bucket-pruning assertions in IvfIndexSpec). Same cell rule as
+    // embed_ivf_knn, so it shares that oracle.
+    "embed_ivf_knn_bucketed" -> { (s, dir) =>
+      import graft.operators.IvfIndex
+      val e = withNorm(emb(s, dir))
+      IvfIndex.build(s, e, "graft_ivf_index", buckets = 8)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      IvfIndex.probe(s, "graft_ivf_index", IvfIndex.labelCentroids(e),
+        q, topK = K, nProbe = 1)
+    },
+
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
     "embed_ivf_knn" -> { (s, dir) =>
@@ -245,7 +262,13 @@ object EmbedQueries {
          |FROM brute b LEFT JOIN ivf i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
-    "embed_ivf_knn" ->
+    // the bucketed index changes the physical layout, not the answer —
+    // identical oracle to embed_ivf_knn
+    "embed_ivf_knn_bucketed" -> SqlIvfKnn,
+    "embed_ivf_knn" -> SqlIvfKnn
+  )
+
+  private lazy val SqlIvfKnn: String =
       s"""WITH $SqlNorm,
          |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
          |       FROM (SELECT label, unnest(embedding) AS e,
@@ -275,5 +298,4 @@ object EmbedQueries {
          |                               ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= $K""".stripMargin
-  )
 }
