@@ -305,6 +305,13 @@ object DocQueries {
           (col("start_tok") % cap).as("bin_offset"))
     },
 
+    // Gopher/C4-style repetition & quality filters — the standard public
+    // pre-training heuristics (Rae et al. 2021 §A1.1, C4): duplicate-line
+    // fractions, top-n-gram character concentration, symbol-to-word
+    // ratio, mean word length, alphabetic-word fraction, and the
+    // composite keep flag. Entirely per-row expressions: ZERO shuffles.
+    "text_repetition_filters" -> ((s, dir) => repetitionFilters(docs(s, dir))),
+
     // Substring-level exact dedup: maximal verbatim token spans (≥ 50
     // tokens) appearing in ≥ 2 distinct documents — catches boilerplate /
     // license / memorization-risk spans embedded in otherwise-distinct
@@ -329,6 +336,65 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }
   )
+
+  /** Gopher-style repetition/quality signals for one document column —
+    * every metric a per-row array expression (no explode, no shuffle; the
+    * inner membership scans are O(n²) in DOC length with a small
+    * constant, the right trade against a per-gram shuffle at corpus
+    * scale). Duplicate-line fractions follow Rae et al.'s definition
+    * (occurrences beyond the first are "duplicate"; char fraction over
+    * the raw text length), top-n-gram concentration is the char share of
+    * the most frequent n-gram (ties → lexicographically smallest), and
+    * `keep` applies the published Gopher thresholds.
+    */
+  def repetitionFilters(d: DataFrame): DataFrame = {
+    val lines  = split(col("text"), "\n")
+    val dLines = array_distinct(lines)
+    def cntIn(arr: Column, needle: Column): Column =
+      size(filter(arr, x => x === needle))
+    // chars in line occurrences beyond each line's first, over total chars
+    val dupChars = aggregate(dLines, lit(0L),
+      (acc, l) => acc + (cntIn(lines, l) - 1).cast("long") * length(l))
+    def topGramFrac(n: Int): Column = {
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+      val idx = when(size(col("tk")) < n, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(col("tk")) - (n - 1)))
+      val grams = transform(idx,
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("tk"), i + j)): _*))
+      val dg     = array_distinct(grams)
+      val counts = transform(dg, g => cntIn(grams, g))
+      val maxCnt = coalesce(array_max(counts), lit(0))
+      val top    = array_min(filter(dg, g => cntIn(grams, g) === maxCnt))
+      // an unrepeated gram is no concentration — otherwise short clean
+      // docs score high just because any single gram is a big char share
+      when(maxCnt <= 1, lit(0.0)).otherwise(
+        round(maxCnt.cast("double") * length(top) / length(col("text")), 6))
+    }
+    val nWords  = size(col("tk"))
+    val symbols = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val meanLen = aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
+      .cast("double") / nWords
+    val alphaFrac = size(filter(col("tk"), w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    d.select(col("doc_id"), col("text"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        round((size(lines) - size(dLines)).cast("double") / size(lines), 6)
+          .as("dup_line_frac"),
+        round(dupChars.cast("double") / length(col("text")), 6)
+          .as("dup_line_char_frac"),
+        topGramFrac(2).as("top2gram_char_frac"),
+        topGramFrac(3).as("top3gram_char_frac"),
+        round(symbols.cast("double") / nWords, 6).as("symbol_word_ratio"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_word_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+          col("top2gram_char_frac") <= 0.20 && col("top3gram_char_frac") <= 0.18 &&
+          col("symbol_word_ratio") <= 0.10 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_word_frac") >= 0.80)
+  }
 
   /** Substring-level exact dedup (the public shingle-span approach):
     * hash every `w`-token window of every document with ONE O(n) rolling
@@ -636,6 +702,70 @@ object DocQueries {
         |       CAST(start_tok // 2048 AS BIGINT) AS bin_id,
         |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
         |FROM c""".stripMargin,
+    "text_repetition_filters" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ln,
+        |         string_split(text, ' ') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, ln, tk,
+        |    list_distinct(ln) AS dl,
+        |    CASE WHEN len(tk) < 2 THEN [] ELSE
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1]) END AS g2,
+        |    CASE WHEN len(tk) < 3 THEN [] ELSE
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) END AS g3
+        |  FROM b),
+        |f AS (
+        |  SELECT doc_id, text, ln, tk, dl, g2, g3,
+        |    list_max(list_transform(list_distinct(g2),
+        |      g -> len(list_filter(g2, x -> x = g)))) AS c2,
+        |    list_max(list_transform(list_distinct(g3),
+        |      g -> len(list_filter(g3, x -> x = g)))) AS c3
+        |  FROM m)
+        |SELECT doc_id,
+        |  round(CAST(len(ln) - len(dl) AS DOUBLE) / len(ln), 6) AS dup_line_frac,
+        |  round(CAST(list_sum(list_transform(dl,
+        |      l -> (len(list_filter(ln, x -> x = l)) - 1) * length(l))) AS DOUBLE)
+        |    / length(text), 6) AS dup_line_char_frac,
+        |  CASE WHEN c2 IS NULL OR c2 <= 1 THEN 0.0 ELSE
+        |    round(CAST(c2 AS DOUBLE) * length(
+        |      list_sort(list_filter(list_distinct(g2),
+        |        g -> len(list_filter(g2, x -> x = g)) = c2))[1]) / length(text), 6)
+        |  END AS top2gram_char_frac,
+        |  CASE WHEN c3 IS NULL OR c3 <= 1 THEN 0.0 ELSE
+        |    round(CAST(c3 AS DOUBLE) * length(
+        |      list_sort(list_filter(list_distinct(g3),
+        |        g -> len(list_filter(g3, x -> x = g)) = c3))[1]) / length(text), 6)
+        |  END AS top3gram_char_frac,
+        |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / len(tk), 6) AS symbol_word_ratio,
+        |  round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+        |    / len(tk), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / len(tk), 6) AS alpha_word_frac,
+        |  (round(CAST(len(ln) - len(dl) AS DOUBLE) / len(ln), 6) <= 0.30 AND
+        |   round(CAST(list_sum(list_transform(dl,
+        |       l -> (len(list_filter(ln, x -> x = l)) - 1) * length(l))) AS DOUBLE)
+        |     / length(text), 6) <= 0.20 AND
+        |   CASE WHEN c2 IS NULL OR c2 <= 1 THEN 0.0 ELSE
+        |     round(CAST(c2 AS DOUBLE) * length(
+        |       list_sort(list_filter(list_distinct(g2),
+        |         g -> len(list_filter(g2, x -> x = g)) = c2))[1]) / length(text), 6)
+        |   END <= 0.20 AND
+        |   CASE WHEN c3 IS NULL OR c3 <= 1 THEN 0.0 ELSE
+        |     round(CAST(c3 AS DOUBLE) * length(
+        |       list_sort(list_filter(list_distinct(g3),
+        |         g -> len(list_filter(g3, x -> x = g)) = c3))[1]) / length(text), 6)
+        |   END <= 0.18 AND
+        |   round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |     / len(tk), 6) <= 0.10 AND
+        |   round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+        |     / len(tk), 6) BETWEEN 3.0 AND 10.0 AND
+        |   round(CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |     / len(tk), 6) >= 0.80) AS keep
+        |FROM f""".stripMargin,
     // Same arithmetic as RollingHash/WindowPolyHash: byte-level base-257
     // token hashes folded at token level with base 1000003, both mod
     // 2^61−1 (HUGEINT keeps products exact; ord≡byte on this ASCII
