@@ -14,19 +14,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist a frame bucketed (and sorted) by the join key. */
+  /** Persist a frame bucketed (and sorted) by the join key. Idempotent
+    * across JVMs: a managed-table LOCATION left behind by a previous
+    * session (whose in-memory catalog died with it) is cleared first —
+    * otherwise saveAsTable fails with LOCATION_ALREADY_EXISTS even in
+    * Overwrite mode, because the fresh catalog has no table to overwrite.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
       buckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath).resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — zero shuffles. */
   def colocatedJoin(

@@ -211,34 +211,30 @@ object WriterModules {
       // when cumulative events exceed lastCue + interval, the new anchor
       // being that message's last event index. Event counts jump per
       // message, so the anchor is data-dependent and inherently
-      // sequential; each link resolves with one tiny min-aggregate over
-      // the (row, count) projection — #jobs = #cues in the batch (bounded
-      // by batchEvents / interval; the reference default is 10⁸ events).
+      // sequential — resolved in ONE Spark job: the (row, ea, cue_ts)
+      // projection (3 longs per message, bounded by the batch's message
+      // count, not its event count) is collected row-ordered and the
+      // greedy chain walked locally, exactly the reference's per-message
+      // loop. Replaces one filter+limit(1) driver round-trip per cue
+      // link, which degenerated at small configured intervals.
       val interval = cfg.long("cue_interval").getOrElse(100000000L)
-      val cand = nonEmpty.select(
+      val msgs = nonEmpty.select(
         col("row"),
         (col("events_after") + lit(cur.eventsWritten)).as("ea"),
         (element_at(col("reference_time"), -1) +
           element_at(col("time_of_flight"), -1).cast("long")).as("cue_ts"))
-        .persist()
+        .orderBy("row").collect()
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      try {
-        var last     = cur.lastCue
-        var draining = true
-        while (draining) {
-          val h = cand.filter(col("ea") > lit(last + interval))
-            .orderBy(col("row")).limit(1).collect()
-          if (h.isEmpty) draining = false
-          else {
-            val r = h(0)
-            // sort key = the global event index itself: monotone and
-            // unique across batches with no renumber pass
-            hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
-              r.getAs[Long]("cue_ts")))
-            last = r.getAs[Long]("ea") - 1
-          }
+      var last = cur.lastCue
+      msgs.foreach { r =>
+        if (r.getAs[Long]("ea") > last + interval) {
+          // sort key = the global event index itself: monotone and
+          // unique across batches with no renumber pass
+          hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
+            r.getAs[Long]("cue_ts")))
+          last = r.getAs[Long]("ea") - 1
         }
-      } finally cand.unpersist()
+      }
       val session = df.sparkSession
       import session.implicits._
       val cue = hits.toSeq.toDF("row", "cue_index", "cue_timestamp_zero")

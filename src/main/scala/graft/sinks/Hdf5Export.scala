@@ -11,10 +11,12 @@ import org.json4s.jackson.JsonMethods
   * (manifest + tables) into one native `.h5` file via [[Hdf5Writer]] — the
   * "custom HDF5 sink" end of the pipeline. Runs driver-side single-writer,
   * exactly the discipline of the reference's writer thread
-  * (`src/Stream/MessageWriter.cpp:31-36`); each column streams through
-  * `toLocalIterator` chunks into the writer's buffer, so the memory
-  * ceiling is the emitted file itself, never a full `collect()` of a
-  * table in Row form.
+  * (`src/Stream/MessageWriter.cpp:31-36`). Each table is scanned in ONE
+  * Spark action: a single `toLocalIterator` pass demuxes every row into
+  * per-column builders (string byte-widths and array-uniformity checks
+  * ride the same pass), so a k-column table costs one job, not k+ — and
+  * buffering full columns costs no extra ceiling because the writer's
+  * output buffer already holds the entire file.
   */
 object Hdf5Export {
 
@@ -53,14 +55,12 @@ object Hdf5Export {
           val sorted =
             if (df.columns.contains("row")) df.orderBy("row") else df
           val groupKey = par.mkString("/")
-          sorted.schema.fields.filterNot(_.name == "row").foreach { f =>
-            streamedColumn(sorted, f).foreach { dv =>
-              val unitAttr = units.get(groupKey).flatMap(_.get(f.name))
-                .map(u => Seq("units" -> (StrAttr(u): AttrValue))).getOrElse(Nil)
-              val name = if (table == "data" || table == "meta") f.name
-                         else s"${table}_${f.name}"
-              tree.addDataset(par, Dataset(name, dv, unitAttr))
-            }
+          tableColumns(sorted).foreach { case (f, dv) =>
+            val unitAttr = units.get(groupKey).flatMap(_.get(f.name))
+              .map(u => Seq("units" -> (StrAttr(u): AttrValue))).getOrElse(Nil)
+            val name = if (table == "data" || table == "meta") f.name
+                       else s"${table}_${f.name}"
+            tree.addDataset(par, Dataset(name, dv, unitAttr))
           }
           groupAttrs.get(groupKey).foreach(as =>
             tree.addAttrs(par, as.map { case (k, v) => k -> (StrAttr(v): AttrValue) }.toSeq))
@@ -219,62 +219,121 @@ object Hdf5Export {
     case _ => Map.empty
   }
 
-  /** rows pulled per chunk — bounds driver memory to one chunk per pull. */
-  private val ChunkRows = 65536
-
-  /** One column as a lazily-streamed dataset: the writer pulls chunks off
-    * `toLocalIterator` (one Spark partition resident at a time) instead of
-    * a full `collect()`, so the export's memory ceiling is the emitted file
-    * bytes, not 2× the largest table in Row form. A zero-length typed seed
-    * chunk pins the dtype of empty columns.
+  /** Every exportable column of one table from ONE `toLocalIterator`
+    * pass: each row is demuxed into per-column builders; string columns
+    * track their max UTF-8 byte-width and array columns their width
+    * uniformity in the same pass (ragged or empty array columns are
+    * skipped, as before). A zero-length typed seed chunk pins the dtype
+    * of empty columns.
     */
-  private def streamedColumn(
-      df: org.apache.spark.sql.DataFrame,
-      f: StructField
-  ): Option[DataValue] = {
+  private def tableColumns(df: org.apache.spark.sql.DataFrame)
+      : Seq[(StructField, DataValue)] = {
+    import scala.collection.mutable
     import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.functions.{col, expr, size => asize}
-    def rows = df.select(col(f.name)).toLocalIterator().asScala
-    def chunks[T](seed: DataValue)(enc: Seq[org.apache.spark.sql.Row] => DataValue)
-        : () => Iterator[DataValue] =
-      () => Iterator(seed) ++ rows.grouped(ChunkRows).map(enc)
-    f.dataType match {
-      case LongType => Some(StreamedData(chunks(I64Data(Array.empty[Long]))(rs =>
-        I64Data(rs.map(_.getLong(0)).toArray))))
-      case IntegerType => Some(StreamedData(chunks(I32Data(Array.empty[Int]))(rs =>
-        I32Data(rs.map(_.getInt(0)).toArray))))
-      case ShortType => Some(StreamedData(chunks(I16Data(Array.empty[Short]))(rs =>
-        I16Data(rs.map(_.getShort(0)).toArray))))
-      case DoubleType => Some(StreamedData(chunks(F64Data(Array.empty[Double]))(rs =>
-        F64Data(rs.map(_.getDouble(0)).toArray))))
-      case BooleanType => Some(StreamedData(chunks(I16Data(Array.empty[Short]))(rs =>
-        I16Data(rs.map(r => if (r.getBoolean(0)) 1.toShort else 0.toShort).toArray))))
-      case StringType =>
-        // fixed-width strings need the global max byte-width up front
-        val w = Option(df.agg(expr(s"max(octet_length(`${f.name}`))")).head.get(0))
-          .map(_.asInstanceOf[Number].intValue).getOrElse(1)
-        Some(StreamedData(chunks(StrData(Array.empty[String]))(rs =>
-          StrData(rs.map(r => Option(r.getString(0)).getOrElse("")).toArray)),
-          strWidth = math.max(1, w)))
-      case ArrayType(et, _) =>
-        // uniform-width array columns become 2-D datasets; ragged skipped
-        val widths = df.select(asize(col(f.name)).as("w")).distinct()
-          .collect().map(_.getInt(0))
-        if (widths.length != 1 || widths.head <= 0) None
-        else {
-          val w = widths.head
-          et match {
-            case DoubleType => Some(StreamedData(chunks(F64Data(Array.empty[Double]))(rs =>
-              F64Data(rs.flatMap(_.getSeq[Double](0)).toArray)), rowWidth = w))
-            case LongType => Some(StreamedData(chunks(I64Data(Array.empty[Long]))(rs =>
-              I64Data(rs.flatMap(_.getSeq[Long](0)).toArray)), rowWidth = w))
-            case IntegerType => Some(StreamedData(chunks(I32Data(Array.empty[Int]))(rs =>
-              I32Data(rs.flatMap(_.getSeq[Int](0)).toArray)), rowWidth = w))
-            case _ => None
-          }
-        }
-      case _ => None
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+
+    def streamed(seed: DataValue, data: DataValue, strWidth: Int = 0,
+        rowWidth: Int = 0): DataValue =
+      StreamedData(() => Iterator(seed, data), strWidth, rowWidth)
+
+    sealed trait Acc {
+      def add(r: Row, i: Int): Unit
+      def result(): Option[DataValue]
     }
+    final class LongAcc extends Acc {
+      private val b = mutable.ArrayBuilder.make[Long]
+      def add(r: Row, i: Int): Unit = b += (if (r.isNullAt(i)) 0L else r.getLong(i))
+      def result() = Some(streamed(I64Data(Array.empty[Long]), I64Data(b.result())))
+    }
+    final class IntAcc extends Acc {
+      private val b = mutable.ArrayBuilder.make[Int]
+      def add(r: Row, i: Int): Unit = b += (if (r.isNullAt(i)) 0 else r.getInt(i))
+      def result() = Some(streamed(I32Data(Array.empty[Int]), I32Data(b.result())))
+    }
+    final class ShortAcc extends Acc {
+      private val b = mutable.ArrayBuilder.make[Short]
+      def add(r: Row, i: Int): Unit =
+        b += (if (r.isNullAt(i)) 0.toShort else r.getShort(i))
+      def result() = Some(streamed(I16Data(Array.empty[Short]), I16Data(b.result())))
+    }
+    final class DoubleAcc extends Acc {
+      private val b = mutable.ArrayBuilder.make[Double]
+      def add(r: Row, i: Int): Unit =
+        b += (if (r.isNullAt(i)) 0.0 else r.getDouble(i))
+      def result() = Some(streamed(F64Data(Array.empty[Double]), F64Data(b.result())))
+    }
+    final class BoolAcc extends Acc {
+      private val b = mutable.ArrayBuilder.make[Short]
+      def add(r: Row, i: Int): Unit =
+        b += (if (!r.isNullAt(i) && r.getBoolean(i)) 1.toShort else 0.toShort)
+      def result() = Some(streamed(I16Data(Array.empty[Short]), I16Data(b.result())))
+    }
+    final class StrAcc extends Acc {
+      private val b    = mutable.ArrayBuffer.empty[String]
+      private var maxW = 1
+      def add(r: Row, i: Int): Unit = {
+        val s = if (r.isNullAt(i)) "" else r.getString(i)
+        maxW = math.max(maxW, s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+        b += s
+      }
+      def result() = Some(streamed(StrData(Array.empty[String]),
+        StrData(b.toArray), strWidth = maxW))
+    }
+    /** Flat 2-D accumulator; bails out on ragged widths. */
+    final class ArrAcc(elem: DataType) extends Acc {
+      private val dbl = mutable.ArrayBuilder.make[Double]
+      private val lng = mutable.ArrayBuilder.make[Long]
+      private val int = mutable.ArrayBuilder.make[Int]
+      private var w       = -1
+      private var ragged  = false
+      def add(r: Row, i: Int): Unit = if (!ragged) {
+        val s = if (r.isNullAt(i)) Nil else r.getSeq[Any](i)
+        if (w < 0) w = s.length
+        if (s.length != w) ragged = true
+        else elem match {
+          case DoubleType  => s.foreach(x => dbl += x.asInstanceOf[Double])
+          case LongType    => s.foreach(x => lng += x.asInstanceOf[Long])
+          case IntegerType => s.foreach(x => int += x.asInstanceOf[Int])
+          case _           => ragged = true
+        }
+      }
+      def result() =
+        if (ragged || w <= 0) None
+        else elem match {
+          case DoubleType => Some(streamed(F64Data(Array.empty[Double]),
+            F64Data(dbl.result()), rowWidth = w))
+          case LongType => Some(streamed(I64Data(Array.empty[Long]),
+            I64Data(lng.result()), rowWidth = w))
+          case IntegerType => Some(streamed(I32Data(Array.empty[Int]),
+            I32Data(int.result()), rowWidth = w))
+          case _ => None
+        }
+    }
+
+    val fields = df.schema.fields.filterNot(_.name == "row").toSeq
+    val used: Seq[(StructField, Acc)] = fields.flatMap { f =>
+      val acc: Option[Acc] = f.dataType match {
+        case LongType    => Some(new LongAcc)
+        case IntegerType => Some(new IntAcc)
+        case ShortType   => Some(new ShortAcc)
+        case DoubleType  => Some(new DoubleAcc)
+        case BooleanType => Some(new BoolAcc)
+        case StringType  => Some(new StrAcc)
+        case ArrayType(et @ (DoubleType | LongType | IntegerType), _) =>
+          Some(new ArrAcc(et))
+        case _ => None
+      }
+      acc.map(f -> _)
+    }
+    if (used.nonEmpty) {
+      df.select(used.map { case (f, _) => col(f.name) }: _*)
+        .toLocalIterator().asScala.foreach { r =>
+          var i = 0
+          while (i < used.length) { used(i)._2.add(r, i); i += 1 }
+        }
+    }
+    used.flatMap { case (f, a) => a.result().map(f -> _) }
   }
 
   /** path-keyed tree assembled incrementally, emitted as writer nodes. */

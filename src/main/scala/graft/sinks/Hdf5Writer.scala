@@ -119,13 +119,21 @@ final class Hdf5Writer {
   private val SnodBytes  = 8 + 2 * LeafK * 40
   private val BtreeBytes = 24 + (2 * InternalK + 1) * 8 + 2 * InternalK * 8
 
+  /** strcmp over UTF-8 bytes (unsigned) — libhdf5's link-name comparator. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** Returns the group's object header address. */
   private def writeGroup(g: Group): Long = {
     // children first (addresses needed for the symbol table)
+    // libhdf5 orders links by strcmp over UTF-8 bytes; Scala String
+    // ordering compares UTF-16 code units, which disagrees for
+    // supplementary characters — sort by unsigned byte sequence
     val entries = g.children.map {
       case c: Group   => (c.name, writeGroup(c))
       case d: Dataset => (d.name, writeDataset(d))
-    }.sortBy(_._1)
+    }.sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
 
     // local heap with the child names
     val heapData = new ByteArrayOutputStream
@@ -407,7 +415,19 @@ final class Hdf5Writer {
     def patch(at: Int, bytes: Array[Byte]): Unit =
       System.arraycopy(bytes, 0, arr, at, bytes.length)
     def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, used)
-    private def ensure(n: Int): Unit =
-      while (used + n > arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    private def ensure(n: Int): Unit = {
+      // int doubling overflows negative past 1 GiB; the buffer (like the
+      // format's in-memory single-allocation design) caps at <2 GiB —
+      // fail loudly instead of throwing NegativeArraySizeException
+      val MaxLen = Integer.MAX_VALUE - 8
+      if (used.toLong + n > MaxLen)
+        throw new IllegalStateException(
+          s"HDF5 output exceeds the ${MaxLen} byte in-memory buffer cap " +
+            "(split the export or stream to a FileChannel)")
+      while (used + n > arr.length) {
+        val next = math.min(MaxLen.toLong, arr.length.toLong * 2).toInt
+        arr = java.util.Arrays.copyOf(arr, math.max(next, used + n))
+      }
+    }
   }
 }

@@ -53,6 +53,27 @@ object Fixtures {
   final case class TdctMsg(topic: String, source_name: String, offset: Long,
       kafka_ts_ms: Long, ts: Long, timestamps: Seq[Long])
 
+  /** Typed zero-row message frame per schema id — the create-phase seed:
+    * the reference creates every stream's datasets (empty) at structure
+    * creation (`HDFOperations`/module `init_hdf`), so a stream that never
+    * receives a message still materializes its tables.
+    */
+  def emptyInput(spark: org.apache.spark.sql.SparkSession,
+      moduleId: String): Option[org.apache.spark.sql.DataFrame] = {
+    import spark.implicits._
+    moduleId match {
+      case "f144" => Some(spark.emptyDataset[F144Msg].toDF())
+      case "ep01" => Some(spark.emptyDataset[Ep01Msg].toDF())
+      case "al00" => Some(spark.emptyDataset[Al00Msg].toDF())
+      case "ev44" => Some(spark.emptyDataset[Ev44Msg].toDF())
+      case "ad00" => Some(spark.emptyDataset[Ad00Msg].toDF())
+      case "da00" => Some(spark.emptyDataset[Da00Msg].toDF())
+      case "se00" => Some(spark.emptyDataset[Se00Msg].toDF())
+      case "tdct" => Some(spark.emptyDataset[TdctMsg].toDF())
+      case _      => None
+    }
+  }
+
   private def num(jv: JValue): Double = jv match {
     case JInt(i)     => i.toDouble
     case JLong(l)    => l.toDouble

@@ -341,6 +341,31 @@ class StreamingJob(
         }
       }
     }
+    // create-phase parity (`HDFOperations` init): every table a module
+    // declares exists even when no message ever reached it — readers that
+    // open datasets by name (as the reference's files always allow) must
+    // not hit missing-dataset errors. Typed zero-row seeds are appended
+    // for declared-but-never-written tables only.
+    plan.streams.foreach { s =>
+      WriterModules.registry.get(s.module).foreach { module =>
+        val key = streamKey(s)
+        val written = states.get(key).map(_.rowsWritten.keySet)
+          .getOrElse(Set.empty[String])
+        graft.sources.Fixtures.emptyInput(spark, module.id).foreach { empty =>
+          val declared =
+            try module.tables(empty, ModuleConfig(s.config), WriterModules.Cursor())
+            catch { case _: Exception => Map.empty[String, DataFrame] }
+          declared.foreach { case (table, out) =>
+            if (!written.contains(table))
+              try sink.append(key, table, out, rows = 0)
+              catch {
+                case e: Exception => System.err.println(
+                  s"[graft] empty-seed append failed for $key/$table: ${e.getMessage}")
+              }
+          }
+        }
+      }
+    }
     val units = plan.streams.flatMap { s =>
       WriterModules.registry.get(s.module).map(m =>
         streamKey(s) -> m.units(ModuleConfig(s.config)))

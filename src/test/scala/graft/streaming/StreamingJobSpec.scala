@@ -38,6 +38,23 @@ class StreamingJobSpec extends SparkSpec {
   private def newJob(out: String) =
     new StreamingJob(spark, NexusPlan.parse(template), out, 10000, 15000)
 
+  test("finish materializes declared tables for streams with no messages") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    // only f144 sees data; the ev44 stream never receives a message
+    job.processBatch("f144", Seq(f144(0, 10100, 1.0)).toDF())
+    job.finish()
+    // ev44 declares events/index/cue — all must exist, zero rows, typed
+    for (t <- Seq("events", "index", "cue")) {
+      val df = spark.read.parquet(s"$out/data/entry/events/$t")
+      assert(df.count() == 0, s"$t should be an empty seed")
+    }
+    assert(spark.read.parquet(s"$out/data/entry/events/events")
+      .schema.fieldNames.toSet == Set("row", "event_time_offset", "event_id"))
+    // the written f144 data table is untouched by seeding
+    assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
+  }
+
   test("f144: dedup across batches, buffered pre-start, strict finish") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
