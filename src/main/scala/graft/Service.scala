@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.commands.{CommandLoop, CommandTransport, Durations, Master}
+
+/** The service entry point — CLI parity with the reference's
+  * `apps/kafka-to-nexus.cpp:187-412` (option names, required options,
+  * duration grammar, default service id) wiring `Master` + `CommandLoop`
+  * over the [[graft.commands.CommandTransport]] seam: while idle poll the
+  * job pool, while writing poll the (possibly run-specific) command
+  * topic, heartbeat x5f2 on its own cadence, stop-monitor every tick.
+  *
+  * The transport is pluggable via [[Service.transportFactory]]: a real
+  * deployment installs a kafka-clients-backed implementation (no Kafka
+  * client library exists in this build, so the default factory fails
+  * loudly); tests and embedded uses install an in-memory transport —
+  * the end-to-end choreography is proven in ServiceSpec against it.
+  */
+object Service {
+
+  final case class Config(
+      brokers: String = "",
+      commandStatusTopic: String = "",
+      jobPoolTopic: String = "",
+      hdfOutputPrefix: String = ".",
+      serviceName: String = defaultServiceId,
+      statusMasterIntervalMs: Long = 2000L,
+      timeBeforeStartMs: Long = 10000L,
+      timeAfterStopMs: Long = 10000L,
+      pollIntervalMs: Long = 500L,
+      // operational bound for embedded/sandboxed runs: exit after N ticks
+      // (0 = run until the process is stopped, the reference's behavior)
+      maxTicks: Long = 0L,
+      printVersion: Boolean = false
+  )
+
+  /** `kafka-to-nexus`-style default service id: host + pid
+    * (`MainOpt::getDefaultServiceId`).
+    */
+  def defaultServiceId: String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:${ProcessHandle.current().pid()}"
+
+  /** Installed by deployments/tests; the default refuses to start rather
+    * than pretending a broker connection exists.
+    */
+  @volatile var transportFactory: Config => CommandTransport = { _ =>
+    throw new IllegalStateException(
+      "no Kafka client library on the classpath — install a " +
+        "CommandTransport via Service.transportFactory")
+  }
+
+  /** Parse the reference's option surface. Unknown options and malformed
+    * durations are errors, as in CLI11.
+    */
+  def parseArgs(args: Seq[String]): Either[String, Config] = {
+    def dur(name: String, v: String): Either[String, Long] =
+      Durations.parseMs(v).toRight(s"$name: cannot parse duration '$v'")
+    @annotation.tailrec
+    def go(rest: List[String], cfg: Config): Either[String, Config] = rest match {
+      case Nil => Right(cfg)
+      case "--version" :: t => go(t, cfg.copy(printVersion = true))
+      case "--brokers" :: v :: t => go(t, cfg.copy(brokers = v))
+      case "--command-status-topic" :: v :: t =>
+        go(t, cfg.copy(commandStatusTopic = v))
+      case "--job-pool-topic" :: v :: t => go(t, cfg.copy(jobPoolTopic = v))
+      case "--hdf-output-prefix" :: v :: t =>
+        go(t, cfg.copy(hdfOutputPrefix = v))
+      case "--service-name" :: v :: t => go(t, cfg.copy(serviceName = v))
+      case "--status-master-interval" :: v :: t => dur(rest.head, v) match {
+        case Right(ms) => go(t, cfg.copy(statusMasterIntervalMs = ms))
+        case Left(e)   => Left(e)
+      }
+      case "--time-before-start" :: v :: t => dur(rest.head, v) match {
+        case Right(ms) => go(t, cfg.copy(timeBeforeStartMs = ms))
+        case Left(e)   => Left(e)
+      }
+      case "--time-after-stop" :: v :: t => dur(rest.head, v) match {
+        case Right(ms) => go(t, cfg.copy(timeAfterStopMs = ms))
+        case Left(e)   => Left(e)
+      }
+      case "--poll-interval" :: v :: t => dur(rest.head, v) match {
+        case Right(ms) => go(t, cfg.copy(pollIntervalMs = ms))
+        case Left(e)   => Left(e)
+      }
+      case "--max-ticks" :: v :: t =>
+        v.toLongOption match {
+          case Some(n) => go(t, cfg.copy(maxTicks = n))
+          case None    => Left(s"--max-ticks: not a number '$v'")
+        }
+      case other :: _ => Left(s"unknown option '$other'")
+    }
+    go(args.toList, Config()).flatMap { cfg =>
+      if (cfg.printVersion) Right(cfg)
+      else if (cfg.brokers.isEmpty) Left("--brokers is required")
+      else if (cfg.commandStatusTopic.isEmpty)
+        Left("--command-status-topic is required")
+      else if (cfg.jobPoolTopic.isEmpty) Left("--job-pool-topic is required")
+      else Right(cfg)
+    }
+  }
+
+  /** The service loop (`Master::run`): returns the number of ticks run.
+    * `shouldStop` is checked every iteration on top of `maxTicks`.
+    */
+  def run(
+      spark: SparkSession,
+      cfg: Config,
+      transport: CommandTransport,
+      shouldStop: () => Boolean = () => false,
+      clock: () => Long = () => System.currentTimeMillis()
+  ): Long = {
+    val master = new Master(spark, cfg.serviceName, cfg.hdfOutputPrefix)
+    val loop   = new CommandLoop(master, transport, cfg.statusMasterIntervalMs)
+    var ticks  = 0L
+    while (!shouldStop() && (cfg.maxTicks == 0L || ticks < cfg.maxTicks)) {
+      loop.tick(clock())
+      ticks += 1
+      if (cfg.pollIntervalMs > 0) Thread.sleep(cfg.pollIntervalMs)
+    }
+    ticks
+  }
+
+  def main(args: Array[String]): Unit =
+    parseArgs(args.toIndexedSeq) match {
+      case Left(err) =>
+        System.err.println(s"graft-service: $err")
+        sys.exit(2)
+      case Right(cfg) if cfg.printVersion =>
+        println("graft-service 0.1")
+      case Right(cfg) =>
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .appName(s"graft-service ${cfg.serviceName}")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        run(spark, cfg, transportFactory(cfg))
+    }
+}
