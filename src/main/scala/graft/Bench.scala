@@ -7,11 +7,17 @@ import org.apache.spark.sql.SparkSession
   * seconds. Results are forced through the noop writer so the full plan
   * (including column materialization) executes — a bare `count()` lets the
   * scan skip columns and under-reports.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+  * PER-QUERY MEDIAN is reported: single runs on a shared machine swing
+  * ±25% and have repeatedly mimicked regressions that were load, not
+  * plans. The total is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,16 +45,28 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // stable ordering for comparable per-round numbers
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> runOne(name, fn)
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.length % 2 == 1) ok(ok.length / 2)
+      else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2
+    }
+
+    // stable ordering for comparable per-round numbers; whole suite
+    // repeated (not back-to-back per query) so cache warmth is uniform
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) => runOne(name, fn) }
+    }
+    val results = names.map(_._1).zipWithIndex.map { case (name, i) =>
+      name -> median(samples.map(_(i)))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

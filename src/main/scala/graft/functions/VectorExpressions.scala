@@ -97,6 +97,45 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Random-hyperplane (SimHash) signature: bit i set when v·hᵢ ≥ 0 over
+    * a literal plane matrix — ONE pass over the vector for all planes.
+    * The sign-of-projection LSH family for cosine similarity (Charikar
+    * STOC'02), the embedding-space analog of the text SimHash.
+    */
+  case class RpSignature(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val m: Array[Array[Double]] = planes.map(_.toArray).toArray
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any = {
+      val v   = toDoubles(a)
+      var sig = 0L
+      var p = 0
+      while (p < m.length) {
+        val h = m(p)
+        val n = math.min(v.length, h.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += v(i) * h(i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): RpSignature =
+      copy(child = c)
+  }
+
+  /** Deterministic dyadic-rational hyperplanes: component (i,j) is
+    * ((i·dim+j)·2654435761 + 12345 mod 1024 − 512) / 512 — exact integer
+    * arithmetic then division by a power of two, so ANY engine (the
+    * DuckDB oracle included) reproduces the doubles bit-for-bit, unlike
+    * seeded Gaussians.
+    */
+  def dyadicPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(i => (0 until dim).map { j =>
+      val k = (i.toLong * dim + j) * 2654435761L + 12345L
+      ((k % 1024L) - 512L).toDouble / 512.0
+    })
+
   // ---- column API ----------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge.{column, expression => toExpr}
@@ -107,4 +146,6 @@ object VectorExpressions {
     column(CentroidDists(toExpr(v), cents))
   def nearest_centroid(v: Column, cents: Seq[Seq[Double]]): Column =
     column(NearestCentroid(toExpr(v), cents))
+  def rp_signature(v: Column, planes: Seq[Seq[Double]]): Column =
+    column(RpSignature(toExpr(v), planes))
 }

@@ -147,30 +147,7 @@ object DocQueries {
     // Shingle sets RIDE THROUGH the band join (4 band rows per doc), so the
     // md5-shingling pipeline runs once and the verify step needs no
     // re-join back to the corpus — one self-join total, no recomputation.
-    "dedup_minhash_lsh" -> { (s, dir) =>
-      val sh = shingled(docs(s, dir))
-      val sig = sh
-        .withColumn("hx", shingleHashes(col("shd")))
-        .select(
-          col("doc_id") +: col("shd") +:
-            (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
-        )
-      val bandStructs = (0 until Bands).map { bnd =>
-        val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
-        struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
-      }
-      val bands = sig.select(col("doc_id"), col("shd"),
-        explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("shd"),
-          col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      bands.as("x")
-        .join(bands.as("y"), Seq("band", "bkey"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          jaccard(col("x.shd"), col("y.shd")).as("jac"))
-        .filter(col("jac") >= 0.4)
-        .distinct() // a pair can collide in several bands
-    },
+    "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))),
 
     // SimHash signature per doc: 32 bits, majority vote over token hashes.
     // Native one-pass expression (zero shuffles, no tokens×32 row blowup);
@@ -187,7 +164,7 @@ object DocQueries {
     // the star forest, so labels need no separate propagation (see
     // [[graft.operators.ConnectedComponents]]).
     "dedup_clusters" -> { (s, dir) =>
-      val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      val pairs = minhashLshPairs(docs(s, dir)).select("doc_a", "doc_b")
       graft.operators.ConnectedComponents.labels(pairs)._1
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
@@ -220,20 +197,13 @@ object DocQueries {
 
     // Dedup DROP LIST — the step real pipelines ship: for every verified
     // near-dup pair, the lower-quality member is dropped (tie → keep the
-    // lower doc_id). Linear in the pair count; composes the LSH verify
-    // with the quality score through two keyed joins.
+    // lower doc_id). Linear in the pair count; composes [[minhashLshPairs]]
+    // with the quality score through two keyed joins (see [[dropList]] for
+    // the reuse-friendly form).
     "dedup_drop_list" -> { (s, dir) =>
-      val pairs = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
-      val q = queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score"))
-      pairs
-        .join(q.select(col("doc_id").as("doc_a"), col("quality_score").as("qa")), "doc_a")
-        .join(q.select(col("doc_id").as("doc_b"), col("quality_score").as("qb")), "doc_b")
-        .select(
-          when(col("qa") > col("qb"), col("doc_b"))
-            .when(col("qb") > col("qa"), col("doc_a"))
-            .otherwise(col("doc_b")) // tie → survivor is the lower id
-            .as("doc_id"))
-        .distinct()
+      dropList(
+        minhashLshPairs(docs(s, dir)),
+        queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score")))
     },
 
     // PII masking: email addresses then long digit runs replaced by
@@ -336,6 +306,57 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }
   )
+
+  /** MinHash + LSH verified near-dup pairs `(doc_a, doc_b, jac)` — the
+    * REUSABLE pair frame: 16 signatures in 4 bands × 4 rows; candidates
+    * share a band key (equality shuffle join), then exact Jaccard
+    * verification. Shingle sets RIDE THROUGH the band join (4 band rows
+    * per doc), so the md5-shingling pipeline runs once and the verify
+    * step needs no re-join back to the corpus — one self-join total.
+    * A real pipeline computes this once and feeds clusters / drop-list /
+    * survivor selection from the same frame (`.persist()` at the call
+    * site); the oracle harness runs each dependent query self-contained.
+    */
+  def minhashLshPairs(d: DataFrame): DataFrame = {
+    val sh = shingled(d)
+    val sig = sh
+      .withColumn("hx", shingleHashes(col("shd")))
+      .select(
+        col("doc_id") +: col("shd") +:
+          (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
+      )
+    val bandStructs = (0 until Bands).map { bnd =>
+      val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
+      struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), col("shd"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("shd"),
+        col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.as("x")
+      .join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        jaccard(col("x.shd"), col("y.shd")).as("jac"))
+      .filter(col("jac") >= 0.4)
+      .distinct() // a pair can collide in several bands
+  }
+
+  /** Drop-list from a verified pair frame + per-doc quality: for every
+    * near-dup pair the lower-quality member is dropped (tie → keep the
+    * lower doc_id). The library-surface form of `dedup_drop_list`:
+    * callers pass an already-persisted `pairs` so nothing recomputes.
+    */
+  def dropList(pairs: DataFrame, quality: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .join(quality.select(col("doc_id").as("doc_a"), col("quality_score").as("qa")), "doc_a")
+      .join(quality.select(col("doc_id").as("doc_b"), col("quality_score").as("qb")), "doc_b")
+      .select(
+        when(col("qa") > col("qb"), col("doc_b"))
+          .when(col("qb") > col("qa"), col("doc_a"))
+          .otherwise(col("doc_b")) // tie → survivor is the lower id
+          .as("doc_id"))
+      .distinct()
 
   /** Gopher-style repetition/quality signals for one document column —
     * every metric a per-row array expression (no explode, no shuffle; the

@@ -74,6 +74,36 @@ object EmbedQueries {
         .filter(col("cosine") >= 0.5)
     },
 
+    // Random-hyperplane LSH near-dup pairs (Charikar's sign-of-projection
+    // family): a 16-bit signature per vector from ONE native pass over
+    // literal dyadic-rational hyperplanes, banded 4×4 bits so candidate
+    // pairs share a (band, bits) key — an equality shuffle join over the
+    // corpus with NO label/cell prerequisite, the embedding-space analog
+    // of the text SimHash blocking. Exact cosine verification after.
+    "embed_rp_lsh_neardup" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
+      val planes = dyadicPlanes(16, 64)
+      val e = withNorm(emb(s, dir))
+        .withColumn("sig", rp_signature(col("v"), planes))
+      val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits")))
+      val banded = e
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array(bandCols: _*)).as("rb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rb.band").as("band"), col("rb.bits").as("bits"))
+      val a = banded.select(col("band"), col("bits"),
+        col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = banded.select(col("band"), col("bits"),
+        col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("band", "bits"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .distinct() // a pair can collide in several bands
+    },
+
     // IVF coarse step: per-label centroid (element-wise mean).
     "embed_centroids" -> ((s, dir) =>
       emb(s, dir)
@@ -212,6 +242,30 @@ object EmbedQueries {
          |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
+    // hyperplane components are exact dyadic rationals from integer
+    // arithmetic — both engines reproduce the doubles bit-for-bit
+    "embed_rp_lsh_neardup" ->
+      s"""WITH $SqlNorm,
+         |pl AS (
+         |  SELECT i, list_transform(generate_series(0, 63),
+         |    j -> CAST((((i * 64 + j) * 2654435761 + 12345) % 1024) - 512 AS DOUBLE)
+         |         / 512.0) AS pv
+         |  FROM generate_series(0, 15) t(i)),
+         |sig AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(v, pv) >= 0
+         |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM n, pl GROUP BY vec_id),
+         |sb AS (
+         |  SELECT n.vec_id, n.v, n.nrm, b.band AS band,
+         |         (sig >> (4 * b.band)) & 15 AS bits
+         |  FROM sig JOIN n USING (vec_id), generate_series(0, 3) b(band))
+         |SELECT DISTINCT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM sb a JOIN sb b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3""".stripMargin,
     "embed_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS centroid
         |FROM (SELECT label, unnest(embedding) AS e,
