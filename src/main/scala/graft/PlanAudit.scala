@@ -21,7 +21,8 @@ object PlanAudit {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("f1_route_source", "q6_forecast_revenue", "dedup_exact",
-        "sample_stratified", "dedup_minhash_lsh", "q3_shipping_priority")
+        "sample_stratified", "dedup_minhash_lsh", "q3_shipping_priority",
+        "dedup_substring_spans", "embed_rp_lsh_neardup")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
