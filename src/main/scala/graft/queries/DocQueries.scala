@@ -288,6 +288,11 @@ object DocQueries {
     // docs, which doc-level MinHash misses (see [[substringSpans]]).
     "dedup_substring_spans" -> ((s, dir) => substringSpans(docs(s, dir), 50)),
 
+    // The consuming rewrite: every non-canonical duplicated span
+    // (canonical = min doc_id per span fingerprint) is CUT from the
+    // text, token-aligned, overlapping ranges merged (see [[dropSpans]]).
+    "dedup_substring_drop" -> ((s, dir) => dropSpans(docs(s, dir), 50)),
+
     // Benchmark decontamination: any document sharing an 8-gram with the
     // benchmark set (here: doc_id < 10) is dropped. Bench grams are tiny →
     // broadcast; corpus grams never self-join.
@@ -357,6 +362,45 @@ object DocQueries {
           .otherwise(col("doc_b")) // tie → survivor is the lower id
           .as("doc_id"))
       .distinct()
+
+  /** Substring-span REMOVAL — the consuming step of [[substringSpans]]:
+    * the canonical copy (min doc_id per span fingerprint) keeps its
+    * text; every other occurrence is cut out token-aligned. Overlapping
+    * drop ranges per doc merge first (running-max interval islands), so
+    * surgery is one filtered token pass; docs with nothing to drop pass
+    * through a left join untouched. All shuffles keyed (span_fp, then
+    * doc_id); the rewrite itself is per-row.
+    */
+  def dropSpans(d: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringSpans(d, w)
+    val droppable = spans
+      .join(spans.groupBy("span_fp").agg(min("doc_id").as("cd")), "span_fp")
+      .filter(col("doc_id") =!= col("cd"))
+      .select(col("doc_id"), col("tok_start"), col("tok_end"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("tok_start")
+    val merged = droppable
+      .withColumn("pm", max("tok_end").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pm").isNull || col("tok_start") > col("pm"), 1).otherwise(0))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("tok_start").as("s"), max("tok_end").as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("rng"),
+        sum(col("e") - col("s") + 1).as("nd"))
+    d.select(col("doc_id"), col("text"), toks.as("tk"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("rng").isNull, col("text")).otherwise(
+          concat_ws(" ", filter(col("tk"), (t, i) =>
+            size(filter(col("rng"), r =>
+              (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e"))) === 0)))
+          .as("clean_text"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped_tokens"))
+  }
 
   /** Gopher-style repetition/quality signals for one document column —
     * every metric a per-row array expression (no explode, no shuffle; the
@@ -519,6 +563,48 @@ object DocQueries {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several rotations
   }
+
+  /** dedup_substring_spans as reusable CTEs ending in
+    * `spd(doc_id, tok_start, tok_end, char_start, char_end, span_fp,
+    * n_grams)` — the drop-rewrite oracle extends the chain.
+    */
+  private lazy val SqlSpanCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 50),
+      |hx AS (
+      |  SELECT doc_id, tk, list_transform(tk, s -> CASE WHEN length(s) = 0
+      |    THEN CAST(0 AS HUGEINT)
+      |    ELSE list_reduce(
+      |      list_transform(generate_series(1, length(s)),
+      |                     i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
+      |      (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 49),
+      |    i -> struct_pack(p := i, gram := CAST(list_reduce(
+      |           list_slice(hs, i, i + 49),
+      |           (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)))) AS u
+      |  FROM hx),
+      |gg AS (SELECT doc_id, u.p AS p, u.gram AS gram FROM g),
+      |dgr AS (SELECT gram FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT doc_id, p FROM gg JOIN dgr USING (gram)),
+      |gisl AS (SELECT doc_id, p,
+      |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |        FROM dp),
+      |sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS tok_start,
+      |              CAST(max(p) + 49 AS BIGINT) AS tok_end,
+      |              CAST(count(*) AS BIGINT) AS n_grams
+      |       FROM gisl GROUP BY doc_id, grp),
+      |spd AS (
+      |  SELECT sp.doc_id, tok_start, tok_end,
+      |    CAST(CASE WHEN tok_start = 1 THEN 1
+      |         ELSE length(array_to_string(list_slice(tk, 1, tok_start - 1), ' ')) + 2
+      |         END AS BIGINT) AS char_start,
+      |    CAST(length(array_to_string(list_slice(tk, 1, tok_end), ' ')) AS BIGINT) AS char_end,
+      |    md5(array_to_string(list_slice(tk, tok_start, tok_end), ' ')) AS span_fp,
+      |    n_grams
+      |  FROM sp JOIN t ON t.doc_id = sp.doc_id)""".stripMargin
 
   private val SqlToks = "string_split(text, ' ')"
 
@@ -804,41 +890,44 @@ object DocQueries {
     // 2^61−1 (HUGEINT keeps products exact; ord≡byte on this ASCII
     // corpus, the text_rolling_fingerprint precedent).
     "dedup_substring_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 50),
-        |hx AS (
-        |  SELECT doc_id, tk, list_transform(tk, s -> CASE WHEN length(s) = 0
-        |    THEN CAST(0 AS HUGEINT)
-        |    ELSE list_reduce(
-        |      list_transform(generate_series(1, length(s)),
-        |                     i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
-        |      (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 49),
-        |    i -> struct_pack(p := i, gram := CAST(list_reduce(
-        |           list_slice(hs, i, i + 49),
-        |           (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)))) AS u
-        |  FROM hx),
-        |g2 AS (SELECT doc_id, u.p AS p, u.gram AS gram FROM g),
-        |d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |dp AS (SELECT doc_id, p FROM g2 JOIN d USING (gram)),
-        |isl AS (SELECT doc_id, p,
-        |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        |        FROM dp),
-        |sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS tok_start,
-        |              CAST(max(p) + 49 AS BIGINT) AS tok_end,
-        |              CAST(count(*) AS BIGINT) AS n_grams
-        |       FROM isl GROUP BY doc_id, grp)
-        |SELECT sp.doc_id, tok_start, tok_end,
-        |  CAST(CASE WHEN tok_start = 1 THEN 1
-        |       ELSE length(array_to_string(list_slice(tk, 1, tok_start - 1), ' ')) + 2
-        |       END AS BIGINT) AS char_start,
-        |  CAST(length(array_to_string(list_slice(tk, 1, tok_end), ' ')) AS BIGINT) AS char_end,
-        |  md5(array_to_string(list_slice(tk, tok_start, tok_end), ' ')) AS span_fp,
-        |  n_grams
-        |FROM sp JOIN t ON t.doc_id = sp.doc_id""".stripMargin,
+      s"""WITH $SqlSpanCtes
+         |SELECT doc_id, tok_start, tok_end, char_start, char_end, span_fp,
+         |       n_grams
+         |FROM spd""".stripMargin,
+    // drop every non-canonical duplicated span (canonical = min doc_id
+    // per span fingerprint), with overlapping token ranges merged per doc
+    "dedup_substring_drop" ->
+      s"""WITH $SqlSpanCtes,
+         |canon AS (SELECT span_fp, min(doc_id) AS cd FROM spd GROUP BY span_fp),
+         |drp AS (SELECT doc_id, tok_start, tok_end
+         |        FROM spd JOIN canon USING (span_fp) WHERE doc_id <> cd),
+         |mrk AS (SELECT doc_id, tok_start, tok_end,
+         |          max(tok_end) OVER (PARTITION BY doc_id ORDER BY tok_start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |        FROM drp),
+         |grp AS (SELECT doc_id, tok_start, tok_end,
+         |          sum(CASE WHEN pm IS NULL OR tok_start > pm THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY tok_start
+         |                  ROWS UNBOUNDED PRECEDING) AS g
+         |        FROM mrk),
+         |rngs AS (SELECT doc_id, min(tok_start) AS s, max(tok_end) AS e
+         |         FROM grp GROUP BY doc_id, g),
+         |rl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS rng,
+         |              CAST(sum(e - s + 1) AS BIGINT) AS nd
+         |       FROM rngs GROUP BY doc_id),
+         |alltk AS (SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents)
+         |SELECT a.doc_id,
+         |  CASE WHEN rl.doc_id IS NULL THEN a.text ELSE
+         |    -- array_to_string of an empty list is NULL in DuckDB;
+         |    -- concat_ws of an empty array is '' in Spark — align
+         |    COALESCE(array_to_string(list_filter(
+         |      list_transform(generate_series(1, len(a.tk)), i ->
+         |        CASE WHEN len(list_filter(rl.rng,
+         |               r -> i >= r.s AND i <= r.e)) = 0
+         |             THEN a.tk[i] END),
+         |      x -> x IS NOT NULL), ' '), '') END AS clean_text,
+         |  COALESCE(rl.nd, CAST(0 AS BIGINT)) AS n_dropped_tokens
+         |FROM alltk a LEFT JOIN rl ON rl.doc_id = a.doc_id""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(

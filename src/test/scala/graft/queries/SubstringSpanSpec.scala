@@ -79,6 +79,47 @@ class SubstringSpanSpec extends SparkSpec {
       Seq((1L, 50L), (60L, 109L)))
   }
 
+  test("dropSpans keeps the canonical copy and cuts the rest, token-aligned") {
+    val d = Seq(
+      doc(1, shared.take(50) ++ (1 to 30).map(i => s"una$i")),
+      doc(2, (1 to 10).map(i => s"unb$i") ++ shared.take(50) ++ (1 to 5).map(i => s"unc$i")),
+      doc(3, (1 to 80).map(i => s"solo$i"))
+    ).toDF("doc_id", "text")
+    val out = DocQueries.dropSpans(d, W).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 is canonical (min doc_id for the shared span): untouched
+    assert(out(1L)._1 == (shared.take(50) ++ (1 to 30).map(i => s"una$i")).mkString(" "))
+    assert(out(1L)._2 == 0L)
+    // doc 2 loses exactly the 50 shared tokens, head and tail survive
+    assert(out(2L)._1 ==
+      ((1 to 10).map(i => s"unb$i") ++ (1 to 5).map(i => s"unc$i")).mkString(" "))
+    assert(out(2L)._2 == 50L)
+    // doc 3 has no duplicated span: identity
+    assert(out(3L)._1 == (1 to 80).map(i => s"solo$i").mkString(" "))
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("dropSpans merges overlapping drop ranges before cutting") {
+    // doc 6 shares runA with doc 4 (canonical) and runB with doc 5
+    // (canonical); in doc 6 the two 50-token spans overlap by 10 tokens
+    val runA = (1 to 50).map(i => s"ova$i")
+    val runB = (1 to 50).map(i => s"ovb$i")
+    val d = Seq(
+      doc(4, runA ++ (1 to 9).map(i => s"pad$i")),
+      doc(5, runB ++ (1 to 9).map(i => s"qad$i")),
+      doc(6, runA.take(40) ++ runB.take(50) ++ (1 to 3).map(i => s"tail$i"))
+    ).toDF("doc_id", "text")
+    // doc 6 duplicates runB fully ([41, 90]); runA only partially (40
+    // tokens < W) so only the runB span drops — but if BOTH dropped,
+    // overlap merging must still cut each token once
+    val out = DocQueries.dropSpans(d, W).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(6L)._2 == 50L)
+    assert(out(6L)._1 ==
+      (runA.take(40) ++ (1 to 3).map(i => s"tail$i")).mkString(" "))
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L)
+  }
+
   test("rolling gram hash equals a per-window polynomial fold") {
     import org.apache.spark.sql.functions._
     import graft.functions.RollingHash.rolling_hash
