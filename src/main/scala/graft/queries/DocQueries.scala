@@ -240,6 +240,54 @@ object DocQueries {
         .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(30))
     },
 
+    // Token-budget sampling — the data-MIXING step of a training
+    // pipeline: per language, documents are taken in deterministic
+    // md5 order until the language's token budget is exhausted
+    // (exclusive prefix sum < budget ⇒ the doc that crosses the budget
+    // is the last one in). One keyed window per language, no RNG state,
+    // reproducible across engines and runs.
+    "sample_token_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = when(col("lang") === "en", 2000L).otherwise(1000L)
+      val w = Window.partitionBy("lang").orderBy("ord")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("ord"))
+        .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+        .filter(col("cum_before") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+    },
+
+    // BM25 retrieval (Robertson/Lucene formulation, k1=1.2 b=0.75) for a
+    // literal query-term set: tf and df from two keyed aggregations, the
+    // per-doc score one grouped sum, global top-20 via orderBy+limit
+    // (TakeOrderedAndProject — per-partition top-k then a 20-row merge,
+    // NOT a single-partition window). N and avgdl are two driver
+    // scalars; all BM25 constants appear as the same decimal literals
+    // in both engines so the doubles agree exactly.
+    "bm25_search" -> { (s, dir) =>
+      val terms = Seq("table", "query", "spark")
+      val d = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .withColumn("dl", size(col("tk")).cast("double"))
+      val consts = d.agg(count(lit(1)).cast("double"), avg("dl")).head()
+      val nDocs = consts.getDouble(0); val avgdl = consts.getDouble(1)
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      tf.join(df, "term")
+        .withColumn("contrib",
+          idf * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(round(sum("contrib"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // TF-IDF top terms per document: one explode + two keyed aggregations
     // (term frequency, document frequency) + a per-doc top-k window —
     // every shuffle keyed, corpus size enters as one scalar.
@@ -799,6 +847,32 @@ object DocQueries {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS ord
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord)
+        |             - n_tokens AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE WHEN lang = 'en' THEN 2000 ELSE 1000 END""".stripMargin,
+    "bm25_search" ->
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dd),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dd)
+        |       WHERE term IN ('table', 'query', 'spark')
+        |       GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |         round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) * tf.tf * 2.2
+        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS score
+        |       FROM tf, df, st WHERE tf.term = df.term GROUP BY tf.doc_id)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_top_terms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),

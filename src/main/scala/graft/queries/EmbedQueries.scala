@@ -80,28 +80,15 @@ object EmbedQueries {
     // pairs share a (band, bits) key — an equality shuffle join over the
     // corpus with NO label/cell prerequisite, the embedding-space analog
     // of the text SimHash blocking. Exact cosine verification after.
-    "embed_rp_lsh_neardup" -> { (s, dir) =>
-      import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
-      val planes = dyadicPlanes(16, 64)
-      val e = withNorm(emb(s, dir))
-        .withColumn("sig", rp_signature(col("v"), planes))
-      val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits")))
-      val banded = e
-        .select(col("vec_id"), col("v"), col("nrm"),
-          explode(array(bandCols: _*)).as("rb"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rb.band").as("band"), col("rb.bits").as("bits"))
-      val a = banded.select(col("band"), col("bits"),
-        col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = banded.select(col("band"), col("bits"),
-        col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("band", "bits"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
-        .filter(col("cosine") >= 0.3)
-        .distinct() // a pair can collide in several bands
+    "embed_rp_lsh_neardup" -> ((s, dir) => rpLshPairs(withNorm(emb(s, dir)))),
+
+    // Duplicate GROUPS in embedding space: connected components (the
+    // same large-star/small-star engine as dedup_clusters) over the
+    // RP-LSH verified pairs — the embedding-side canonical-group step.
+    "embed_dup_clusters" -> { (s, dir) =>
+      val pairs = rpLshPairs(withNorm(emb(s, dir))).select("vec_a", "vec_b")
+      graft.operators.ConnectedComponents.labels(pairs)._1
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
     },
 
     // IVF coarse step: per-label centroid (element-wise mean).
@@ -245,27 +232,19 @@ object EmbedQueries {
     // hyperplane components are exact dyadic rationals from integer
     // arithmetic — both engines reproduce the doubles bit-for-bit
     "embed_rp_lsh_neardup" ->
-      s"""WITH $SqlNorm,
-         |pl AS (
-         |  SELECT i, list_transform(generate_series(0, 63),
-         |    j -> CAST((((i * 64 + j) * 2654435761 + 12345) % 1024) - 512 AS DOUBLE)
-         |         / 512.0) AS pv
-         |  FROM generate_series(0, 15) t(i)),
-         |sig AS (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN list_dot_product(v, pv) >= 0
-         |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
-         |  FROM n, pl GROUP BY vec_id),
-         |sb AS (
-         |  SELECT n.vec_id, n.v, n.nrm, b.band AS band,
-         |         (sig >> (4 * b.band)) & 15 AS bits
-         |  FROM sig JOIN n USING (vec_id), generate_series(0, 3) b(band))
-         |SELECT DISTINCT vec_a, vec_b, cosine FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-         |  FROM sb a JOIN sb b
-         |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.3""".stripMargin,
+      s"""WITH $SqlRpCtes
+         |SELECT vec_a, vec_b, cosine FROM rpp""".stripMargin,
+    // connected components over the RP-LSH pairs — duplicate groups in
+    // embedding space (recursive-CTE oracle, as dedup_clusters)
+    "embed_dup_clusters" ->
+      s"""WITH RECURSIVE $SqlRpCtes,
+         |edges AS (SELECT vec_a, vec_b FROM rpp
+         |          UNION ALL SELECT vec_b, vec_a FROM rpp),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT vec_a, vec_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.vec_b FROM reach r JOIN edges e ON r.node = e.vec_a)
+         |SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "embed_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS centroid
         |FROM (SELECT label, unnest(embedding) AS e,
@@ -321,6 +300,64 @@ object EmbedQueries {
     "embed_ivf_knn_bucketed" -> SqlIvfKnn,
     "embed_ivf_knn" -> SqlIvfKnn
   )
+
+  /** Random-hyperplane LSH verified near-dup pairs `(vec_a, vec_b,
+    * cosine)` over a `withNorm`-shaped frame — Charikar's
+    * sign-of-projection family: 16-bit signatures from ONE native pass
+    * ([[graft.functions.VectorExpressions.RpSignature]]) over dyadic
+    * hyperplanes, banded 4×4 bits into equality-join blocks, exact
+    * cosine verification after. The reusable pair frame for
+    * clusters/drop-lists in embedding space.
+    */
+  def rpLshPairs(e: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
+    val planes = dyadicPlanes(16, 64)
+    val sig = e.withColumn("sig", rp_signature(col("v"), planes))
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits")))
+    val banded = sig
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(bandCols: _*)).as("rb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("rb.band").as("band"), col("rb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = banded.select(col("band"), col("bits"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .distinct() // a pair can collide in several bands
+  }
+
+  /** RP-LSH verified pairs as reusable CTEs ending in
+    * `rpp(vec_a, vec_b, cosine)`.
+    */
+  private lazy val SqlRpCtes: String =
+    s"""$SqlNorm,
+       |pl AS (
+       |  SELECT i, list_transform(generate_series(0, 63),
+       |    j -> CAST((((i * 64 + j) * 2654435761 + 12345) % 1024) - 512 AS DOUBLE)
+       |         / 512.0) AS pv
+       |  FROM generate_series(0, 15) t(i)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(v, pv) >= 0
+       |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM n, pl GROUP BY vec_id),
+       |sb AS (
+       |  SELECT n.vec_id, n.v, n.nrm, b.band AS band,
+       |         (sig >> (4 * b.band)) & 15 AS bits
+       |  FROM sig JOIN n USING (vec_id), generate_series(0, 3) b(band)),
+       |rpp AS (
+       |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |    FROM sb a JOIN sb b
+       |      ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+       |  WHERE cosine >= 0.3)""".stripMargin
 
   private lazy val SqlIvfKnn: String =
       s"""WITH $SqlNorm,
