@@ -461,52 +461,30 @@ object DocQueries {
     * `keep` applies the published Gopher thresholds.
     */
   def repetitionFilters(d: DataFrame): DataFrame = {
-    // Every derived array is BOUND TO A COLUMN before any lambda scans
-    // it: a lambda whose child is the array-building expression re-runs
-    // that construction per outer element (measured as the difference
-    // between seconds and tens of minutes at sf0.1 — the shingled()
-    // lesson, compounded by nesting). Membership counts are computed
-    // once per distinct gram and reused for both the max and the
-    // tie-broken argmax via zip_with.
-    def gramCol(n: Int): Column = {
-      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
-      val idx = when(size(col("tk")) < n, array().cast("array<int>"))
-        .otherwise(sequence(lit(1), size(col("tk")) - (n - 1)))
-      transform(idx,
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("tk"), i + j)): _*))
-    }
-    def counted(grams: String, dg: String): Column =
-      transform(col(dg), g => size(filter(col(grams), x => x === g)))
-    def topFrac(dg: String, cnt: String, m: String): Column =
+    // The repetition statistics (duplicate lines, top-gram argmax) come
+    // from ONE native O(text) pass ([[graft.functions.RepetitionStats]]
+    // — hash-map counting; the HOF formulation needs O(n²) membership
+    // scans per metric and evaluates interpreted). The cheap O(n)
+    // metrics stay as builtin expressions.
+    import graft.functions.RepetitionStats.repetition_stats
+    def rs(f: String): Column = col("rs").getField(f)
+    def topFrac(cnt: String, chars: String): Column =
       // an unrepeated gram is no concentration — otherwise short clean
       // docs score high just because any single gram is a big char share
-      when(col(m) <= 1, lit(0.0)).otherwise(
-        round(col(m).cast("double") *
-          length(array_min(zip_with(col(dg), col(cnt),
-            (g, c) => when(c === col(m), g)))) / length(col("text")), 6))
+      when(rs(cnt) <= 1, lit(0.0)).otherwise(
+        round(rs(cnt).cast("double") * rs(chars) / length(col("text")), 6))
 
     d.select(col("doc_id"), col("text"), toks.as("tk"))
-      .withColumn("ln", split(col("text"), "\n"))
-      .withColumn("dl", array_distinct(col("ln")))
-      .withColumn("g2", gramCol(2))
-      .withColumn("g3", gramCol(3))
-      .withColumn("dg2", array_distinct(col("g2")))
-      .withColumn("dg3", array_distinct(col("g3")))
-      .withColumn("c2", counted("g2", "dg2"))
-      .withColumn("c3", counted("g3", "dg3"))
-      .withColumn("m2", coalesce(array_max(col("c2")), lit(0)))
-      .withColumn("m3", coalesce(array_max(col("c3")), lit(0)))
+      .withColumn("rs", repetition_stats(col("text")))
       .select(
         col("doc_id"),
-        round((size(col("ln")) - size(col("dl"))).cast("double") / size(col("ln")), 6)
+        round((rs("n_lines") - rs("n_dlines")).cast("double") / rs("n_lines"), 6)
           .as("dup_line_frac"),
         // chars in line occurrences beyond each line's first, over total
-        round(aggregate(col("dl"), lit(0L), (acc, l) => acc +
-            (size(filter(col("ln"), x => x === l)) - 1).cast("long") * length(l))
-          .cast("double") / length(col("text")), 6)
+        round(rs("dup_chars").cast("double") / length(col("text")), 6)
           .as("dup_line_char_frac"),
-        topFrac("dg2", "c2", "m2").as("top2gram_char_frac"),
-        topFrac("dg3", "c3", "m3").as("top3gram_char_frac"),
+        topFrac("top2_cnt", "top2_chars").as("top2gram_char_frac"),
+        topFrac("top3_cnt", "top3_chars").as("top3gram_char_frac"),
         round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
           .cast("double") / size(col("tk")), 6).as("symbol_word_ratio"),
         round(aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
