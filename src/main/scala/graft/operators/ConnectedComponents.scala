@@ -41,7 +41,10 @@ object ConnectedComponents {
     while (!converged) {
       require(rounds < maxRounds,
         s"large/small-star not converged after $rounds rounds — graph bug?")
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // LAZY checkpoint: the count below materializes it in the same
+      // job, so a round costs one job (+ the set-equality probe only
+      // when the counts match)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextCount = next.count()
       // distinct sets of equal size are equal iff the difference is empty
       converged = nextCount == curCount &&
