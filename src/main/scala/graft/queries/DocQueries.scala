@@ -357,8 +357,126 @@ object DocQueries {
         .filter(col("doc_id") >= 10)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
-    }
+    },
+
+    // Domain-mix upsampling — the fractional-epoch step of a data-mixing
+    // recipe (e.g. wiki×2.3, web×0.5): every doc gets floor(w) copies plus
+    // one more for a deterministic md5-bucket fraction of docs. Weights in
+    // integer tenths so the fractional draw is exact integer arithmetic —
+    // no RNG state, reproducible across engines, a pure per-row explode
+    // (epochs materialize as rows only where the plan consumes them).
+    "sample_upsample" -> { (s, dir) =>
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val w10 = element_at(
+        array(lit(5L), lit(11L), lit(17L), lit(23L)), (srcNum % 4) + 1)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          (floor(w10 / 10) + when(bucket < w10 % 10, 1L).otherwise(0L))
+            .cast("long").as("n_copies"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+    },
+
+    // Deterministic global shuffle + shard assignment — the write-side
+    // plan of a training run: md5 order is the pseudo-random permutation,
+    // shard = hash bucket, and within each shard a rank + running token
+    // offset (one keyed window per shard; shard count scales with data so
+    // no partition concentrates at 100 TB).
+    "shard_plan" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy("shard").orderBy("ord")
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % 8).as("shard"),
+          h.as("ord"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .withColumn("tok_offset",
+          (sum("n_tokens").over(w) - col("n_tokens")).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard", "tok_offset", "n_tokens")
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): token 3-gram hashes from the same one-pass
+    // RollingHash→WindowPolyHash pipeline as substring dedup; each
+    // 4-gram-wide window selects its min hash (rightmost on ties), and
+    // the distinct selected (pos, hash) pairs are the document's robust
+    // fingerprint set — guaranteed to share a print with any ≥6-token
+    // verbatim overlap. Entirely per-row; the output is the joinable
+    // fingerprint table.
+    "text_winnow_fingerprint" -> ((s, dir) => winnowFingerprints(docs(s, dir))),
+
+    // Corpus-trained character-trigram LM score (the CCNet/KenLM-style
+    // perplexity filter, self-trained): gram counts from one keyed agg
+    // (vocabulary-bounded → broadcast back), per-doc mean negative log
+    // prob with add-one smoothing. Per-gram log-probs round to 6 dp and
+    // sum as exact DECIMALs so the fold is order-independent — the same
+    // determinism trick as the span hashes.
+    "text_lm_score" -> ((s, dir) => lmScore(docs(s, dir), keepAtMost = 5.36))
   )
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * local algorithm): token `k`-gram hashes from the one-pass
+    * RollingHash→WindowPolyHash pipeline; every `win`-wide window of
+    * consecutive gram hashes selects its minimum (RIGHTMOST position on
+    * ties, per the paper's robust-winnowing rule), and the distinct
+    * selected (pos, hash) pairs are the document's fingerprint set —
+    * guaranteed to share a print with any verbatim overlap of
+    * ≥ win + k − 1 tokens. Entirely per-row expressions; output is the
+    * joinable (doc_id, pos, fp) fingerprint table.
+    */
+  def winnowFingerprints(d: DataFrame, k: Int = 3, win: Int = 4): DataFrame = {
+    import graft.functions.RollingHash.rolling_hash
+    import graft.functions.WindowPolyHash.window_poly_hash
+    val base = d
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= k + win - 1)
+      .select(col("doc_id"),
+        window_poly_hash(transform(col("tk"), t => rolling_hash(t)), k).as("gh"))
+    base
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("gh")) - win), j => {
+          val sl = slice(col("gh"), j + 1, lit(win))
+          val mn = array_min(sl)
+          struct(
+            (j + lit(win) + 1 - array_position(reverse(sl), mn))
+              .cast("long").as("pos"),
+            mn.as("fp"))
+        })).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** Corpus-trained character-trigram LM score (the CCNet/KenLM-style
+    * perplexity filter, self-trained): gram counts from one keyed agg —
+    * the vocabulary is alphabet-bounded, so the count table broadcasts
+    * back to the gram stream; per-doc score is the mean negative log
+    * probability with add-one smoothing. Per-gram log-probs are rounded
+    * to 6 dp and summed as exact DECIMALs so the per-doc fold is
+    * order-independent (bit-stable across partitionings and engines).
+    */
+  def lmScore(d: DataFrame, keepAtMost: Double): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 3)
+    val grams = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val st = counts.agg(sum("c").cast("double"), count(lit(1)).cast("double")).head()
+    val denom = st.getDouble(0) + st.getDouble(1) // total + vocab (add-one)
+    grams.join(broadcast(counts), "g")
+      .withColumn("logp",
+        round(log((col("c") + 1).cast("double") / lit(denom)), 6)
+          .cast("decimal(22,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("logp").as("slog"))
+      .select(col("doc_id"), col("n_grams"),
+        round(-col("slog").cast("double") / col("n_grams"), 6).as("nll"))
+      .withColumn("keep", col("nll") <= keepAtMost)
+  }
 
   /** MinHash + LSH verified near-dup pairs `(doc_a, doc_b, jac)` — the
     * REUSABLE pair frame: 16 signatures in 4 bands × 4 rows; candidates
@@ -989,6 +1107,68 @@ object DocQueries {
         |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 10),
         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g8) WHERE g.doc_id >= 10)
         |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "sample_upsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    [5, 11, 17, 23][(CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4) + 1] AS w10,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT % 10 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        CAST(w10 // 10 + CASE WHEN bucket < w10 % 10 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |      FROM d)
+        |SELECT doc_id, source, n_copies, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+        |FROM c WHERE n_copies >= 1""".stripMargin,
+    "shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord) AS BIGINT) AS pos_in_shard,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord) - n_tokens AS BIGINT) AS tok_offset,
+        |  n_tokens
+        |FROM d""".stripMargin,
+    // same RollingHash→WindowPolyHash arithmetic as the span CTEs, at
+    // k=3; window min with rightmost tie via position-in-reversed-slice
+    "text_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 6),
+        |hx AS (SELECT doc_id, list_transform(tk, s -> CASE WHEN length(s) = 0
+        |         THEN CAST(0 AS HUGEINT)
+        |         ELSE list_reduce(
+        |           list_transform(generate_series(1, length(s)),
+        |                          i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
+        |           (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
+        |       FROM t),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 2),
+        |        i -> CAST(list_reduce(list_slice(hs, i, i + 2),
+        |               (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)) AS gh
+        |      FROM hx),
+        |sel AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(gh) - 4), j ->
+        |    struct_pack(
+        |      pos := CAST(j + 5 - list_position(
+        |               list_reverse(list_slice(gh, j + 1, j + 4)),
+        |               list_aggregate(list_slice(gh, j + 1, j + 4), 'min')) AS BIGINT),
+        |      fp := list_aggregate(list_slice(gh, j + 1, j + 4), 'min')))) AS u
+        |  FROM g)
+        |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM sel""".stripMargin,
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, length(text) - 2),
+        |                              i -> substr(text, i, 3))) AS g
+        |      FROM d),
+        |c AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+        |st AS (SELECT CAST(sum(c) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom FROM c),
+        |sc AS (SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / denom), 6)
+        |                       AS DECIMAL(22,6))) AS DOUBLE) AS slog
+        |       FROM g JOIN c USING (g), st GROUP BY doc_id)
+        |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
+        |       (round(-slog / n_grams, 6) <= 5.36) AS keep
+        |FROM sc""".stripMargin
   )
 }

@@ -157,6 +157,60 @@ object EmbedQueries {
         q, topK = K, nProbe = 1)
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    // within each coarse cell, near-dup pairs by exact cosine; connected
+    // components over the pairs; every non-canonical member (id ≠ its
+    // component's min id) is dropped. Candidates never leave their cell,
+    // so the pair join is cell-keyed, and the CC engine is the same
+    // large-star/small-star used for text clusters.
+    "semdedup_drop" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.5)
+        .select("vec_a", "vec_b")
+      graft.operators.ConnectedComponents.labels(pairs)._1
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+    },
+
+    // Scalar-quantized (SQ8) kNN — the 4×-memory scale shape for a 100 TB
+    // corpus: per-dimension min/max (one keyed agg, 64 rows → broadcast),
+    // each component quantized to an integer code in [0,255], ranking on
+    // the cosine of the CODE vectors. All dot products are sums of
+    // products of ints ≤ 255² — exactly representable in doubles in any
+    // summation order, so the quantized scores are bit-deterministic.
+    // Quantization quality vs exact is measured by embed_sq8_recall.
+    "embed_sq8_knn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val coded = sq8Codes(emb(s, dir))
+      val q = coded.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("cq").as("qc"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+      coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qc"), col("cq")) / (col("qn") * col("nrm")), 6).as("qcos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+    },
+
+    // recall@k of the SQ8 ranking against exact brute force — measures
+    // what the 4× compression costs, per query.
+    "embed_sq8_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq = queries("embed_sq8_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(sq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
+    },
+
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
     "embed_ivf_knn" -> { (s, dir) =>
@@ -192,6 +246,32 @@ object EmbedQueries {
         .filter(col("rank") <= K)
     }
   )
+
+  /** SQ8 codes `(vec_id, cq: array<double> of ints in [0,255], nrm)` for a
+    * raw embeddings frame: per-dimension min/max via one keyed agg,
+    * collapsed to two 64-element literal-sized arrays and broadcast back;
+    * code = round((x − mn) / scale), scale = (mx − mn)/255 (1.0 when the
+    * dimension is constant, where the code is 0 anyway). At serving scale
+    * the codes pack to 64 int8 bytes/vector — 4× less than float32.
+    */
+  def sq8Codes(raw: DataFrame): DataFrame = {
+    val e = raw.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val st = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("pmm"))
+      .select(
+        transform(col("pmm"), p => p.getField("mn")).as("mns"),
+        transform(col("pmm"), p =>
+          when(p.getField("mx") === p.getField("mn"), lit(1.0))
+            .otherwise((p.getField("mx") - p.getField("mn")) / 255.0)).as("scs"))
+    e.crossJoin(broadcast(st))
+      .select(col("vec_id"),
+        zip_with(zip_with(col("v"), col("mns"), (x, m) => x - m), col("scs"),
+          (d, sc) => round(d / sc)).as("cq"))
+      .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("cq")))
+  }
 
   private val SqlNorm =
     """e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -298,8 +378,78 @@ object EmbedQueries {
     // the bucketed index changes the physical layout, not the answer —
     // identical oracle to embed_ivf_knn
     "embed_ivf_knn_bucketed" -> SqlIvfKnn,
-    "embed_ivf_knn" -> SqlIvfKnn
+    "embed_ivf_knn" -> SqlIvfKnn,
+    "semdedup_drop" ->
+      s"""WITH RECURSIVE $SqlNorm,
+         |pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5),
+         |edges AS (SELECT vec_a, vec_b FROM pp
+         |          UNION ALL SELECT vec_b, vec_a FROM pp),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT vec_a, vec_a FROM edges
+         |  UNION
+         |  SELECT r.src, ed.vec_b FROM reach r JOIN edges ed ON r.node = ed.vec_a)
+         |SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node
+         |HAVING node <> min(src)""".stripMargin,
+    "embed_sq8_knn" ->
+      s"""WITH $SqlSq8,
+         |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) AS qcos
+         |      FROM cn q JOIN cn b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, qcos, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY qcos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= $K""".stripMargin,
+    "embed_sq8_recall" ->
+      s"""WITH $SqlSq8,
+         |nn AS (SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |nb AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+         |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |       FROM nb q JOIN nb b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= $K),
+         |qp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) AS qcos
+         |       FROM cn q JOIN cn b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |sq AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY qcos DESC, neighbor_id) AS rnk
+         |    FROM qp) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  round(CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM brute b LEFT JOIN sq s
+         |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+         |GROUP BY b.query_id""".stripMargin
   )
+
+  /** SQ8 quantization as reusable CTEs ending in `cn(vec_id, cq, nrm)` —
+    * mirrors [[sq8Codes]] exactly (same IEEE ops in the same order).
+    */
+  private lazy val SqlSq8: String =
+    """e8 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |px AS (SELECT pos, min(x) AS mn, max(x) AS mx
+      |       FROM (SELECT unnest(v) AS x,
+      |                    unnest(generate_series(0, len(v) - 1)) AS pos
+      |             FROM e8)
+      |       GROUP BY pos),
+      |st8 AS (SELECT list(mn ORDER BY pos) AS mns,
+      |               list(CASE WHEN mx = mn THEN 1.0
+      |                    ELSE (mx - mn) / 255.0 END ORDER BY pos) AS scs
+      |        FROM px),
+      |cd AS (SELECT vec_id,
+      |         list_transform(generate_series(1, len(v)),
+      |                        i -> round((v[i] - mns[i]) / scs[i])) AS cq
+      |       FROM e8, st8),
+      |cn AS (SELECT vec_id, cq, sqrt(list_dot_product(cq, cq)) AS nrm FROM cd)""".stripMargin
 
   /** Random-hyperplane LSH verified near-dup pairs `(vec_a, vec_b,
     * cosine)` over a `withNorm`-shaped frame — Charikar's
