@@ -22,7 +22,9 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("f1_route_source", "q6_forecast_revenue", "dedup_exact",
         "sample_stratified", "dedup_minhash_lsh", "q3_shipping_priority",
-        "dedup_substring_spans", "embed_rp_lsh_neardup")
+        "dedup_substring_spans", "embed_rp_lsh_neardup",
+        "text_lm_score", "text_winnow_fingerprint", "embed_sq8_knn",
+        "sample_upsample", "shard_plan", "semdedup_drop")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -464,15 +464,21 @@ object DocQueries {
     val grams = base.select(col("doc_id"),
       explode(transform(sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("g"))
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
-    val st = counts.agg(sum("c").cast("double"), count(lit(1)).cast("double")).head()
-    val denom = st.getDouble(0) + st.getDouble(1) // total + vocab (add-one)
-    grams.join(broadcast(counts), "g")
+    // ONE heavy shuffle: the raw gram stream collapses to per-doc term
+    // frequencies; corpus counts, the 1-row smoothing denominator, and
+    // the per-doc score all derive from it (Spark reuses the tf exchange
+    // for both branches — no second pass over the exploded grams, no
+    // driver-side scalar action)
+    val tf     = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("g").agg(sum("tf").as("c"))
+    val stats  = counts.agg((sum("c") + count(lit(1))).cast("double").as("denom"))
+    tf.join(broadcast(counts), "g")
+      .crossJoin(broadcast(stats))
       .withColumn("logp",
-        round(log((col("c") + 1).cast("double") / lit(denom)), 6)
+        round(log((col("c") + 1).cast("double") / col("denom")), 6)
           .cast("decimal(22,6)"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum("logp").as("slog"))
+      .agg(sum("tf").as("n_grams"), sum(col("logp") * col("tf")).as("slog"))
       .select(col("doc_id"), col("n_grams"),
         round(-col("slog").cast("double") / col("n_grams"), 6).as("nll"))
       .withColumn("keep", col("nll") <= keepAtMost)
@@ -1160,13 +1166,14 @@ object DocQueries {
         |        unnest(list_transform(generate_series(1, length(text) - 2),
         |                              i -> substr(text, i, 3))) AS g
         |      FROM d),
-        |c AS (SELECT g, count(*) AS c FROM g GROUP BY g),
-        |st AS (SELECT CAST(sum(c) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom FROM c),
+        |tf AS (SELECT doc_id, g, count(*) AS tf FROM g GROUP BY doc_id, g),
+        |c AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY g),
+        |st AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM c),
         |sc AS (SELECT doc_id,
-        |         CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(tf) AS BIGINT) AS n_grams,
         |         CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / denom), 6)
-        |                       AS DECIMAL(22,6))) AS DOUBLE) AS slog
-        |       FROM g JOIN c USING (g), st GROUP BY doc_id)
+        |                       AS DECIMAL(22,6)) * tf) AS DOUBLE) AS slog
+        |       FROM tf JOIN c USING (g), st GROUP BY doc_id)
         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
         |       (round(-slog / n_grams, 6) <= 5.36) AS keep
         |FROM sc""".stripMargin
