@@ -1,0 +1,100 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.DocQueries
+
+/** End-to-end training-data assembly — the library surface a pipeline
+  * author calls, composing the individually-verified operators in their
+  * canonical order:
+  *
+  *  1. heuristic filters: Gopher repetition/quality gates + the
+  *     corpus-trained trigram-LM perplexity gate
+  *  2. exact dedup (canonical fingerprint, keep-first)
+  *  3. near-dedup: MinHash-LSH verified pairs → lower-quality drop list —
+  *     the pair frame is computed ONCE and persisted (the reuse surface
+  *     the per-query oracle harness deliberately forgoes)
+  *  4. substring-span boilerplate removal (non-canonical duplicated
+  *     ≥50-token spans cut token-aligned)
+  *  5. benchmark decontamination (any doc sharing an 8-gram with the
+  *     benchmark set is dropped; bench grams broadcast)
+  *
+  * Every stage is a narrow transformation over the previous frame plus
+  * the already-audited keyed shuffles of its operator — composing them
+  * adds NO new shuffle shape. `run` returns the surviving corpus and a
+  * per-stage attrition report (one count action per stage, the usual
+  * pipeline-observability cost).
+  */
+object TrainingDataPipeline {
+
+  final case class Result(corpus: DataFrame, attrition: Seq[(String, Long)])
+
+  def run(docs: DataFrame, benchDocs: DataFrame,
+          lmKeepAtMost: Double = 5.36): Result = {
+    val report = Seq.newBuilder[(String, Long)]
+    def stage(name: String, d: DataFrame): DataFrame = {
+      report += name -> d.count(); d
+    }
+
+    val raw = stage("raw", docs.select("doc_id", "text", "lang", "source"))
+
+    // 1 — per-doc heuristic gates (zero-shuffle scores, one broadcast-y
+    // shuffle for the LM counts), combined with one semi-join each
+    val repKeep = DocQueries.repetitionFilters(raw)
+      .filter(col("keep")).select("doc_id")
+    val lmKeep = DocQueries.lmScore(raw, lmKeepAtMost)
+      .filter(col("keep")).select("doc_id")
+    val filtered = stage("heuristic_filters",
+      raw.join(repKeep, "doc_id").join(lmKeep, "doc_id"))
+
+    // 2 — exact dedup: keep the first (min doc_id) copy of each canonical
+    // fingerprint
+    val canon = filtered
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("fp", "keep_id")
+    val exact = stage("exact_dedup", canon)
+
+    // 3 — near-dedup: verified pair frame ONCE, persisted, then the
+    // lower-quality member of every pair dropped
+    val pairs = DocQueries.minhashLshPairs(exact).persist()
+    val q = exact
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        round(least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - graft.functions.TextFunctions.stopwordRatio(col("tk"))) * 0.5,
+          6).as("quality_score"))
+    val dropIds = DocQueries.dropList(pairs, q)
+    val near = stage("near_dedup", exact.join(dropIds, Seq("doc_id"), "left_anti"))
+
+    // 4 — substring-span boilerplate removal (rewrites text in place)
+    val cut = DocQueries.dropSpans(near, w = 50)
+      .select(col("doc_id"), col("clean_text"))
+    val rewritten = stage("substring_drop",
+      near.join(cut, "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text"), col("lang"), col("source"))
+        .filter(length(trim(col("text"))) > 0))
+
+    // 5 — decontamination against the benchmark set (8-gram overlap)
+    val bench8 = benchDocs
+      .withColumn("tk", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("tk")) >= 8)
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("tk"), 8))).as("g8"))
+      .distinct()
+    val corpus8 = rewritten
+      .withColumn("tk", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("tk"), 8))).as("g8"))
+    val contaminated = corpus8.join(broadcast(bench8), "g8").select("doc_id").distinct()
+    val clean = stage("decontaminated",
+      rewritten.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    pairs.unpersist()
+    Result(clean, report.result())
+  }
+}

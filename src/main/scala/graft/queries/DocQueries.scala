@@ -415,7 +415,49 @@ object DocQueries {
     // prob with add-one smoothing. Per-gram log-probs round to 6 dp and
     // sum as exact DECIMALs so the fold is order-independent — the same
     // determinism trick as the span hashes.
-    "text_lm_score" -> ((s, dir) => lmScore(docs(s, dir), keepAtMost = 5.36))
+    "text_lm_score" -> ((s, dir) => lmScore(docs(s, dir), keepAtMost = 5.36)),
+
+    // Corpus n-gram count table (the LM-data statistic behind vocab
+    // induction / corpus browsing): token 1/2/3-grams with a frequency
+    // cutoff. One explode + one partially-aggregated keyed shuffle; the
+    // cutoff keeps the result bounded no matter the corpus size.
+    "ngram_counts" -> { (s, dir) =>
+      val d = docs(s, dir).withColumn("tk", toks)
+      val grams = (1 to 3).map { n =>
+        d.filter(size(col("tk")) >= n)
+          .select(lit(n).as("n"),
+            explode(
+              if (n == 1) col("tk")
+              else transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+                i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("gram"))
+      }.reduce(_ unionAll _)
+      grams.groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+    },
+
+    // Model-based quality filter (the fastText/DCLM-shaped step): a
+    // logistic scorer over interpretable per-doc features with LITERAL
+    // weights (stands in for offline-trained coefficients; at scale the
+    // weight vector ships with the job as a broadcast constant). One
+    // codegen'd pass, zero shuffles; same feature arithmetic as
+    // text_quality so the doubles agree with the oracle bit-for-bit.
+    "text_quality_classifier" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"), toks.as("tk"))
+      val nTok  = size(col("tk")).cast("double")
+      val stop  = stopwordRatio(col("tk"))
+      val mwl   = round(aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
+        .cast("double") / nTok, 6)
+      val alpha = round(size(filter(col("tk"), w => w.rlike("[A-Za-z]")))
+        .cast("double") / nTok, 6)
+      val sym = round(size(regexp_extract_all(col("text"),
+        lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / nTok, 6)
+      val z = lit(-2.0) + lit(3.0) * stop + lit(1.5) * alpha +
+        lit(0.4) * least(nTok / 100.0, lit(1.0)) - lit(2.5) * sym -
+        lit(0.1) * mwl
+      d.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("clf_score"))
+        .withColumn("keep", col("clf_score") >= 0.5)
+    }
   )
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
@@ -1176,6 +1218,33 @@ object DocQueries {
         |       FROM tf JOIN c USING (g), st GROUP BY doc_id)
         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
         |       (round(-slog / n_grams, 6) <= 5.36) AS keep
-        |FROM sc""".stripMargin
+        |FROM sc""".stripMargin,
+    "ngram_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT 1 AS n, unnest(tk) AS gram FROM t
+        |  UNION ALL
+        |  SELECT 2 AS n, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS gram
+        |  FROM t WHERE len(tk) >= 2
+        |  UNION ALL
+        |  SELECT 3 AS n, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT n, gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY n, gram HAVING count(*) >= 50""".stripMargin,
+    "text_quality_classifier" -> {
+      val stop = s"round(CAST($SqlStop AS DOUBLE) / len(tk), 6)"
+      val mwl  = "round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk), 6)"
+      val alpha =
+        "round(CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(tk), 6)"
+      val sym =
+        """round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(tk), 6)"""
+      val z =
+        s"-2.0 + 3.0 * $stop + 1.5 * $alpha + 0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) - 2.5 * $sym - 0.1 * $mwl"
+      s"""SELECT doc_id, round(1.0 / (1.0 + exp(-($z))), 6) AS clf_score,
+         |  (round(1.0 / (1.0 + exp(-($z))), 6) >= 0.5) AS keep
+         |FROM (SELECT doc_id, text, $SqlToks AS tk FROM documents)""".stripMargin
+    }
   )
 }

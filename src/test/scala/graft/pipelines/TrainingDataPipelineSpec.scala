@@ -1,0 +1,71 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end composition: one planted pathology per pipeline stage, and
+  * the attrition report must attribute each drop to the right stage.
+  */
+class TrainingDataPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int, from: Int = 0): Seq[String] =
+    (from until from + n).map(i => f"$prefix$i%03d")
+
+  // planted corpus:
+  //  1 good     — survives everything
+  //  2 exactdup — byte-identical to 1 (dropped: exact_dedup)
+  //  3 neardup  — doc 1 with its last token replaced (same length ⇒ tie
+  //               on quality → higher id goes; dropped: near_dedup)
+  //  4 degenerate — one token repeated (dropped: heuristic_filters)
+  //  5 contaminated — unique text embedding a bench 8-gram (dropped:
+  //               decontaminated)
+  //  6 spanA / 7 spanB — mostly-different docs sharing a 50-token run;
+  //               Jaccard far below the near-dup bar, so both survive to
+  //               substring_drop, where 7 (non-canonical) loses the span
+  private val good   = toks("good", 30).mkString(" ")
+  private val near   = (toks("good", 29) :+ "changed").mkString(" ")
+  private val degen  = Seq.fill(30)("spam").mkString(" ")
+  private val benchG = toks("bench", 8)
+  private val contam = (toks("uniq", 11) ++ benchG ++ toks("uniq", 11, 11)).mkString(" ")
+  private val shared = toks("shared", 50)
+  private val spanA  = (toks("alpha", 70) ++ shared).mkString(" ")
+  private val spanB  = (shared ++ toks("beta", 70)).mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, good, "en", "src0"),
+    (2L, good, "en", "src1"),
+    (3L, near, "en", "src2"),
+    (4L, degen, "en", "src3"),
+    (5L, contam, "en", "src4"),
+    (6L, spanA, "en", "src5"),
+    (7L, spanB, "en", "src6")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  private lazy val bench = Seq((100L, benchG.mkString(" "))).toDF("doc_id", "text")
+
+  private lazy val result = TrainingDataPipeline.run(docs, bench, lmKeepAtMost = 1e9)
+
+  test("attrition report attributes each planted pathology to its stage") {
+    val att = result.attrition.toMap
+    assert(att("raw") == 7)
+    assert(att("heuristic_filters") == 6)  // -4 (degenerate repetition)
+    assert(att("exact_dedup") == 5)        // -2 (byte dup of 1)
+    assert(att("near_dedup") == 4)         // -3 (near dup of 1, tie → higher id)
+    assert(att("substring_drop") == 4)     // span cut, no doc lost
+    assert(att("decontaminated") == 3)     // -5 (bench 8-gram)
+    assert(result.attrition.map(_._1) == Seq("raw", "heuristic_filters",
+      "exact_dedup", "near_dedup", "substring_drop", "decontaminated"))
+  }
+
+  test("surviving corpus is exactly the planted survivors") {
+    val rows = result.corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L, 6L, 7L))
+    // canonical span holder keeps its text; non-canonical lost the run
+    assert(rows(6L) == spanA)
+    assert(rows(7L) == toks("beta", 70).mkString(" "))
+    assert(rows(1L) == good)
+  }
+}
