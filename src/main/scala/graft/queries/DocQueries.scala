@@ -451,7 +451,7 @@ object DocQueries {
         .cast("double") / nTok, 6)
       val sym = round(size(regexp_extract_all(col("text"),
         lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / nTok, 6)
-      val z = lit(-2.0) + lit(3.0) * stop + lit(1.5) * alpha +
+      val z = lit(-1.5) + lit(3.0) * stop + lit(1.5) * alpha +
         lit(0.4) * least(nTok / 100.0, lit(1.0)) - lit(2.5) * sym -
         lit(0.1) * mwl
       d.select(col("doc_id"),
@@ -1241,7 +1241,7 @@ object DocQueries {
       val sym =
         """round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(tk), 6)"""
       val z =
-        s"-2.0 + 3.0 * $stop + 1.5 * $alpha + 0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) - 2.5 * $sym - 0.1 * $mwl"
+        s"-1.5 + 3.0 * $stop + 1.5 * $alpha + 0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) - 2.5 * $sym - 0.1 * $mwl"
       s"""SELECT doc_id, round(1.0 / (1.0 + exp(-($z))), 6) AS clf_score,
          |  (round(1.0 / (1.0 + exp(-($z))), 6) >= 0.5) AS keep
          |FROM (SELECT doc_id, text, $SqlToks AS tk FROM documents)""".stripMargin
