@@ -61,6 +61,12 @@ object ConnectedComponents {
 
   /** For each node u: connect every strictly-larger neighbor to
     * m = min(Γ(u) ∪ {u}). Connectivity-preserving (Kiveris Lemma 1).
+    *
+    * NOT deduplicated here: duplicate (v, m) edges (at most deg(v) of
+    * them) flow into [[smallStar]], whose groupBy-min and final distinct
+    * both collapse them MAP-SIDE (partial aggregation) before any
+    * shuffle — so skipping the dedup saves one full shuffle per round
+    * without growing the shuffled volume.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -68,7 +74,6 @@ object ConnectedComponents {
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** For each node u over (u > v)-oriented edges: re-hang all smaller
