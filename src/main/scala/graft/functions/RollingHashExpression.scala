@@ -106,9 +106,50 @@ case class WindowPolyHash(child: Expression, width: Int)
     copy(child = c)
 }
 
+/** All character `n`-gram codes of a string in ONE pass over its UTF-8
+  * bytes: code i = big-endian packing of bytes [i, i+n) — for n=3,
+  * `(b₀ << 16) | (b₁ << 8) | b₂`. Injective for n ≤ 7, so grouping by
+  * code ≡ grouping by gram string, with 8-byte shuffle keys instead of
+  * string allocations (the LM-filter gram primitive; on an ASCII corpus
+  * the oracle reproduces codes as `ord(substr)·256^k` arithmetic).
+  */
+case class CharGramCodes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && n <= 7, s"gram width must be in [1,7], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val count = bytes.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val out  = new Array[Long](count)
+    val mask = (1L << (8 * n)) - 1
+    var code = 0L
+    var i    = 0
+    while (i < n - 1) { code = (code << 8) | (bytes(i) & 0xffL); i += 1 }
+    while (i < bytes.length) {
+      code = ((code << 8) | (bytes(i) & 0xffL)) & mask
+      out(i - n + 1) = code
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGramCodes =
+    copy(child = c)
+}
+
 object RollingHash {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+}
+
+object CharGramCodes {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+  def char_gram_codes(c: Column, n: Int): Column =
+    column(CharGramCodes(expression(c), n))
 }
 
 object WindowPolyHash {

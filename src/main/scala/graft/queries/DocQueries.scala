@@ -503,9 +503,12 @@ object DocQueries {
   def lmScore(d: DataFrame, keepAtMost: Double): DataFrame = {
     val base = d.select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 3)
+    // grams as packed byte codes from ONE native pass
+    // ([[graft.functions.CharGramCodes]]) — injective for width 3, so
+    // grouping by code ≡ grouping by the gram string, with 8-byte
+    // shuffle keys instead of 2.5M interpreted substr allocations
     val grams = base.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3)))).as("g"))
+      explode(graft.functions.CharGramCodes.char_gram_codes(col("text"), 3)).as("g"))
     // ONE heavy shuffle: the raw gram stream collapses to per-doc term
     // frequencies; corpus counts, the 1-row smoothing denominator, and
     // the per-doc score all derive from it (Spark reuses the tf exchange
@@ -1202,11 +1205,15 @@ object DocQueries {
         |      fp := list_aggregate(list_slice(gh, j + 1, j + 4), 'min')))) AS u
         |  FROM g)
         |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM sel""".stripMargin,
+    // gram codes = big-endian packed bytes (ord ≡ byte on this ASCII
+    // corpus — the text_rolling_fingerprint precedent)
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
         |g AS (SELECT doc_id,
         |        unnest(list_transform(generate_series(1, length(text) - 2),
-        |                              i -> substr(text, i, 3))) AS g
+        |          i -> ord(substr(text, i, 1)) * 65536
+        |               + ord(substr(text, i + 1, 1)) * 256
+        |               + ord(substr(text, i + 2, 1)))) AS g
         |      FROM d),
         |tf AS (SELECT doc_id, g, count(*) AS tf FROM g GROUP BY doc_id, g),
         |c AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY g),
