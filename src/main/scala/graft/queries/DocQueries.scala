@@ -541,11 +541,15 @@ object DocQueries {
     */
   def minhashLshPairs(d: DataFrame): DataFrame = {
     val sh = shingled(d)
+    // all 16 signatures in ONE native pass over the shingle set
+    // ([[graft.functions.MinHashSigs]] — same md5+affine arithmetic as
+    // the interpreted TextFunctions.minhash formulation it replaces)
     val sig = sh
-      .withColumn("hx", shingleHashes(col("shd")))
+      .withColumn("mhs",
+        graft.functions.MinHashSigs.minhash_sigs(col("shd"), NumHashes))
       .select(
         col("doc_id") +: col("shd") +:
-          (0 until NumHashes).map(i => minhash(col("hx"), i).as(s"mh$i")): _*
+          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*
       )
     val bandStructs = (0 until Bands).map { bnd =>
       val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
