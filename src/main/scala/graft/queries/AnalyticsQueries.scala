@@ -308,6 +308,56 @@ object AnalyticsQueries {
         .filter(col("rank") <= 3)
         .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
           (col("spend_c") / 100.0).as("total_spend"))
+    },
+
+    // TPC-H Q4-shaped order-priority check: orders in a quarter with at
+    // least one late-shipped line (EXISTS ≡ left-semi join; the schema
+    // has no commitdate, so lateness = shipped after the order date).
+    "q4_priority_check" -> { (s, dir) =>
+      val ord = Graft.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val late = Graft.lineitem(s, dir)
+      ord.join(late,
+          ord("o_orderkey") === late("l_orderkey") &&
+            late("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    // customer over a quarter, top 20. Fact⋈fact shuffle join on
+    // orderkey; customer/nation dims broadcast; exact cents arithmetic;
+    // top-20 via TakeOrderedAndProject (no global window).
+    "q10_returned_revenue" -> { (s, dir) =>
+      val ord = Graft.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Graft.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Graft.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Graft.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_c"))
+        .orderBy(col("rev_c").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_c") / 10000.0).as("revenue"), col("c_acctbal"), col("n_name"))
+    },
+
+    // TPC-H Q13-shaped customer distribution: orders per customer via one
+    // outer join + keyed count, then the count histogram (two keyed
+    // aggregations; no skew — o_custkey is near-uniform).
+    "q13_order_distribution" -> { (s, dir) =>
+      Graft.customer(s, dir)
+        .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
     }
   )
 
@@ -427,6 +477,35 @@ object AnalyticsQueries {
         |                            ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, rev_c / 10000.0 AS revenue, c_acctbal, n_name
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        |ORDER BY rev_c DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
     "q12_priority_buckets" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
