@@ -73,5 +73,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_norm", "vec_norm(a) - L2 norm of an array<double>"),
       (args: Seq[Expression]) =>
         graft.functions.VectorExpressions.L2Norm(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - Rabin-Karp fingerprint mod 2^61-1"),
+      (args: Seq[Expression]) => graft.functions.RollingHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("window_poly_hash"),
+      info("window_poly_hash",
+        "window_poly_hash(hashes, w) - all w-wide gram hashes of an array<long> in one pass"),
+      (args: Seq[Expression]) =>
+        graft.functions.WindowPolyHash(args.head, litInt(args(1), "window_poly_hash"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_gram_codes"),
+      info("char_gram_codes",
+        "char_gram_codes(text, n) - packed byte codes of every char n-gram (n <= 7)"),
+      (args: Seq[Expression]) =>
+        graft.functions.CharGramCodes(args.head, litInt(args(1), "char_gram_codes"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs",
+        "minhash_sigs(shingles, k) - k MinHash signatures of an array<string> in one pass"),
+      (args: Seq[Expression]) =>
+        graft.functions.MinHashSigs(args.head, litInt(args(1), "minhash_sigs"))))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - Gopher repetition metrics (lines, dup chars, top 2/3-grams)"),
+      (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
+  }
+
+  /** Static Int parameter of a SQL-registered expression — must be a
+    * foldable integer literal (mirrors Spark's own approach for e.g.
+    * `approx_count_distinct`'s rsd argument).
+    */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: second argument must be an integer literal, got $other")
   }
 }

@@ -80,4 +80,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT $f(value) FROM junk").collect().length == 1)
     }
   }
+
+  test("text/hash expressions are callable from SQL") {
+    // rolling_hash("ab") = (97·257 + 98) mod 2^61−1
+    assert(spark.sql("SELECT rolling_hash('ab') AS h")
+      .collect().head.getLong(0) == 97L * 257 + 98)
+    // gram hashes of [1,2,3] at width 2: [1·B+2, 2·B+3]
+    val wph = spark.sql(
+      "SELECT window_poly_hash(array(1L, 2L, 3L), 2) AS g")
+      .collect().head.getSeq[Long](0)
+    assert(wph == Seq(1000003L + 2, 2 * 1000003L + 3))
+    // char_gram_codes('abc', 3) = [97·65536 + 98·256 + 99]
+    assert(spark.sql("SELECT char_gram_codes('abc', 3) AS c")
+      .collect().head.getSeq[Long](0) == Seq(97L * 65536 + 98 * 256 + 99))
+    // minhash_sigs matches the column formulation (spot value, k=2)
+    assert(spark.sql("SELECT minhash_sigs(array('x'), 2) AS m")
+      .collect().head.getSeq[Long](0).length == 2)
+    // repetition_stats counts lines
+    assert(spark.sql("SELECT repetition_stats('a\nb\na').n_lines AS n")
+      .collect().head.getInt(0) == 3)
+    // non-literal static arg is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_gram_codes('abc', length('xy')) FROM (SELECT 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.contains("char_gram_codes"))
+  }
 }
