@@ -33,8 +33,9 @@ object ConnectedComponents {
         least(col(cols(0)), col(cols(1))).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      // truncate lineage so each round's plan stays O(1)
-      .localCheckpoint(true)
+      // truncate lineage so each round's plan stays O(1); lazy — the
+      // count below materializes it in the same job
+      .localCheckpoint(false)
     var curCount  = cur.count()
     var converged = curCount == 0L
     var rounds    = 0

@@ -258,6 +258,19 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           count(lit(1)).as("n"))),
 
+    // Semi-structured extraction: JSON property pulled with the codegen'd
+    // path expression (no UDF, no full from_json materialization — only
+    // the one key is parsed), then a keyed aggregate. The standard
+    // "props bag" pattern at event-log scale.
+    "events_props_extract" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))),
+
     // Rollup (grouping sets): day×type, per-day, and grand-total rows in
     // one pass — partial aggregation covers all grouping sets.
     "events_rollup" -> ((s, dir) =>
@@ -539,6 +552,13 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_props_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
