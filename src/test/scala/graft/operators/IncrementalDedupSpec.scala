@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Continuous-ingestion dedup: cross-batch novelty via the persisted
+  * bucketed fingerprint index, within-batch keep-first, and the
+  * no-Exchange guarantee on the index side of the anti-join.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val table = "graft_inc_dedup_idx"
+
+  test("batches admit only never-seen documents; index accumulates") {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+
+    val b1 = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "alpha  beta   gamma") // same canonical fingerprint as 1
+    ).toDF("doc_id", "text")
+    val a1 = IncrementalDedup.ingest(b1, table).select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(1L, 2L)) // within-batch keep-first
+
+    val b2 = Seq(
+      (10L, "ALPHA BETA GAMMA"),  // canonical dup of batch-1 doc 1
+      (11L, "eta theta iota"),    // novel
+      (12L, "delta epsilon zeta") // dup of batch-1 doc 2
+    ).toDF("doc_id", "text")
+    val a2 = IncrementalDedup.ingest(b2, table).select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(11L)) // only the novel doc survives
+
+    // the index now holds all three canonical fingerprints
+    assert(spark.table(table).count() == 3)
+
+    // a replayed batch admits nothing
+    val a3 = IncrementalDedup.ingest(b2, table).count()
+    assert(a3 == 0)
+  }
+
+  test("the accumulated index side of the anti-join has no Exchange") {
+    // force the sort-merge path (at real scale the index outgrows any
+    // broadcast threshold; locally everything would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val batch = Seq((100L, "kappa lambda mu")).toDF("doc_id", "text")
+          .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        batch.join(spark.table(table), Seq("fp"), "left_anti")
+          .queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the scan of the bucketed index must not be re-shuffled: any
+    // hash-partitioning Exchange in the plan may only be on the batch side
+    val indexSide = plan.linesIterator
+      .dropWhile(l => !l.contains(table)).toSeq
+    assert(indexSide.nonEmpty, s"index scan missing in:\n$plan")
+    assert(!indexSide.exists(_.contains("Exchange hashpartitioning")),
+      s"index side re-shuffled:\n$plan")
+  }
+}
