@@ -108,4 +108,110 @@ object MultimodalOps {
       encode(col("text"), "UTF-8").as("content")
     ).as[Asset]
   }
+
+  // --- a REAL codec: P6 PPM (netpbm) -----------------------------------
+  // Pure byte parsing, no libraries — the proof that the stub seams above
+  // are genuinely pluggable: same Dataset plumbing, an actual decoder in
+  // the partition loop.
+
+  final case class PpmImage(width: Int, height: Int, maxval: Int, pixels: Array[Byte])
+
+  final case class ImageFeatures(
+      id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode a binary P6 PPM payload (header tokens with whitespace and
+    * `#` comments per the netpbm spec, then raw 8-bit RGB). None for
+    * anything malformed or truncated — decode failures are data, not
+    * exceptions, in a pipeline.
+    */
+  def decodePpm(bytes: Array[Byte]): Option[PpmImage] = {
+    var i = 0
+    def skipSpace(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val b = bytes(i)
+        if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (b == ' ' || b == '\t' || b == '\r' || b == '\n') i += 1
+        else go = false
+      }
+    }
+    def token(): Option[String] = {
+      skipSpace()
+      val start = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      if (i > start) Some(new String(bytes, start, i - start, "US-ASCII")) else None
+    }
+    for {
+      magic <- token() if magic == "P6"
+      w     <- token().flatMap(_.toIntOption) if w > 0
+      h     <- token().flatMap(_.toIntOption) if h > 0
+      mx    <- token().flatMap(_.toIntOption) if mx > 0 && mx < 256
+      // exactly ONE whitespace byte separates header from raster
+      _     <- if (i < bytes.length && bytes(i).toChar.isWhitespace) Some(()) else None
+      raster = bytes.drop(i + 1)
+      if raster.length >= w * h * 3
+    } yield PpmImage(w, h, mx, raster.take(w * h * 3))
+  }
+
+  /** Encode back to canonical P6 bytes. */
+  def encodePpm(img: PpmImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n${img.maxval}\n".getBytes("US-ASCII")
+    header ++ img.pixels
+  }
+
+  /** Per-image dimensions + channel means from the REAL decoder; assets
+    * that don't decode are dropped (the error-as-filter convention of
+    * F8). Per-partition iteration, one pass over the raster.
+    */
+  def ppmFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      decodePpm(a.content).map { img =>
+        var r = 0L; var g = 0L; var b = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          r += img.pixels(p) & 0xff
+          g += img.pixels(p + 1) & 0xff
+          b += img.pixels(p + 2) & 0xff
+          p += 3
+        }
+        val n = (img.width * img.height).toDouble
+        ImageFeatures(a.id, img.width, img.height, r / n, g / n, b / n)
+      }
+    })
+  }
+
+  /** REAL nearest-neighbor resize: decode, sample source pixels on the
+    * integer grid, re-encode as valid P6 (round-trips through
+    * [[decodePpm]]). Undecodable assets pass through untouched.
+    */
+  def ppmResize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    require(w > 0 && h > 0)
+    assets.map { a =>
+      decodePpm(a.content) match {
+        case None => a
+        case Some(img) =>
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val sy = y * img.height / h
+            var x = 0
+            while (x < w) {
+              val sx  = x * img.width / w
+              val src = (sy * img.width + sx) * 3
+              val dst = (y * w + x) * 3
+              out(dst) = img.pixels(src)
+              out(dst + 1) = img.pixels(src + 1)
+              out(dst + 2) = img.pixels(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          Asset(a.id, "image/x-portable-pixmap",
+            encodePpm(PpmImage(w, h, img.maxval, out)))
+      }
+    }
+  }
 }
