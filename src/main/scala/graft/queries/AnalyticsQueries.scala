@@ -361,6 +361,59 @@ object AnalyticsQueries {
           (col("rev_c") / 10000.0).as("revenue"), col("c_acctbal"), col("n_name"))
     },
 
+    // TPC-H Q7-shaped volume shipping: revenue between a nation pair in
+    // both directions by ship year. Lineitem⋈orders is the one fact
+    // shuffle; supplier/customer/nation dims all broadcast; exact cents.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val n1 = "NATION_1"; val n2 = "NATION_2"
+      val supNat = Graft.supplier(s, dir)
+        .join(Graft.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNat = Graft.customer(s, dir)
+        .join(Graft.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Graft.lineitem(s, dir)
+        .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          / 10000.0).as("revenue"))
+    },
+
+    // TPC-H Q8-shaped market share: one nation's share of a region's
+    // revenue for a part type, by order year. Six-table join — part
+    // filter prunes the fact scan early, every dimension broadcasts,
+    // the share is a conditional-sum ratio on exact cents.
+    "q8_market_share" -> { (s, dir) =>
+      val regionNations = Graft.nation(s, dir)
+        .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val custs = Graft.customer(s, dir)
+        .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supNat = Graft.supplier(s, dir)
+        .join(Graft.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val parts = Graft.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val volC = cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+      Graft.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custs), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volC).otherwise(lit(0L)))
+            .cast("double") /
+            sum(volC).cast("double"), 6).as("mkt_share"))
+    },
+
     // TPC-H Q13-shaped customer distribution: orders per customer via one
     // outer join + keyed count, then the count histogram (two keyed
     // aggregations; no skew — o_custkey is near-uniform).
@@ -513,6 +566,40 @@ object AnalyticsQueries {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'
         |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
         |ORDER BY rev_c DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, sum(vol_c) / 10000.0 AS revenue
+        |FROM (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE')
+        |GROUP BY o_year""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count

@@ -179,6 +179,30 @@ object DocQueries {
         .toDF()
     },
 
+    // Multimodal through the REAL codec: a 2×2 P6 PPM is synthesized per
+    // doc from its first 12 text bytes, encoded to wire bytes, then
+    // decoded and feature-extracted by the actual parser
+    // ([[graft.operators.MultimodalOps.decodePpm]]); the oracle computes
+    // the channel means independently from ord() arithmetic, so the
+    // whole encode→decode→features path is hash-checked.
+    "mm_ppm_features" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      import s.implicits._
+      val assets = docs(s, dir)
+        .filter(length(col("text")) >= 12)
+        .select(col("doc_id"), encode(substring(col("text"), 1, 12), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, px) =>
+          MultimodalOps.Asset(id, "image/x-portable-pixmap",
+            MultimodalOps.encodePpm(MultimodalOps.PpmImage(2, 2, 255, px)))
+        }
+      MultimodalOps.ppmFeatures(assets)
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
     // Multimodal: deterministic frame sampling (4 windows of 16 bytes).
     "mm_frame_sample" -> { (s, dir) =>
       import graft.operators.MultimodalOps
@@ -944,6 +968,17 @@ object DocQueries {
         |       ord(substr(text,4,1)) + ord(substr(text,5,1)) + ord(substr(text,6,1)) +
         |       ord(substr(text,7,1)) + ord(substr(text,8,1)) AS BIGINT) AS head_sum
         |FROM documents""".stripMargin,
+    // means reproduced from ord() arithmetic (byte ≡ ord on this ASCII
+    // corpus): r at chars 1,4,7,10; g at 2,5,8,11; b at 3,6,9,12
+    "mm_ppm_features" ->
+      """SELECT doc_id AS id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  round((ord(substr(text,1,1)) + ord(substr(text,4,1))
+        |         + ord(substr(text,7,1)) + ord(substr(text,10,1))) / 4.0, 6) AS mean_r,
+        |  round((ord(substr(text,2,1)) + ord(substr(text,5,1))
+        |         + ord(substr(text,8,1)) + ord(substr(text,11,1))) / 4.0, 6) AS mean_g,
+        |  round((ord(substr(text,3,1)) + ord(substr(text,6,1))
+        |         + ord(substr(text,9,1)) + ord(substr(text,12,1))) / 4.0, 6) AS mean_b
+        |FROM documents WHERE length(text) >= 12""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
         |  md5(substr(text, 1 + i * ((length(text) - 16) // 3), 16)) AS frame_md5
