@@ -414,6 +414,54 @@ object AnalyticsQueries {
             sum(volC).cast("double"), 6).as("mkt_share"))
     },
 
+    // TPC-H Q15-shaped top supplier: per-supplier revenue over a quarter,
+    // then the suppliers achieving the global maximum (the max is ONE
+    // scalar — computed as a 1-row aggregate and broadcast, not a global
+    // window).
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = Graft.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("rev_c"))
+      val top = rev.agg(max("rev_c").as("max_c"))
+      rev.join(broadcast(top), col("rev_c") === col("max_c"))
+        .join(broadcast(Graft.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), (col("rev_c") / 10000.0).as("total_revenue"))
+    },
+
+    // TPC-H Q17-shaped small-quantity revenue: lines under 20% of their
+    // part's average quantity (the correlated subquery becomes one keyed
+    // aggregate joined back — two passes over the filtered fact, both
+    // keyed on partkey).
+    "q17_small_quantity" -> { (s, dir) =>
+      val li = Graft.lineitem(s, dir)
+        .join(broadcast(Graft.part(s, dir).filter(col("p_brand") === "Brand#1")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(cents(col("l_extendedprice"))) / 100.0 / 7.0).as("avg_yearly"))
+    },
+
+    // TPC-H Q19-shaped disjunctive-predicate revenue: OR of
+    // (brand, quantity-band) combinations over the part join — Catalyst
+    // pushes the brand disjunction into the part scan; one broadcast
+    // join, one scalar aggregate.
+    "q19_branded_revenue" -> { (s, dir) =>
+      val p = Graft.part(s, dir).select("p_partkey", "p_brand")
+      Graft.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          / 10000.0).as("revenue"))
+    },
+
     // TPC-H Q13-shaped customer distribution: orders per customer via one
     // outer join + keyed count, then the count histogram (two keyed
     // aggregations; no skew — o_custkey is near-uniform).
@@ -600,6 +648,35 @@ object AnalyticsQueries {
         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
         |  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE')
         |GROUP BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_c = (SELECT max(rev_c) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |aq AS (SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
+        |       FROM li GROUP BY l_partkey)
+        |SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+        |FROM li JOIN aq ON l_partkey = ap_key
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q19_branded_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
