@@ -97,4 +97,31 @@ object TrainingDataPipeline {
     pairs.unpersist()
     Result(clean, report.result())
   }
+
+  /** The write side: emit the corpus as `nShards` training shards —
+    * md5-permuted global order (the deterministic "global shuffle"),
+    * hash-assigned shards, dense per-shard positions and token offsets,
+    * written as one parquet directory per shard. One keyed shuffle
+    * (repartition on shard) + per-partition sort; shard count scales
+    * with corpus size so no partition concentrates.
+    */
+  def writeShards(corpus: DataFrame, outDir: String, nShards: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy("shard").orderBy("ord")
+    corpus
+      .withColumn("ord", h)
+      .withColumn("shard",
+        conv(substring(col("ord"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        (sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")).over(w) -
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "ord")
+      .drop("ord")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+  }
 }

@@ -59,6 +59,33 @@ class TrainingDataPipelineSpec extends SparkSpec {
       "exact_dedup", "near_dedup", "substring_drop", "decontaminated"))
   }
 
+  test("writeShards emits per-shard dirs with model-exact membership and positions") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    TrainingDataPipeline.writeShards(docs, out, nShards = 4)
+    val back = spark.read.parquet(out)
+      .select("doc_id", "shard", "pos_in_shard", "tok_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(back.map(_._1).toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    back.groupBy(_._2).foreach { case (shard, rows) =>
+      val exp = rows.map(_._1).sortBy(id => md5hex(id.toString))
+      rows.foreach { case (id, sh, _, _) =>
+        assert(java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 4 == sh)
+      }
+      assert(rows.sortBy(_._3).map(_._1).toSeq == exp.toSeq, s"shard $shard order")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      // offsets are the exclusive prefix sums of token counts in ord order
+      val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+      var cum = 0L
+      exp.zip(rows.sortBy(_._3)).foreach { case (id, row) =>
+        assert(row._4 == cum, s"shard $shard doc $id offset")
+        cum += toks(id)
+      }
+    }
+  }
+
   test("surviving corpus is exactly the planted survivors") {
     val rows = result.corpus.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
