@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,12 +11,18 @@ import graft.functions.TextFunctions.fingerprint
   * operational pattern of a training-data intake at 100 TB (the corpus
   * grows forever; each arriving batch is small).
   *
-  * The index is a catalog table bucketed by fingerprint, so the
-  * index side of the anti-join reads bucket-aligned files with NO
+  * The index is an EXTERNAL catalog table bucketed by fingerprint, so
+  * the index side of the anti-join reads bucket-aligned files with NO
   * Exchange — only the (small) arriving batch shuffles to match the
   * bucket layout, regardless of how large the accumulated index grows.
   * Each admitted batch appends its fingerprints with the same bucket
   * spec, keeping the layout invariant across ingests.
+  *
+  * Durability: the table is external (explicit LOCATION), and a session
+  * whose catalog has forgotten it (in-memory catalog after restart;
+  * with a persistent metastore this never triggers) re-registers the
+  * existing location instead of clobbering it — the accumulated index
+  * survives restarts.
   */
 object IncrementalDedup {
 
@@ -27,6 +33,7 @@ object IncrementalDedup {
     */
   def ingest(batch: DataFrame, indexTable: String, buckets: Int = 16): DataFrame = {
     val spark = batch.sparkSession
+    ensureRegistered(spark, indexTable, buckets)
     val fp = batch.withColumn("fp", fingerprint(col("text")))
       // within-batch keep-first
       .withColumn("__first", min("doc_id").over(Window.partitionBy("fp")))
@@ -40,12 +47,39 @@ object IncrementalDedup {
     // evaluating it after the append would see the batch's own
     // fingerprints in the index and admit nothing (read-your-own-writes)
     val admitted = novel.localCheckpoint(true)
-    if (spark.catalog.tableExists(indexTable))
-      admitted.select("fp").write.mode(SaveMode.Append)
-        .bucketBy(buckets, "fp").sortBy("fp")
-        .format("parquet").saveAsTable(indexTable)
-    else
-      Bucketing.writeBucketed(admitted.select("fp"), indexTable, "fp", buckets)
+    if (!spark.catalog.tableExists(indexTable)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        java.net.URI.create(location(spark, indexTable)).getPath))
+      spark.sql(
+        s"""CREATE TABLE `$indexTable` (fp STRING) USING parquet
+           |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+           |LOCATION '${location(spark, indexTable)}'""".stripMargin)
+    }
+    admitted.select("fp").write.mode(SaveMode.Append)
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(indexTable)
     admitted.drop("fp")
   }
+
+  /** The index's stable on-disk home under the warehouse dir. */
+  private def location(spark: SparkSession, table: String): String =
+    java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .resolve(table).toUri.toString
+
+  /** Re-attach an index whose files survived a catalog restart: if the
+    * table is unknown to (this session's) catalog but its location holds
+    * data, register it as the same external bucketed table rather than
+    * letting a fresh create clobber the accumulated fingerprints.
+    */
+  private def ensureRegistered(spark: SparkSession, table: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = java.nio.file.Paths.get(java.net.URI.create(location(spark, table)).getPath)
+      if (java.nio.file.Files.exists(loc) &&
+        java.nio.file.Files.list(loc).findFirst().isPresent)
+        spark.sql(
+          s"""CREATE TABLE `$table` (fp STRING) USING parquet
+             |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+             |LOCATION '${location(spark, table)}'""".stripMargin)
+    }
 }

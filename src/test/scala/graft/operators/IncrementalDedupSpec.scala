@@ -15,6 +15,15 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("batches admit only never-seen documents; index accumulates") {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // clear any files from a previous JVM so the suite starts clean
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
     val b1 = Seq(
       (1L, "alpha beta gamma"),
@@ -38,6 +47,20 @@ class IncrementalDedupSpec extends SparkSpec {
     // a replayed batch admits nothing
     val a3 = IncrementalDedup.ingest(b2, table).count()
     assert(a3 == 0)
+  }
+
+  test("the index survives a catalog restart (external table re-registration)") {
+    // simulate a new session's empty in-memory catalog: the external
+    // table vanishes from the catalog but its files remain
+    spark.sql(s"DROP TABLE `$table`")
+    assert(!spark.catalog.tableExists(table))
+    val replay = Seq((20L, "alpha beta gamma"), (21L, "nu xi omicron"))
+      .toDF("doc_id", "text")
+    val admitted = IncrementalDedup.ingest(replay, table)
+      .select("doc_id").as[Long].collect().toSet
+    // the pre-restart fingerprints still gate: only the novel doc enters
+    assert(admitted == Set(21L))
+    assert(spark.table(table).count() == 4)
   }
 
   test("the accumulated index side of the anti-join has no Exchange") {
