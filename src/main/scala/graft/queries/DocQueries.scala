@@ -663,37 +663,59 @@ object DocQueries {
     // — hash-map counting; the HOF formulation needs O(n²) membership
     // scans per metric and evaluates interpreted). The cheap O(n)
     // metrics stay as builtin expressions.
-    import graft.functions.RepetitionStats.repetition_stats
-    def rs(f: String): Column = col("rs").getField(f)
-    def topFrac(cnt: String, chars: String): Column =
-      // an unrepeated gram is no concentration — otherwise short clean
-      // docs score high just because any single gram is a big char share
-      when(rs(cnt) <= 1, lit(0.0)).otherwise(
-        round(rs(cnt).cast("double") * rs(chars) / length(col("text")), 6))
-
     d.select(col("doc_id"), col("text"), toks.as("tk"))
-      .withColumn("rs", repetition_stats(col("text")))
-      .select(
-        col("doc_id"),
-        round((rs("n_lines") - rs("n_dlines")).cast("double") / rs("n_lines"), 6)
-          .as("dup_line_frac"),
-        // chars in line occurrences beyond each line's first, over total
-        round(rs("dup_chars").cast("double") / length(col("text")), 6)
-          .as("dup_line_char_frac"),
-        topFrac("top2_cnt", "top2_chars").as("top2gram_char_frac"),
-        topFrac("top3_cnt", "top3_chars").as("top3gram_char_frac"),
-        round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-          .cast("double") / size(col("tk")), 6).as("symbol_word_ratio"),
-        round(aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
-          .cast("double") / size(col("tk")), 6).as("mean_word_len"),
-        round(size(filter(col("tk"), w => w.rlike("[A-Za-z]")))
-          .cast("double") / size(col("tk")), 6).as("alpha_word_frac"))
+      .withColumn("rs", graft.functions.RepetitionStats.repetition_stats(col("text")))
+      .select(col("doc_id") +: repetitionMetrics.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
         col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
           col("top2gram_char_frac") <= 0.20 && col("top3gram_char_frac") <= 0.18 &&
           col("symbol_word_ratio") <= 0.10 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("alpha_word_frac") >= 0.80)
+  }
+
+  /** The repetition/quality metric expressions over bound `text`, `tk`
+    * (token array) and `rs` ([[graft.functions.RepetitionStats]] struct)
+    * columns — shared between the batch metric frame and the streaming
+    * intake gate, which evaluates them inline (no aggregation, so the
+    * whole family is streaming-safe).
+    */
+  def repetitionMetrics: Seq[(String, Column)] = {
+    def rs(f: String): Column = col("rs").getField(f)
+    def topFrac(cnt: String, chars: String): Column =
+      // an unrepeated gram is no concentration — otherwise short clean
+      // docs score high just because any single gram is a big char share
+      when(rs(cnt) <= 1, lit(0.0)).otherwise(
+        round(rs(cnt).cast("double") * rs(chars) / length(col("text")), 6))
+    Seq(
+      "dup_line_frac" ->
+        round((rs("n_lines") - rs("n_dlines")).cast("double") / rs("n_lines"), 6),
+      // chars in line occurrences beyond each line's first, over total
+      "dup_line_char_frac" ->
+        round(rs("dup_chars").cast("double") / length(col("text")), 6),
+      "top2gram_char_frac" -> topFrac("top2_cnt", "top2_chars"),
+      "top3gram_char_frac" -> topFrac("top3_cnt", "top3_chars"),
+      "symbol_word_ratio" ->
+        round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / size(col("tk")), 6),
+      "mean_word_len" ->
+        round(aggregate(col("tk"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / size(col("tk")), 6),
+      "alpha_word_frac" ->
+        round(size(filter(col("tk"), w => w.rlike("[A-Za-z]")))
+          .cast("double") / size(col("tk")), 6))
+  }
+
+  /** The Gopher keep predicate over [[repetitionMetrics]], inlined (for
+    * contexts without the metric frame — e.g. a streaming filter).
+    */
+  def repetitionKeep: Column = {
+    val m = repetitionMetrics.toMap
+    m("dup_line_frac") <= 0.30 && m("dup_line_char_frac") <= 0.20 &&
+      m("top2gram_char_frac") <= 0.20 && m("top3gram_char_frac") <= 0.18 &&
+      m("symbol_word_ratio") <= 0.10 &&
+      m("mean_word_len") >= 3.0 && m("mean_word_len") <= 10.0 &&
+      m("alpha_word_frac") >= 0.80
   }
 
   /** Substring-level exact dedup (the public shingle-span approach):
