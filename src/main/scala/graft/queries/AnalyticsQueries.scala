@@ -462,6 +462,22 @@ object AnalyticsQueries {
           / 10000.0).as("revenue"))
     },
 
+    // TPC-H Q22-shaped sales opportunity: rich (above the global
+    // positive-balance average) customers in selected nations with no
+    // orders — a scalar-subquery threshold (1-row broadcast) + an
+    // anti-join, grouped per nation. Balance compares on exact cents.
+    "q22_sales_opportunity" -> { (s, dir) =>
+      val cust = Graft.customer(s, dir).filter(col("c_nationkey") < 5)
+        .withColumn("bal_c", cents(col("c_acctbal")))
+      val avgBal = cust.filter(col("bal_c") > 0).agg(avg("bal_c").as("avg_c"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("bal_c") > col("avg_c"))
+        .join(Graft.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")) / 100.0).as("totacctbal"))
+    },
+
     // TPC-H Q13-shaped customer distribution: orders per customer via one
     // outer join + keyed count, then the count histogram (two keyed
     // aggregations; no skew — o_custkey is near-uniform).
@@ -677,6 +693,19 @@ object AnalyticsQueries {
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey < 5),
+        |a AS (SELECT avg(bal_c) AS avg_c FROM c WHERE bal_c > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |       CAST(count(*) AS BIGINT) AS numcust,
+        |       sum(bal_c) / 100.0 AS totacctbal
+        |FROM c, a
+        |WHERE bal_c > avg_c
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_nationkey""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
