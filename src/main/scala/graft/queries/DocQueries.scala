@@ -149,6 +149,40 @@ object DocQueries {
     // re-join back to the corpus — one self-join total, no recomputation.
     "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))),
 
+    // The signature-only variant: candidate pairs ranked by the MinHash
+    // Jaccard ESTIMATE (fraction of agreeing signatures) — no shingle
+    // sets ride the join, so per-doc state is 16 longs regardless of
+    // document size. The memory-light path when approximate similarity
+    // suffices at corpus scale; the exact-verify variant above is the
+    // precision path.
+    "dedup_minhash_estimate" -> { (s, dir) =>
+      import graft.functions.MinHashSigs.minhash_sigs
+      val sig = shingled(docs(s, dir))
+        .withColumn("mhs", minhash_sigs(col("shd"), NumHashes))
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+      val bandStructs = (0 until Bands).map { bnd =>
+        val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
+        struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
+      }
+      val bands = sig.select(
+        col("doc_id") +: explode(array(bandStructs: _*)).as("bs") +:
+          (0 until NumHashes).map(i => col(s"mh$i")): _*)
+        .select(col("doc_id") +: col("bs.band").as("band") +:
+          col("bs.bkey").as("bkey") +: (0 until NumHashes).map(i => col(s"mh$i")): _*)
+      val a = bands.select(col("band") +: col("bkey") +:
+        col("doc_id").as("doc_a") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val b = bands.select(col("band") +: col("bkey") +:
+        col("doc_id").as("doc_b") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
+            .as("jac_est"))
+        .filter(col("jac_est") >= 0.5)
+        .distinct()
+    },
+
     // SimHash signature per doc: 32 bits, majority vote over token hashes.
     // Native one-pass expression (zero shuffles, no tokens×32 row blowup);
     // the oracle SQL keeps the equivalent explode formulation.
@@ -964,6 +998,16 @@ object DocQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $SqlLshCtes
          |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.4""".stripMargin,
+    "dedup_minhash_estimate" -> {
+      val est = (0 until NumHashes)
+        .map(i => s"CASE WHEN p.mh$i = q.mh$i THEN 1.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH $SqlLshCtes
+         |SELECT doc_a, doc_b, jac_est FROM (
+         |  SELECT doc_a, doc_b, ($est) / $NumHashes AS jac_est
+         |  FROM cand JOIN mh p ON p.doc_id = doc_a JOIN mh q ON q.doc_id = doc_b)
+         |WHERE jac_est >= 0.5""".stripMargin
+    },
     "dedup_clusters" ->
       s"""WITH RECURSIVE $SqlLshCtes,
          |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
