@@ -183,6 +183,56 @@ object AnalyticsQueries {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))),
 
+    // Cohort retention matrix: users bucketed by first-seen day, then
+    // distinct returning users per (cohort, day-offset). Both aggs and the
+    // join are keyed on user_id, so the first-seen exchange is reused by
+    // the join; the final agg runs on the narrow (cohort, offset) pair.
+    "events_retention" -> { (s, dir) =>
+      val ev = Graft.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // 7-day rolling aggregates per event type: daily pre-aggregation
+    // bounds the window input to days × types, then a RANGE frame
+    // PARTITIONED by type — never a global-order single-partition window;
+    // sums are exact cents so frame evaluation order can't perturb the
+    // doubles.
+    "events_rolling_7d" -> { (s, dir) =>
+      val daily = Graft.events(s, dir)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+      daily.select(
+        col("event_type"), col("day"), col("n"),
+        sum("n").over(w).as("n_7d"),
+        (sum("value_c").over(w) / 100.0).as("value_7d"))
+    },
+
+    // Daily-volume anomaly flags: day counts vs global mean/σ. Moments are
+    // ONE scalar aggregate (exact integer sums) broadcast back over the
+    // daily frame — no second scan and no all-days window on a single
+    // partition; z-scores are identical double arithmetic in both engines
+    // and are rounded BEFORE the threshold compare.
+    "events_zscore_days" -> { (s, dir) =>
+      val daily = Graft.events(s, dir)
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val moments = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sq"))
+      val mu = col("sn").cast("double") / col("n_days")
+      val z =
+        round((col("n") - mu) / sqrt(col("sq").cast("double") / col("n_days") - mu * mu), 6)
+      daily
+        .crossJoin(broadcast(moments))
+        .select(col("day"), col("n"), z.as("z"), (abs(z) > lit(1.5)).as("is_anomaly"))
+    },
+
     // Anti join: customers with no orders (broadcast the smaller side of
     // the null-producing side is left to AQE).
     "customers_without_orders" -> { (s, dir) =>
@@ -593,6 +643,41 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "events_rolling_7d" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+        |  CAST(sum(value_c) OVER w AS BIGINT) / 100.0 AS value_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_zscore_days" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS sn,
+        |        CAST(sum(n * n) AS BIGINT) AS sq
+        |      FROM d)
+        |SELECT day, n,
+        |  round((n - CAST(sn AS DOUBLE) / n_days)
+        |        / sqrt(CAST(sq AS DOUBLE) / n_days
+        |               - (CAST(sn AS DOUBLE) / n_days) * (CAST(sn AS DOUBLE) / n_days)),
+        |        6) AS z,
+        |  abs(round((n - CAST(sn AS DOUBLE) / n_days)
+        |            / sqrt(CAST(sq AS DOUBLE) / n_days
+        |                   - (CAST(sn AS DOUBLE) / n_days) * (CAST(sn AS DOUBLE) / n_days)),
+        |            6)) > 1.5 AS is_anomaly
+        |FROM d, m""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

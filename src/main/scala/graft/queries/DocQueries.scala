@@ -119,6 +119,32 @@ object DocQueries {
       docs(s, dir).select(col("doc_id"), rolling_hash(col("text")).as("rfp"))
     },
 
+    // Unigram entropy + type-token ratio: the information-density quality
+    // signal (low entropy ⇒ repetitive/templated text; low TTR ⇒ tiny
+    // vocabulary). One keyed shuffle on (doc_id, token) with map-side
+    // partial counts; totals and the entropy sum both derive from that
+    // exchange. Per-term contributions round to 6 dp and fold as exact
+    // DECIMALs so the per-doc sum is order-independent across engines
+    // (the lm_score trick — FP addition is not associative, decimal
+    // addition is).
+    "text_gram_entropy" -> { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val n = tf.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+      val p = col("c").cast("double") / col("n_tokens")
+      tf.join(n, "doc_id")
+        .withColumn("term", round(-p * log(p), 6).cast("decimal(22,6)"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(sum("term").as("esum"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"),
+          col("esum").cast("double").as("entropy"))
+    },
+
     // --- deduplication -------------------------------------------------
     // Exact: one shuffle keyed on the content fingerprint.
     "dedup_exact" -> ((s, dir) =>
@@ -141,6 +167,21 @@ object DocQueries {
         .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
         .filter(col("jac") >= 0.2)
     },
+
+    // Asymmetric containment near-dup: C(A→B) = |A∩B| / |A| ≥ 0.8 catches
+    // docs that are near-SUBSETS of others (boilerplate embedded in a
+    // larger page) — symmetric Jaccard misses those whenever sizes differ.
+    // PPJoin-style LOSSLESS prefix filtering: order the gram universe by
+    // ascending document frequency; a doc probes only its
+    // |A| − ⌈0.8·|A|⌉ + 1 rarest grams. If C ≥ 0.8 the non-probed suffix
+    // (⌈0.8|A|⌉ − 1 grams) cannot hold the whole ≥⌈0.8|A|⌉-gram
+    // intersection, so at least one probe gram hits — no qualifying pair
+    // is lost, and the oracle needs no blocking replica beyond this one.
+    // All shuffles are keyed equality joins (gram df, probe join, two
+    // set-verify joins) — linear in corpus grams, never all-pairs; the
+    // df-order makes probes the RAREST grams (69 candidates for 56 true
+    // pairs at sf0.001; a random gram order at t=0.5 yields 3432).
+    "dedup_containment" -> ((s, dir) => containmentPairs(docs(s, dir), 0.8)),
 
     // MinHash + LSH: 16 signatures, 4 bands × 4 rows; candidates share a
     // band key (equality shuffle join), then exact Jaccard verification.
@@ -587,6 +628,51 @@ object DocQueries {
       .withColumn("keep", col("nll") <= keepAtMost)
   }
 
+  /** Asymmetric containment near-dup pairs `(doc_a, doc_b, containment)`
+    * with C(A→B) = |A∩B| / |A| ≥ t over distinct 3-gram shingle sets —
+    * catches docs that are near-SUBSETS of others, which symmetric Jaccard
+    * misses whenever sizes differ. PPJoin-style LOSSLESS prefix filtering:
+    * the gram universe is ordered by ascending document frequency and a
+    * doc probes only its |A| − ⌈t·|A|⌉ + 1 rarest grams; if C ≥ t the
+    * non-probed suffix (⌈t·|A|⌉ − 1 grams) cannot hold the whole
+    * ≥⌈t·|A|⌉-gram intersection, so at least one probe gram hits and no
+    * qualifying pair is lost. Every shuffle is a keyed equality join
+    * (gram df, probe join, two set-verify joins) — linear in corpus grams,
+    * never all-pairs.
+    */
+  def containmentPairs(d: DataFrame, t: Double): DataFrame = {
+    val sh    = shingled(d)
+    val grams = sh.select(col("doc_id"), explode(col("shd")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val probes = grams
+      .join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ordered"))
+      .select(
+        col("doc_id").as("doc_a"),
+        slice(
+          transform(col("ordered"), x => x.getField("g")),
+          lit(1),
+          (size(col("ordered")) - ceil(lit(t) * size(col("ordered"))) + 1).cast("int")
+        ).as("pre"))
+    val cand = probes
+      .select(col("doc_a"), explode(col("pre")).as("g"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")),
+          6
+        ).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   /** MinHash + LSH verified near-dup pairs `(doc_a, doc_b, jac)` — the
     * REUSABLE pair frame: 16 signatures in 4 bands × 4 rows; candidates
     * share a band key (equality shuffle join), then exact Jaccard
@@ -979,6 +1065,19 @@ object DocQueries {
         |                   i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
         |    (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS rfp
         |FROM documents""".stripMargin,
+    "text_gram_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM tf GROUP BY 1)
+        |SELECT t.doc_id, n_tokens, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n_tokens)
+        |                      * ln(CAST(c AS DOUBLE) / n_tokens), 6)
+        |                AS DECIMAL(22,6))) AS DOUBLE) AS entropy
+        |FROM tf t JOIN n USING (doc_id)
+        |GROUP BY t.doc_id, n_tokens, n_distinct""".stripMargin,
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -995,6 +1094,25 @@ object DocQueries {
          |         ${sqlJaccard("a.shd", "b.shd")} AS jac
          |  FROM j a JOIN j b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.2""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $SqlShingled,
+         |grams AS (SELECT doc_id, unnest(shd) AS g FROM sh2),
+         |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+         |pre AS (
+         |  SELECT gr.doc_id,
+         |         list_slice(array_agg(gr.g ORDER BY d.df, gr.g), 1,
+         |                    CAST(count(*) - ceil(0.8 * count(*)) + 1 AS INT)) AS pre
+         |  FROM grams gr JOIN dfreq d USING (g) GROUP BY gr.doc_id),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b
+         |  FROM (SELECT doc_id, unnest(pre) AS g FROM pre) p
+         |  JOIN grams q ON p.g = q.g AND p.doc_id <> q.doc_id)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(a.shd), 6)
+         |           AS containment
+         |  FROM cand JOIN sh2 a ON a.doc_id = doc_a JOIN sh2 b ON b.doc_id = doc_b)
+         |WHERE containment >= 0.8""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $SqlLshCtes
          |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.4""".stripMargin,
