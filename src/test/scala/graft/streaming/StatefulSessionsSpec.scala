@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StatefulSessions._
+
+/** Custom-state sessionization: intra-batch splits emit immediately,
+  * cross-batch sessions extend open state, and the event-time timeout
+  * (watermark passing last + gap) closes trailing sessions — state removed
+  * on close so per-key state stays one OpenSession.
+  */
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GapMs = 30000L
+
+  // keep every event above the initial watermark (0): a ts-0 event is
+  // "late" against it and silently dropped by the pre-state filter
+  private val B = 3600000L
+
+  private def ev(u: Long, t: Long) = SessionEvent(u, B + t)
+  private def cs(u: Long, a: Long, b: Long, n: Long) = ClosedSession(u, B + a, B + b, n)
+
+  test("batch mode: gap splits and end-of-input close") {
+    val ds = Seq(
+      ev(1, 0L), ev(1, 10000L), ev(1, 20000L),
+      ev(1, 100000L), // > gap after 20000 — second session
+      ev(2, 5000L)
+    ).toDS()
+    val out = StatefulSessions.sessions(ds, GapMs).collect().sortBy(c => (c.user_id, c.session_start_ms))
+    assert(out.toSeq == Seq(
+      cs(1, 0L, 20000L, 3L),
+      cs(1, 100000L, 100000L, 1L),
+      cs(2, 5000L, 5000L, 1L)))
+  }
+
+  test("streaming: sessions close via event-time timeout as the watermark advances") {
+    val stream = MemoryStream[SessionEvent](spark)
+    val query = StatefulSessions
+      .sessions(stream.toDS(), GapMs)
+      .writeStream
+      .format("memory")
+      .queryName("stateful_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 has one session [0, 20s]; user 2 one event at 5s
+      stream.addData(
+        ev(1, 0L), ev(1, 10000L), ev(1, 20000L),
+        ev(2, 5000L))
+      query.processAllAvailable()
+      assert(spark.table("stateful_sessions").isEmpty) // everything still open
+
+      // batch 2: event at 120s pushes the watermark past both timeouts
+      // (20s + 30s and 5s + 30s) — both sessions close; user 1 opens a new one
+      stream.addData(ev(1, 120000L))
+      query.processAllAvailable()
+      // timeouts fire on the NEXT microbatch after the watermark update —
+      // nudge with an empty-ish batch carrying a later event
+      stream.addData(ev(2, 121000L))
+      query.processAllAvailable()
+
+      val closed1 = spark.table("stateful_sessions").as[ClosedSession]
+        .collect().sortBy(c => (c.user_id, c.session_start_ms)).toSeq
+      assert(closed1 == Seq(
+        cs(1, 0L, 20000L, 3L),
+        cs(2, 5000L, 5000L, 1L)))
+
+      // batch 3: advance far enough to close the 120s and 121s sessions too
+      stream.addData(ev(3, 400000L))
+      query.processAllAvailable()
+      stream.addData(ev(3, 401000L))
+      query.processAllAvailable()
+
+      val closed2 = spark.table("stateful_sessions").as[ClosedSession]
+        .collect().sortBy(c => (c.user_id, c.session_start_ms)).toSeq
+      assert(closed2.contains(cs(1, 120000L, 120000L, 1L)))
+      assert(closed2.contains(cs(2, 121000L, 121000L, 1L)))
+    } finally query.stop()
+  }
+
+  test("streaming: within-batch gap split emits the early session immediately") {
+    val stream = MemoryStream[SessionEvent](spark)
+    val query = StatefulSessions
+      .sessions(stream.toDS(), GapMs)
+      .writeStream
+      .format("memory")
+      .queryName("stateful_sessions_split")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(ev(7, 0L), ev(7, 1000L), ev(7, 90000L))
+      query.processAllAvailable()
+      val rows = spark.table("stateful_sessions_split").as[ClosedSession].collect().toSeq
+      // the [0, 1s] session closed by the in-batch gap, no timeout needed
+      assert(rows == Seq(cs(7, 0L, 1000L, 2L)))
+    } finally query.stop()
+  }
+}
