@@ -54,7 +54,12 @@ object Bench {
 
     // stable ordering for comparable per-round numbers; whole suite
     // repeated (not back-to-back per query) so cache warmth is uniform
+    // (SPARK_GRAFT_BENCH_ONLY=a,b,c narrows to named queries when
+    // iterating on one plan — never set by the driver)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) => runOne(name, fn) }
     }

@@ -641,7 +641,11 @@ object DocQueries {
     * never all-pairs.
     */
   def containmentPairs(d: DataFrame, t: Double): DataFrame = {
-    val sh    = shingled(d)
+    // the shingle frame feeds FIVE plan branches (df agg, probe join both
+    // sides, two verify joins); materialize it once — uncheckpointed, each
+    // branch re-runs tokenize+shingle+distinct over the corpus (measured
+    // 9.4 s → 3.4 s at sf0.1). Same pattern as ConnectedComponents.
+    val sh    = shingled(d).localCheckpoint()
     val grams = sh.select(col("doc_id"), explode(col("shd")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val probes = grams
