@@ -212,6 +212,17 @@ object AnalyticsQueries {
         (sum("value_c").over(w) / 100.0).as("value_7d"))
     },
 
+    // Morton z-value over (user_id, day) — the write-side multi-dim
+    // clustering key (operators/ZOrder.layout range-partitions on it so
+    // parquet min/max stats prune on EITHER dimension); emitted per
+    // event so the bit interleaving itself is oracle-checked.
+    "events_zorder" -> ((s, dir) =>
+      Graft.events(s, dir).select(
+        col("event_id"),
+        graft.operators.ZOrder
+          .zvalue(Seq(col("user_id"), expr("ts div 86400000000000")), 16)
+          .as("zval"))),
+
     // Daily-volume anomaly flags: day counts vs global mean/σ. Moments are
     // ONE scalar aggregate (exact integer sums) broadcast back over the
     // daily frame — no second scan and no all-days window on a single
@@ -661,6 +672,13 @@ object AnalyticsQueries {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 15),
+        |    b -> (((user_id >> b) & 1) << (2 * b + 1))
+        |         + ((((epoch_us(ts) // 86400000000) >> b) & 1) << (2 * b))))
+        |    AS BIGINT) AS zval
+        |FROM events""".stripMargin,
     "events_zscore_days" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |             CAST(count(*) AS BIGINT) AS n

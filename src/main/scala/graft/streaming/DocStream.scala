@@ -42,4 +42,34 @@ object DocStream {
       else gated.dropDuplicates("fp")
     deduped.drop("event_time")
   }
+
+  /** The full continuous front door: [[intake]] (stream-side gates +
+    * watermark-horizon dedup) composed with
+    * [[graft.operators.IncrementalDedup]] per micro-batch, so duplicates
+    * that arrive BEYOND the watermark horizon are still rejected against
+    * the whole-history fingerprint index (restart-durable, bucketed,
+    * Exchange-free on the index side). Admitted docs append to
+    * `outPath`; exactly-once comes from the checkpointed batch ids —
+    * foreachBatch may replay a batch after a crash, and replays admit
+    * nothing because their fingerprints are already indexed (the ingest
+    * is idempotent by construction).
+    */
+  def intakeToIndex(
+      docs: DataFrame,
+      tsCol: String,
+      indexTable: String,
+      outPath: String,
+      checkpoint: String,
+      watermarkDelay: String = "10 minutes"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    intake(docs, tsCol, watermarkDelay).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ingest recomputes the canonical fingerprint and keeps first
+        // per fp within the batch; drop intake's copy to avoid a clash
+        val admitted = graft.operators.IncrementalDedup.ingest(batch.drop("fp"), indexTable)
+        admitted.write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -49,4 +49,40 @@ class DocStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out.subsetOf(Set(1L, 3L)) && out.size == 1)
   }
+
+  test("intakeToIndex rejects duplicates arriving beyond the watermark horizon") {
+    val table = "graft_stream_intake_idx"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("intake_idx").toString
+
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val query = DocStream.intakeToIndex(
+      stream.toDF().toDF("doc_id", "text", "ts"), "ts",
+      table, s"$tmp/out", s"$tmp/ckpt", watermarkDelay = "0 seconds")
+    try {
+      stream.addData((1L, good, 1000000L), (2L, degen, 1100000L))
+      query.processAllAvailable()
+      // hours later (stream-side dedup state long expired): a canonical
+      // duplicate of doc 1 plus one novel doc — only the INDEX can
+      // reject the former now
+      stream.addData(
+        (10L, good + "  ", 7200000000L),
+        (11L, (31 to 60).map(i => f"word$i%03d").mkString(" "), 7200100000L))
+      query.processAllAvailable()
+
+      val admitted = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(1L, 11L))
+      // the whole-history index holds exactly the two canonical prints
+      assert(spark.table(table).count() == 2)
+    } finally query.stop()
+  }
 }
