@@ -212,6 +212,18 @@ object AnalyticsQueries {
         (sum("value_c").over(w) / 100.0).as("value_7d"))
     },
 
+    // Grouping-sets aggregate: one scan expands to (type, day) /
+    // (type) / (day) / () grand-total rows map-side — the OLAP cube
+    // rollup without four separate scans; grouping_id disambiguates
+    // NULL-as-aggregated from NULL-in-data.
+    "events_cube" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .cube(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("total_value"),
+          grouping_id().as("gid"))),
+
     // Morton z-value over (user_id, day) — the write-side multi-dim
     // clustering key (operators/ZOrder.layout range-partitions on it so
     // parquet min/max stats prune on EITHER dimension); emitted per
@@ -672,6 +684,13 @@ object AnalyticsQueries {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_cube" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+        |  CAST(GROUPING(event_type, epoch_us(ts) // 86400000000) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(event_type, epoch_us(ts) // 86400000000)""".stripMargin,
     "events_zorder" ->
       """SELECT event_id,
         |  CAST(list_sum(list_transform(generate_series(0, 15),

@@ -132,10 +132,15 @@ object DocQueries {
         .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("c"))
-      val n = tf.groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
+      // per-doc totals via a whole-partition window over tf — NOT a
+      // second aggregate joined back, which would re-scan and re-explode
+      // the corpus (the tf subplan is not exchange-reusable across the
+      // join's two sides); this way: one scan, tf exchange + one doc_id
+      // exchange, and the final agg reuses the doc_id partitioning
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val p = col("c").cast("double") / col("n_tokens")
-      tf.join(n, "doc_id")
+      tf.withColumn("n_tokens", sum("c").over(w))
+        .withColumn("n_distinct", count(lit(1)).over(w))
         .withColumn("term", round(-p * log(p), 6).cast("decimal(22,6)"))
         .groupBy("doc_id", "n_tokens", "n_distinct")
         .agg(sum("term").as("esum"))
@@ -143,6 +148,28 @@ object DocQueries {
           col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"),
           col("esum").cast("double").as("entropy"))
+    },
+
+    // Per-source intake dashboard: volume, exact-dup rate (distinct
+    // canonical fingerprints vs docs), and size means per source — the
+    // report a corpus owner reads to find which feeds are polluting the
+    // mix. One shuffle on the low-cardinality source key; the distinct
+    // count is Spark's standard two-phase expansion.
+    "source_quality_report" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), fingerprint(col("text")).as("fp"),
+          size(toks).as("ntk"), length(col("text")).as("nch"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("ntk").cast("long")).as("sum_tokens"),
+          sum(col("nch").cast("long")).as("sum_chars"))
+        .select(
+          col("source"), col("n_docs"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          round(col("sum_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 6).as("avg_chars"))
     },
 
     // --- deduplication -------------------------------------------------
@@ -1082,6 +1109,20 @@ object DocQueries {
         |                AS DECIMAL(22,6))) AS DOUBLE) AS entropy
         |FROM tf t JOIN n USING (doc_id)
         |GROUP BY t.doc_id, n_tokens, n_distinct""".stripMargin,
+    "source_quality_report" ->
+      s"""WITH d AS (SELECT source,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |  len($SqlToks) AS ntk, length(text) AS nch FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |        CAST(sum(ntk) AS BIGINT) AS sum_tokens,
+         |        CAST(sum(nch) AS BIGINT) AS sum_chars
+         |      FROM d GROUP BY 1)
+         |SELECT source, n_docs, n_unique,
+         |  round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+         |  round(CAST(sum_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+         |  round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS avg_chars
+         |FROM g""".stripMargin,
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
