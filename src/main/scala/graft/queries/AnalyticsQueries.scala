@@ -212,6 +212,33 @@ object AnalyticsQueries {
         (sum("value_c").over(w) / 100.0).as("value_7d"))
     },
 
+    // Exact within-group quartiles via ntile over a TOTAL order
+    // (totalprice + orderkey tiebreak — without it ntile is
+    // nondeterministic across engines). Exact ntile needs the per-group
+    // sort; for approximate banding at 100 TB use value_percentiles'
+    // cutoffs as a broadcast filter instead.
+    "orders_value_quartiles" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Graft.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+
+    // The custom-state sessionizer (streaming/StatefulSessions,
+    // flatMapGroupsWithState) run in its batch-parity mode and
+    // oracle-checked against the classic gaps-and-islands SQL — the
+    // strongest check available for an operator whose streaming form
+    // can't be SQL-mirrored: same fold, end-of-input close.
+    "events_sessions_closed" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StatefulSessions
+      val ev = Graft.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+        .as[StatefulSessions.SessionEvent]
+      StatefulSessions.sessions(ev, gapMs = 1800000L).toDF()
+    },
+
     // Grouping-sets aggregate: one scan expands to (type, day) /
     // (type) / (day) / () grand-total rows map-side — the OLAP cube
     // rollup without four separate scans; grouping_id disambiguates
@@ -684,6 +711,25 @@ object AnalyticsQueries {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "orders_value_quartiles" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+        |    AS quartile
+        |FROM orders""".stripMargin,
+    "events_sessions_closed" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ts_ms FROM events),
+        |x AS (SELECT user_id, ts_ms,
+        |        CASE WHEN lag(ts_ms) OVER w IS NULL
+        |               OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |y AS (SELECT user_id, ts_ms,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
     "events_cube" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  CAST(count(*) AS BIGINT) AS n,
