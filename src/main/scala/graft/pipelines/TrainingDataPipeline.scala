@@ -15,6 +15,8 @@ import graft.queries.DocQueries
   *  3. near-dedup: MinHash-LSH verified pairs → lower-quality drop list —
   *     the pair frame is computed ONCE and persisted (the reuse surface
   *     the per-query oracle harness deliberately forgoes)
+  *  3b. containment dedup: near-SUBSET docs dropped (the pairs symmetric
+  *     Jaccard misses when sizes differ)
   *  4. substring-span boilerplate removal (non-canonical duplicated
   *     ≥50-token spans cut token-aligned)
   *  5. benchmark decontamination (any doc sharing an 8-gram with the
@@ -70,11 +72,26 @@ object TrainingDataPipeline {
     val dropIds = DocQueries.dropList(pairs, q)
     val near = stage("near_dedup", exact.join(dropIds, Seq("doc_id"), "left_anti"))
 
+    // 3b — containment dedup: a doc that is a near-SUBSET of a surviving
+    // doc carries (almost) no novel content even when symmetric Jaccard
+    // keeps it alive (sizes differ). Drop the contained side; mutual
+    // pairs (near-identical sets) keep the smaller id. Greedy, not
+    // transitive: a dropped container does not resurrect its containees
+    // (the standard one-pass pipeline rule).
+    val cp  = DocQueries.containmentPairs(near, 0.8).select("doc_a", "doc_b")
+    val rev = cp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+      .withColumn("mut", lit(1))
+    val containedIds = cp.join(rev, Seq("doc_a", "doc_b"), "left")
+      .filter(col("mut").isNull || col("doc_a") > col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+    val uncontained = stage("containment_drop",
+      near.join(containedIds, Seq("doc_id"), "left_anti"))
+
     // 4 — substring-span boilerplate removal (rewrites text in place)
-    val cut = DocQueries.dropSpans(near, w = 50)
+    val cut = DocQueries.dropSpans(uncontained, w = 50)
       .select(col("doc_id"), col("clean_text"))
     val rewritten = stage("substring_drop",
-      near.join(cut, "doc_id")
+      uncontained.join(cut, "doc_id")
         .select(col("doc_id"), col("clean_text").as("text"), col("lang"), col("source"))
         .filter(length(trim(col("text"))) > 0))
 

@@ -24,6 +24,10 @@ class TrainingDataPipelineSpec extends SparkSpec {
   //  6 spanA / 7 spanB — mostly-different docs sharing a 50-token run;
   //               Jaccard far below the near-dup bar, so both survive to
   //               substring_drop, where 7 (non-canonical) loses the span
+  //  8 contained / 9 container — 8's 40 tokens all sit inside 9 (100
+  //               tokens): Jaccard ≈ 0.39 (below the LSH verify bar), the
+  //               shared run < 50 tokens (below substring_drop) — ONLY
+  //               the containment stage catches it; 8 dropped, 9 kept
   private val good   = toks("good", 30).mkString(" ")
   private val near   = (toks("good", 29) :+ "changed").mkString(" ")
   private val degen  = Seq.fill(30)("spam").mkString(" ")
@@ -32,6 +36,8 @@ class TrainingDataPipelineSpec extends SparkSpec {
   private val shared = toks("shared", 50)
   private val spanA  = (toks("alpha", 70) ++ shared).mkString(" ")
   private val spanB  = (shared ++ toks("beta", 70)).mkString(" ")
+  private val contained = toks("cont", 40).mkString(" ")
+  private val container = (toks("gamma", 60) ++ toks("cont", 40)).mkString(" ")
 
   private lazy val docs = Seq(
     (1L, good, "en", "src0"),
@@ -40,7 +46,9 @@ class TrainingDataPipelineSpec extends SparkSpec {
     (4L, degen, "en", "src3"),
     (5L, contam, "en", "src4"),
     (6L, spanA, "en", "src5"),
-    (7L, spanB, "en", "src6")
+    (7L, spanB, "en", "src6"),
+    (8L, contained, "en", "src7"),
+    (9L, container, "en", "src8")
   ).toDF("doc_id", "text", "lang", "source")
 
   private lazy val bench = Seq((100L, benchG.mkString(" "))).toDF("doc_id", "text")
@@ -49,14 +57,16 @@ class TrainingDataPipelineSpec extends SparkSpec {
 
   test("attrition report attributes each planted pathology to its stage") {
     val att = result.attrition.toMap
-    assert(att("raw") == 7)
-    assert(att("heuristic_filters") == 6)  // -4 (degenerate repetition)
-    assert(att("exact_dedup") == 5)        // -2 (byte dup of 1)
-    assert(att("near_dedup") == 4)         // -3 (near dup of 1, tie → higher id)
-    assert(att("substring_drop") == 4)     // span cut, no doc lost
-    assert(att("decontaminated") == 3)     // -5 (bench 8-gram)
+    assert(att("raw") == 9)
+    assert(att("heuristic_filters") == 8)  // -4 (degenerate repetition)
+    assert(att("exact_dedup") == 7)        // -2 (byte dup of 1)
+    assert(att("near_dedup") == 6)         // -3 (near dup of 1, tie → higher id)
+    assert(att("containment_drop") == 5)   // -8 (near-subset of 9)
+    assert(att("substring_drop") == 5)     // span cut, no doc lost
+    assert(att("decontaminated") == 4)     // -5 (bench 8-gram)
     assert(result.attrition.map(_._1) == Seq("raw", "heuristic_filters",
-      "exact_dedup", "near_dedup", "substring_drop", "decontaminated"))
+      "exact_dedup", "near_dedup", "containment_drop", "substring_drop",
+      "decontaminated"))
   }
 
   test("writeShards emits per-shard dirs with model-exact membership and positions") {
@@ -89,10 +99,12 @@ class TrainingDataPipelineSpec extends SparkSpec {
   test("surviving corpus is exactly the planted survivors") {
     val rows = result.corpus.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(rows.keySet == Set(1L, 6L, 7L))
+    assert(rows.keySet == Set(1L, 6L, 7L, 9L))
     // canonical span holder keeps its text; non-canonical lost the run
     assert(rows(6L) == spanA)
     assert(rows(7L) == toks("beta", 70).mkString(" "))
     assert(rows(1L) == good)
+    // the container keeps its full text; the contained doc is gone
+    assert(rows(9L) == container)
   }
 }
