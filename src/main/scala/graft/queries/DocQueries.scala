@@ -389,25 +389,27 @@ object DocQueries {
     // literal query-term set: tf and df from two keyed aggregations, the
     // per-doc score one grouped sum, global top-20 via orderBy+limit
     // (TakeOrderedAndProject — per-partition top-k then a 20-row merge,
-    // NOT a single-partition window). N and avgdl are two driver
-    // scalars; all BM25 constants appear as the same decimal literals
-    // in both engines so the doubles agree exactly.
+    // NOT a single-partition window). N and avgdl ride as a broadcast
+    // 1-row aggregate (no eager driver action at build time — the whole
+    // query is one lazy job); all BM25 constants appear as the same
+    // decimal literals in both engines so the doubles agree exactly.
     "bm25_search" -> { (s, dir) =>
       val terms = Seq("table", "query", "spark")
       val d = docs(s, dir).select(col("doc_id"), toks.as("tk"))
         .withColumn("dl", size(col("tk")).cast("double"))
-      val consts = d.agg(count(lit(1)).cast("double"), avg("dl")).head()
-      val nDocs = consts.getDouble(0); val avgdl = consts.getDouble(1)
+      val consts = d.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
       val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
         .filter(col("term").isin(terms: _*))
         .groupBy("doc_id", "dl", "term")
         .agg(count(lit(1)).cast("double").as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
       tf.join(df, "term")
+        .crossJoin(broadcast(consts))
         .withColumn("contrib",
           idf * col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         .groupBy("doc_id")
         .agg(round(sum("contrib"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
