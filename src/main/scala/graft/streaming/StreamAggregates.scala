@@ -94,6 +94,50 @@ object StreamAggregates {
     else withTime.dropDuplicates(idCols).drop("event_time")
   }
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose event time falls in
+    * `[left − before, left + after]`. BOTH sides are watermarked, so the
+    * join state each side buffers is bounded by watermark + interval (the
+    * range condition is what lets Spark derive the state cleanup bound —
+    * an unconstrained stream-stream join would buffer forever). This is
+    * the streaming form of the batch as-of/range join
+    * ([[graft.operators.RangeJoin]]): attribution-style pairing
+    * (click↔view, event↔incident-window) computed continuously.
+    *
+    * Key equality plus the time-range predicate; append output. Works on
+    * batch frames too (plain inner join with the same predicate).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      before: String,
+      after: String,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    def mark(df: DataFrame, side: String): DataFrame = {
+      val withTime = df
+        .withColumn(s"${side}_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      val m =
+        if (df.isStreaming) withTime.withWatermark(s"${side}_time", watermarkDelay)
+        else withTime
+      // prefix every column so the join needs no ambiguous references
+      df.columns.foldLeft(m)((acc, c) => acc.withColumnRenamed(c, s"${side}_$c"))
+    }
+    val l = mark(left, "l")
+    val r = mark(right, "r")
+    val keyEq = keyCols
+      .map(k => col(s"l_$k") === col(s"r_$k"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    l.join(
+      r,
+      keyEq &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $before") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $after"))
+  }
+
   /** Per-window message rate per topic/source — the Carbon throughput
     * counters (`src/Stream/MessageWriter.cpp:38-56`) as a declarative
     * aggregation.
