@@ -212,6 +212,24 @@ object AnalyticsQueries {
         (sum("value_c").over(w) / 100.0).as("value_7d"))
     },
 
+    // The stream-stream interval join (StreamAggregates.intervalJoin)
+    // in batch-parity mode, oracle-checked: every click by the same user
+    // in the 30 minutes before each purchase — attribution-style
+    // pairing. The streaming form is the same operator with bounded join
+    // state (both sides watermarked).
+    "events_click_attribution" -> { (s, dir) =>
+      import graft.streaming.StreamAggregates
+      val ev = Graft.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      StreamAggregates
+        .intervalJoin(purchases, clicks, Seq("user_id"), "ts",
+          before = "30 minutes", after = "0 seconds")
+        .select(col("l_event_id").as("purchase_id"), col("r_event_id").as("click_id"))
+    },
+
     // Exact within-group quartiles via ntile over a TOTAL order
     // (totalprice + orderkey tiebreak — without it ntile is
     // nondeterministic across engines). Exact ntile needs the per-group
@@ -711,6 +729,13 @@ object AnalyticsQueries {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_click_attribution" ->
+      """SELECT l.event_id AS purchase_id, r.event_id AS click_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
+        | AND epoch_us(r.ts) <= epoch_us(l.ts)""".stripMargin,
     "orders_value_quartiles" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority

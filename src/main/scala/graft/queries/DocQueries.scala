@@ -670,6 +670,7 @@ object DocQueries {
     * never all-pairs.
     */
   def containmentPairs(d: DataFrame, t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0, 1], got $t")
     // the shingle frame feeds FIVE plan branches (df agg, probe join both
     // sides, two verify joins); materialize it once — uncheckpointed, each
     // branch re-runs tokenize+shingle+distinct over the corpus (measured
