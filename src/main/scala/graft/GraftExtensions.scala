@@ -100,6 +100,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "repetition_stats(text) - Gopher repetition metrics (lines, dup chars, top 2/3-grams)"),
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(bits, c1, c2, ...) - Morton interleave of each dimension's low `bits` bits"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "zorder_key needs a literal bit width and at least one column")
+        graft.operators.ZOrder.zvalueExpr(args.tail, litInt(args.head, "zorder_key"))
+      }))
   }
 
   /** Static Int parameter of a SQL-registered expression — must be a

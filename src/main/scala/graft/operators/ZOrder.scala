@@ -38,6 +38,28 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
+  /** The same Morton code as a resolved Catalyst tree — for SQL
+    * registration (`zorder_key`), where an injected function must return
+    * real expressions, not DataFrame ColumnNodes.
+    */
+  def zvalueExpr(
+      dims: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      bits: Int
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(dims.nonEmpty && bits > 0 && bits * dims.size <= 62,
+      s"bits*dims must be in (0, 62], got $bits*${dims.size}")
+    val n = dims.size
+    val terms = for {
+      b      <- 0 until bits
+      (c, i) <- dims.zipWithIndex
+    } yield ShiftLeft(
+      BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(b)), Literal(1L)),
+      Literal(b * n + (n - 1 - i)))
+    terms.reduceLeft[Expression](Add(_, _))
+  }
+
   /** Cluster `df` for multi-dimension skipping: one range shuffle on the
     * z-value + a local sort. Write the result with per-file row-group
     * stats and scans filtered on any of `dims` prune most files.

@@ -106,4 +106,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.contains("char_gram_codes"))
   }
+
+  test("zorder_key interleaves from SQL") {
+    // x=3 (bits 0,1), y=1 (bit 0), 2 bits: z = x0<<1 | y0<<0 | x1<<3 | y1<<2
+    //   = 1<<1 + 1<<0 + 1<<3 + 0 = 11
+    assert(spark.sql("SELECT zorder_key(2, 3L, 1L) AS z")
+      .collect().head.getLong(0) == 11L)
+    // dimension count over the 62-bit budget is rejected
+    val err = intercept[Exception] {
+      spark.sql("SELECT zorder_key(32, 1L, 2L, 3L)").collect()
+    }
+    assert(err.getMessage.contains("bits*dims"))
+  }
 }
