@@ -251,6 +251,54 @@ object DocQueries {
         .distinct()
     },
 
+    // Per-source corpus MinHash profiles + pairwise similarity: the
+    // element-wise MIN of document signatures IS the signature of the
+    // source's shingle-set UNION (the MinHash merge property), so 16
+    // longs per source summarize its whole gram universe and pairwise
+    // agreement estimates the Jaccard between SOURCES — the cross-corpus
+    // overlap diagnostic a mixing owner reads before setting weights.
+    // One native signature pass + one tiny keyed agg; the pair join is
+    // post-aggregation (sources × sources), never document-scale.
+    "source_minhash_sim" -> { (s, dir) =>
+      import graft.functions.MinHashSigs.minhash_sigs
+      val sigs = docs(s, dir)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"),
+          minhash_sigs(array_distinct(shingles(col("toks"), 3)), NumHashes).as("mhs"))
+        .select(col("source") +:
+          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+        .groupBy("source")
+        .agg(
+          min(col("mh0")).as("mh0"),
+          (1 until NumHashes).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
+      val a = sigs.select(col("source").as("src_a") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val b = sigs.select(col("source").as("src_b") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
+            .as("sim_est"))
+    },
+
+    // Where do near-dups come from? Verified LSH pairs attributed to
+    // their (unordered) source pair — separates intra-feed duplication
+    // (a crawler re-fetching) from cross-feed duplication (mirrored
+    // content), which call for different fixes. Two broadcast-size dim
+    // joins over the pair frame + one narrow agg.
+    "dedup_cross_source" -> { (s, dir) =>
+      val src   = docs(s, dir).select(col("doc_id"), col("source"))
+      val pairs = minhashLshPairs(docs(s, dir)).select("doc_a", "doc_b")
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(
+          least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // SimHash signature per doc: 32 bits, majority vote over token hashes.
     // Native one-pass expression (zero shuffles, no tokens×32 row blowup);
     // the oracle SQL keeps the equivalent explode formulation.
@@ -1184,6 +1232,41 @@ object DocQueries {
          |  UNION
          |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a)
          |SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $SqlLshCtes,
+         |p AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS source_lo,
+         |  greatest(x.source, y.source) AS source_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+         |GROUP BY 1, 2""".stripMargin,
+    "source_minhash_sim" -> {
+      val mhCols = (0 until NumHashes)
+        .map(i =>
+          s"list_aggregate(list_transform(hx, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP), 'min') AS mh$i")
+        .mkString(",\n  ")
+      val mins  = (0 until NumHashes).map(i => s"min(mh$i) AS mh$i").mkString(", ")
+      val agree = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         |sh2s AS (
+         |  SELECT source, list_distinct(
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shd
+         |  FROM t WHERE len(toks) >= 3),
+         |shx AS (SELECT source,
+         |  list_transform(shd, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)::BIGINT) AS hx
+         |FROM sh2s),
+         |mh AS (SELECT source,
+         |  $mhCols
+         |FROM shx),
+         |msrc AS (SELECT source, $mins FROM mh GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  ($agree) / $NumHashes AS sim_est
+         |FROM msrc a JOIN msrc b ON a.source < b.source""".stripMargin
+    },
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
