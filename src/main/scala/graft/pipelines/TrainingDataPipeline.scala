@@ -122,6 +122,19 @@ object TrainingDataPipeline {
     * (repartition on shard) + per-partition sort; shard count scales
     * with corpus size so no partition concentrates.
     */
+  /** The analytic write side: cluster on a Morton key over the given
+    * dimensions before writing, so downstream scans filtered on ANY of
+    * them prune parquet row groups via min/max footer stats
+    * ([[graft.operators.ZOrder]]). One range shuffle; the z-value column
+    * is dropped from the output (it's a layout key, not data).
+    */
+  def writeAnalytic(df: DataFrame, outDir: String, dims: Seq[String],
+                    bits: Int = 16, numFiles: Int = 64): Unit =
+    graft.operators.ZOrder.layout(df, dims, bits, numFiles)
+      .drop("zval")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+
   def writeShards(corpus: DataFrame, outDir: String, nShards: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(col("doc_id").cast("string"))
