@@ -101,6 +101,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "repetition_stats(text) - Gopher repetition metrics (lines, dup chars, top 2/3-grams)"),
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("top_k_structs"),
+      info("top_k_structs",
+        "top_k_structs(value, k) - bounded per-group smallest-k values as a sorted array"),
+      (args: Seq[Expression]) =>
+        graft.functions.TopKStructs(args.head, litInt(args(1), "top_k_structs"))))
+    ext.injectFunction((
       FunctionIdentifier("zorder_key"),
       info("zorder_key",
         "zorder_key(bits, c1, c2, ...) - Morton interleave of each dimension's low `bits` bits"),

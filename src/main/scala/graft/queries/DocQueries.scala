@@ -465,22 +465,31 @@ object DocQueries {
     },
 
     // TF-IDF top terms per document: one explode + two keyed aggregations
-    // (term frequency, document frequency) + a per-doc top-k window —
-    // every shuffle keyed, corpus size enters as one scalar.
+    // (term frequency, document frequency), then per-doc top-3 via the
+    // BOUNDED TopKStructs aggregate — the window formulation
+    // (row_number over orderBy) sorts every document's full term set;
+    // the aggregate carries at most 2k rows per doc through partial,
+    // shuffle, and merge. Descending order by putting −tfidf first in
+    // the struct (term second = the deterministic tiebreak); corpus size
+    // rides as a broadcast 1-row aggregate (no eager driver action).
     "tfidf_top_terms" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TopKStructs.top_k_structs
       val d     = docs(s, dir)
-      val nDocs = d.count()
+      val nd    = d.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = d.select(col("doc_id"), explode(toks).as("term"))
       val tf    = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfq   = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w     = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       tf.join(dfq, "term")
-        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          col("tfidf"), col("rnk"))
+        .crossJoin(broadcast(nd))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .groupBy("doc_id")
+        .agg(top_k_structs(
+          struct((-col("tfidf")).as("neg"), col("term"), col("tf"),
+            col("df"), col("tfidf")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), col("col.term").as("term"), col("col.tf").as("tf"),
+          col("col.df").as("df"), col("col.tfidf").as("tfidf"),
+          (col("pos") + 1).cast("long").as("rnk"))
     },
 
     // Sequence packing (concat-and-chop): documents stream in doc_id order

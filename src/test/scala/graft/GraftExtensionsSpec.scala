@@ -107,6 +107,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       err.getMessage.contains("char_gram_codes"))
   }
 
+  test("top_k_structs aggregates from SQL") {
+    val rows = spark.sql(
+      """SELECT g, top_k_structs(v, 2) AS top FROM
+        |  (SELECT 1 AS g, x AS v FROM (VALUES (5), (1), (9), (3)) t(x))
+        |GROUP BY g""".stripMargin)
+      .collect()
+    assert(rows.head.getSeq[Int](1) == Seq(1, 3))
+  }
+
   test("zorder_key interleaves from SQL") {
     // x=3 (bits 0,1), y=1 (bit 0), 2 bits: z = x0<<1 | y0<<0 | x1<<3 | y1<<2
     //   = 1<<1 + 1<<0 + 1<<3 + 0 = 11
