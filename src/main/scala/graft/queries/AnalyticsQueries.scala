@@ -318,13 +318,15 @@ object AnalyticsQueries {
     },
 
     // Exact dedup, keep-first output: the canonical surviving rows.
+    // min-per-group, NOT a rank window — the partial aggregation
+    // collapses duplicates map-side before the shuffle, where the window
+    // form shuffles and sorts every copy.
     "dedup_keep_first" -> { (s, dir) =>
       import graft.functions.TextFunctions.fingerprint
-      val w = Window.partitionBy("fp").orderBy("doc_id")
       Graft.documents(s, dir)
-        .withColumn("fp", fingerprint(col("text")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"))
         .select(col("doc_id"), col("fp"))
     },
 
@@ -424,21 +426,24 @@ object AnalyticsQueries {
           round(element_at(col("ps"), 2), 6).as("p90"),
           round(element_at(col("ps"), 3), 6).as("p99"))),
 
-    // Per-segment top-3 customers by exact order total: broadcast dim join
-    // + window rank.
+    // Per-segment top-3 customers by exact order total: broadcast dim
+    // join + the bounded TopKStructs aggregate (at most 2k rows per
+    // segment cross the shuffle; the window form sorts every segment's
+    // full customer list).
     "top_spenders_by_segment" -> { (s, dir) =>
+      import graft.functions.TopKStructs.top_k_structs
       val totals = Graft.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(cents(col("o_totalprice"))).as("spend_c"))
-      val joined = totals.join(broadcast(Graft.customer(s, dir)),
-        col("o_custkey") === col("c_custkey"))
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("spend_c").desc, col("c_custkey"))
-      joined
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
-          (col("spend_c") / 100.0).as("total_spend"))
+      totals.join(broadcast(Graft.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(top_k_structs(
+          struct((-col("spend_c")).as("neg"), col("c_custkey"), col("spend_c")), 3).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.c_custkey").as("c_custkey"),
+          (col("col.spend_c") / 100.0).as("total_spend"))
     },
 
     // TPC-H Q4-shaped order-priority check: orders in a quarter with at

@@ -37,9 +37,29 @@ object EmbedQueries {
   private val NumQueries = 20
   private val K          = 5
 
+  /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
+    * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
+    * query survive the map side and cross the shuffle, where the
+    * rank-window form sorts (and shuffles) every query's FULL candidate
+    * set — for brute-force kNN that is the entire corpus per query.
+    * Output: query_id, neighbor_id, extras, ordCol, rank.
+    */
+  private def topKPerQuery(scored: DataFrame, ordCol: String, k: Int,
+                           extra: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TopKStructs.top_k_structs
+    val fields = (-col(ordCol)).as("__neg") +: col("neighbor_id") +:
+      (extra.map(col) :+ col(ordCol).as(ordCol))
+    scored.groupBy("query_id")
+      .agg(top_k_structs(struct(fields: _*), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id") +: col("col.neighbor_id").as("neighbor_id") +:
+        (extra.map(c => col(s"col.$c").as(c)) :+ col(s"col.$ordCol").as(ordCol) :+
+          (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast the query vectors, one pass over
-    // the corpus, per-query top-k via window rank on the rounded score.
+    // the corpus, bounded per-query top-k (no corpus-sized rank window).
     "embed_knn_brute" -> { (s, dir) =>
       val e = withNorm(emb(s, dir))
       val q = e.filter(col("vec_id") < NumQueries)
@@ -51,11 +71,7 @@ object EmbedQueries {
           col("vec_id").as("neighbor_id"),
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine")
         )
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
+      topKPerQuery(scored, "cosine", K)
     },
 
     // Embedding near-duplicate pairs: candidate pairs only within the same
@@ -109,20 +125,17 @@ object EmbedQueries {
     // nProbe<k pruning trade is measured by embed_ivf_recall and
     // VectorIndexSpec's partial-probe recall floor.
     "embed_ivf_kmeans_knn" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.operators.VectorIndex
       val vecs   = VectorIndex.vectors(Graft.embeddings(s, dir))
       val cents  = VectorIndex.trainCentroids(vecs, k = 8, iters = 3)
       val corpus = VectorIndex.assign(vecs, cents)
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      VectorIndex.search(corpus, cents,
-        vecs.filter(col("vec_id") < NumQueries),
-        topK = Int.MaxValue, nProbe = 8)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
+      topKPerQuery(
+        VectorIndex.search(corpus, cents,
+          vecs.filter(col("vec_id") < NumQueries),
+          topK = Int.MaxValue, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine")),
+        "cosine", K)
     },
 
     // ANN quality measurement: recall@k of the IVF probe against the exact
@@ -186,16 +199,14 @@ object EmbedQueries {
     // summation order, so the quantized scores are bit-deterministic.
     // Quantization quality vs exact is measured by embed_sq8_recall.
     "embed_sq8_knn" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val coded = sq8Codes(emb(s, dir))
       val q = coded.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("cq").as("qc"), col("nrm").as("qn"))
-      val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
-      coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("qc"), col("cq")) / (col("qn") * col("nrm")), 6).as("qcos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
+      topKPerQuery(
+        coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dot(col("qc"), col("cq")) / (col("qn") * col("nrm")), 6).as("qcos")),
+        "qcos", K)
     },
 
     // recall@k of the SQ8 ranking against exact brute force — measures
@@ -234,16 +245,18 @@ object EmbedQueries {
         .withColumn("crank", row_number().over(assignW))
         .filter(col("crank") === 1)
         .select(col("query_id"), col("qv"), col("qn"), col("c_label").as("cell"))
-      val rankW = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      e.join(broadcast(assigned), col("label") === col("cell") && col("vec_id") =!= col("query_id"))
-        .select(
-          col("query_id"),
-          col("cell").cast("int").as("cell"),
-          col("vec_id").as("neighbor_id"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine")
-        )
-        .withColumn("rank", row_number().over(rankW).cast("long"))
-        .filter(col("rank") <= K)
+      topKPerQuery(
+        e.join(broadcast(assigned),
+          col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+          .select(
+            col("query_id"),
+            col("cell").cast("int").as("cell"),
+            col("vec_id").as("neighbor_id"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine")
+          ),
+        "cosine", K, extra = Seq("cell"))
+        // original column order — IvfIndexSpec compares positionally
+        .select("query_id", "cell", "neighbor_id", "cosine", "rank")
     }
   )
 
