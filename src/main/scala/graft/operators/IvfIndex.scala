@@ -82,12 +82,23 @@ object IvfIndex {
           .as("cosine"))
   }
 
-  /** Full probe: candidates + per-query top-k on the rounded cosine. */
+  /** Full probe: candidates + BOUNDED per-query top-k on the rounded
+    * cosine ([[graft.functions.TopKStructs]] — at most 2k candidates per
+    * query survive the map side; a rank window would sort every probed
+    * cell's full score list per query). Ties break (cosine desc,
+    * neighbor_id asc), identical to the oracle's rank window.
+    */
   def probe(spark: SparkSession, table: String, cents: DataFrame,
       queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    import graft.functions.TopKStructs.top_k_structs
     probeCandidates(spark, table, assignQueries(queries, cents, nProbe))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+      .groupBy("query_id")
+      .agg(top_k_structs(
+        struct((-col("cosine")).as("neg"), col("neighbor_id"),
+          col("cell"), col("cosine")), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.cell").as("cell"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }
