@@ -101,6 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "repetition_stats(text) - Gopher repetition metrics (lines, dup chars, top 2/3-grams)"),
       (args: Seq[Expression]) => graft.functions.RepetitionStats(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("array_min_agg"),
+      info("array_min_agg",
+        "array_min_agg(arr) - element-wise minimum of array<long> across the group (MinHash union)"),
+      (args: Seq[Expression]) => graft.functions.ArrayMinAgg(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("top_k_structs"),
       info("top_k_structs",
         "top_k_structs(value, k) - bounded per-group smallest-k values as a sorted array"),

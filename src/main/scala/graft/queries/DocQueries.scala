@@ -261,25 +261,21 @@ object DocQueries {
     // post-aggregation (sources × sources), never document-scale.
     "source_minhash_sim" -> { (s, dir) =>
       import graft.functions.MinHashSigs.minhash_sigs
+      import graft.functions.ArrayMinAgg.array_min_agg
       val sigs = docs(s, dir)
         .withColumn("toks", toks)
         .filter(size(col("toks")) >= 3)
         .select(col("source"),
           minhash_sigs(array_distinct(shingles(col("toks"), 3)), NumHashes).as("mhs"))
-        .select(col("source") +:
-          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
         .groupBy("source")
-        .agg(
-          min(col("mh0")).as("mh0"),
-          (1 until NumHashes).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
-      val a = sigs.select(col("source").as("src_a") +:
-        (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
-      val b = sigs.select(col("source").as("src_b") +:
-        (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+        .agg(array_min_agg(col("mhs")).as("sig"))
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
       a.join(b, col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"),
-          jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
-            .as("sim_est"))
+          (aggregate(
+            zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), _ + _) / NumHashes).as("sim_est"))
     },
 
     // Where do near-dups come from? Verified LSH pairs attributed to

@@ -107,6 +107,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       err.getMessage.contains("char_gram_codes"))
   }
 
+  test("array_min_agg aggregates from SQL") {
+    val rows = spark.sql(
+      """SELECT g, array_min_agg(a) AS m FROM
+        |  (SELECT 1 AS g, array(5L, 1L) AS a UNION ALL SELECT 1, array(2L, 9L))
+        |GROUP BY g""".stripMargin)
+      .collect()
+    assert(rows.head.getSeq[Long](1) == Seq(2L, 1L))
+  }
+
   test("top_k_structs aggregates from SQL") {
     val rows = spark.sql(
       """SELECT g, top_k_structs(v, 2) AS top FROM
