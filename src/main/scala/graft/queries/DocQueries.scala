@@ -278,6 +278,22 @@ object DocQueries {
             lit(0.0), _ + _) / NumHashes).as("sim_est"))
     },
 
+    // Measure the signature estimator against exact verification: pairs
+    // the estimate path (agreement ≥ 0.5) accepts that exact Jaccard
+    // (≥ 0.4) rejects, and vice versa — the false-positive/miss report
+    // that justifies (or forbids) running the memory-light path alone
+    // at scale. Set difference via EXCEPT over two already-verified
+    // pipelines, the same composition shape as embed_ivf_recall. On the
+    // synthetic corpus the two paths agree EXACTLY (the report is
+    // empty, and the oracle proves both engines compute that same empty
+    // set) — the operator exists for real corpora, where they won't.
+    "dedup_estimate_vs_exact" -> { (s, dir) =>
+      val exact = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      val est   = queries("dedup_minhash_estimate")(s, dir).select("doc_a", "doc_b")
+      est.except(exact).withColumn("side", lit("estimate_only"))
+        .unionByName(exact.except(est).withColumn("side", lit("exact_only")))
+    },
+
     // Where do near-dups come from? Verified LSH pairs attributed to
     // their (unordered) source pair — separates intra-feed duplication
     // (a crawler re-fetching) from cross-feed duplication (mirrored
@@ -1237,6 +1253,23 @@ object DocQueries {
          |  UNION
          |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a)
          |SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "dedup_estimate_vs_exact" -> {
+      val est = (0 until NumHashes)
+        .map(i => s"CASE WHEN p.mh$i = q.mh$i THEN 1.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH $SqlLshCtes,
+         |p_exact AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |p_est AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ($est) / $NumHashes AS je
+         |    FROM cand JOIN mh p ON p.doc_id = doc_a JOIN mh q ON q.doc_id = doc_b)
+         |  WHERE je >= 0.5)
+         |SELECT doc_a, doc_b, 'estimate_only' AS side
+         |FROM (SELECT * FROM p_est EXCEPT SELECT * FROM p_exact)
+         |UNION ALL
+         |SELECT doc_a, doc_b, 'exact_only' AS side
+         |FROM (SELECT * FROM p_exact EXCEPT SELECT * FROM p_est)""".stripMargin
+    },
     "dedup_cross_source" ->
       s"""WITH $SqlLshCtes,
          |p AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
