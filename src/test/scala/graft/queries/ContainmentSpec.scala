@@ -63,8 +63,10 @@ class ContainmentSpec extends SparkSpec {
 
   test("prefix filter is lossless vs brute force on random low-vocab corpora") {
     val rnd = new scala.util.Random(42)
-    for (trial <- 1 to 8) {
-      val vocab = (1 to 12).map(i => s"w$i")
+    for (trial <- 1 to 14) {
+      // vary vocabulary size: smaller vocab = heavier gram collisions =
+      // more candidate pressure on the prefix filter
+      val vocab = (1 to (8 + trial % 3 * 4)).map(i => s"w$i")
       val base  = Seq.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
       val docs = (0 until 14).map { id =>
         val body =

@@ -80,6 +80,32 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: events older than the watermark are dropped, not merged") {
+    val stream = MemoryStream[SessionEvent](spark)
+    val query = StatefulSessions
+      .sessions(stream.toDS(), GapMs)
+      .writeStream
+      .format("memory")
+      .queryName("stateful_sessions_late")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(ev(1, 200000L)) // watermark (delay 0) moves to 200s
+      query.processAllAvailable()
+      // 10s-old event arrives far behind the watermark: the pre-state
+      // late filter drops it — it must NOT open or extend any session
+      stream.addData(ev(1, 10000L))
+      query.processAllAvailable()
+      stream.addData(ev(1, 500000L)) // closes the 200s session by timeout
+      query.processAllAvailable()
+      stream.addData(ev(1, 501000L))
+      query.processAllAvailable()
+      val rows = spark.table("stateful_sessions_late").as[ClosedSession].collect().toSeq
+      assert(rows.contains(cs(1, 200000L, 200000L, 1L)))
+      assert(!rows.exists(_.session_start_ms == B + 10000L))
+    } finally query.stop()
+  }
+
   test("streaming: within-batch gap split emits the early session immediately") {
     val stream = MemoryStream[SessionEvent](spark)
     val query = StatefulSessions
