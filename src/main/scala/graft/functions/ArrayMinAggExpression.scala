@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Null handling: null arrays are ignored (first non-null wins the
   * initial buffer); groups of only nulls return null. Arrays are
-  * assumed equal-length (as MinHash signatures are); zip_with pads the
-  * shorter with nulls, and `least` ignores nulls, so a ragged input
-  * degrades to the shorter prefix rather than erroring.
+  * assumed equal-length (as MinHash signatures are); on ragged input
+  * zip_with pads the SHORTER array with nulls and `least` ignores
+  * nulls, so the result has the LONGER array's length with its tail
+  * passed through un-minned (no error, but not a prefix truncation).
   */
 case class ArrayMinAgg(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {

@@ -31,7 +31,28 @@ object IncrementalDedup {
     * batch — keep-first on doc_id), then append the admitted
     * fingerprints to the index. Returns the admitted frame.
     */
-  def ingest(batch: DataFrame, indexTable: String, buckets: Int = 16): DataFrame = {
+  def ingest(batch: DataFrame, indexTable: String, buckets: Int = 16): DataFrame =
+    ingestBatch(batch, indexTable, batchId = -1L, writeOut = _ => (), buckets)
+
+  /** [[ingest]] with a REPLAY-SAFE ordering for streaming `foreachBatch`
+    * sinks: the admitted rows are handed to `writeOut` (which must be
+    * idempotent per batch — e.g. overwrite a batch-keyed path) BEFORE
+    * the fingerprints are appended to the index, and the anti-join
+    * excludes index rows stamped with this `batchId`. Crash anywhere and
+    * the replayed batch recomputes the SAME admitted set (its own
+    * index rows, if any landed, are excluded) and overwrites the same
+    * output — no admitted doc can be lost to a half-committed batch.
+    * The one non-idempotent residue: a crash after the index append
+    * leaves duplicate `(fp, batch_id)` rows once replayed, which are
+    * semantically inert for the anti-join (dedup is set membership).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      indexTable: String,
+      batchId: Long,
+      writeOut: DataFrame => Unit,
+      buckets: Int = 16
+  ): DataFrame = {
     val spark = batch.sparkSession
     ensureRegistered(spark, indexTable, buckets)
     val fp = batch.withColumn("fp", fingerprint(col("text")))
@@ -40,22 +61,29 @@ object IncrementalDedup {
       .filter(col("doc_id") === col("__first"))
       .drop("__first")
     val novel =
-      if (spark.catalog.tableExists(indexTable))
-        fp.join(spark.table(indexTable), Seq("fp"), "left_anti")
-      else fp
+      if (spark.catalog.tableExists(indexTable)) {
+        // exclude the replaying batch's OWN index rows (real stream batch
+        // ids are >= 0; the batch-mode sentinel -1 excludes nothing)
+        val index =
+          if (batchId >= 0L) spark.table(indexTable).filter(col("batch_id") =!= batchId)
+          else spark.table(indexTable)
+        fp.join(index.select("fp"), Seq("fp"), "left_anti")
+      } else fp
     // materialize BEFORE the index append: the anti-join is lazy, and
     // evaluating it after the append would see the batch's own
     // fingerprints in the index and admit nothing (read-your-own-writes)
     val admitted = novel.localCheckpoint(true)
+    writeOut(admitted.drop("fp"))
     if (!spark.catalog.tableExists(indexTable)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
         java.net.URI.create(location(spark, indexTable)).getPath))
       spark.sql(
-        s"""CREATE TABLE `$indexTable` (fp STRING) USING parquet
+        s"""CREATE TABLE `$indexTable` (fp STRING, batch_id BIGINT) USING parquet
            |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
            |LOCATION '${location(spark, indexTable)}'""".stripMargin)
     }
-    admitted.select("fp").write.mode(SaveMode.Append)
+    admitted.select(col("fp"), lit(batchId).as("batch_id"))
+      .write.mode(SaveMode.Append)
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(indexTable)
     admitted.drop("fp")
@@ -78,7 +106,7 @@ object IncrementalDedup {
       if (java.nio.file.Files.exists(loc) &&
         java.nio.file.Files.list(loc).findFirst().isPresent)
         spark.sql(
-          s"""CREATE TABLE `$table` (fp STRING) USING parquet
+          s"""CREATE TABLE `$table` (fp STRING, batch_id BIGINT) USING parquet
              |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
              |LOCATION '${location(spark, table)}'""".stripMargin)
     }

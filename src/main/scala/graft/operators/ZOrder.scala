@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Morton code over the low `bits` bits of each dimension column
-    * (non-negative integers; values ≥ 2^bits fold into the top bucket
-    * via masking). Earlier columns take the more-significant interleaved
-    * positions. `bits * cols.size` must stay ≤ 62 (signed-long safe).
+    * (non-negative integers; values ≥ 2^bits CLAMP to the top bucket
+    * 2^bits−1, so out-of-range points stay at the far end of the curve
+    * instead of aliasing onto small z-values and polluting distant
+    * clusters' min/max stats). Earlier columns take the more-significant
+    * interleaved positions. `bits * cols.size` must stay ≤ 62
+    * (signed-long safe).
     */
   def zvalue(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty && bits > 0 && bits * cols.size <= 62,
@@ -33,7 +36,8 @@ object ZOrder {
       b      <- 0 until bits
       (c, i) <- cols.zipWithIndex
     } yield shiftleft(
-      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      shiftright(least(c.cast("long"), lit((1L << bits) - 1)), b)
+        .bitwiseAND(lit(1L)),
       b * n + (n - 1 - i))
     terms.reduce(_ + _)
   }
@@ -55,7 +59,11 @@ object ZOrder {
       b      <- 0 until bits
       (c, i) <- dims.zipWithIndex
     } yield ShiftLeft(
-      BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(b)), Literal(1L)),
+      BitwiseAnd(
+        ShiftRight(
+          Least(Seq(Cast(c, LongType), Literal((1L << bits) - 1))),
+          Literal(b)),
+        Literal(1L)),
       Literal(b * n + (n - 1 - i)))
     terms.reduceLeft[Expression](Add(_, _))
   }

@@ -770,8 +770,8 @@ object AnalyticsQueries {
     "events_zorder" ->
       """SELECT event_id,
         |  CAST(list_sum(list_transform(generate_series(0, 15),
-        |    b -> (((user_id >> b) & 1) << (2 * b + 1))
-        |         + ((((epoch_us(ts) // 86400000000) >> b) & 1) << (2 * b))))
+        |    b -> (((least(user_id, 65535) >> b) & 1) << (2 * b + 1))
+        |         + (((least(epoch_us(ts) // 86400000000, 65535) >> b) & 1) << (2 * b))))
         |    AS BIGINT) AS zval
         |FROM events""".stripMargin,
     "events_zscore_days" ->

@@ -45,14 +45,18 @@ object DocStream {
 
   /** The full continuous front door: [[intake]] (stream-side gates +
     * watermark-horizon dedup) composed with
-    * [[graft.operators.IncrementalDedup]] per micro-batch, so duplicates
-    * that arrive BEYOND the watermark horizon are still rejected against
-    * the whole-history fingerprint index (restart-durable, bucketed,
-    * Exchange-free on the index side). Admitted docs append to
-    * `outPath`; exactly-once comes from the checkpointed batch ids —
-    * foreachBatch may replay a batch after a crash, and replays admit
-    * nothing because their fingerprints are already indexed (the ingest
-    * is idempotent by construction).
+    * [[graft.operators.IncrementalDedup.ingestBatch]] per micro-batch,
+    * so duplicates that arrive BEYOND the watermark horizon are still
+    * rejected against the whole-history fingerprint index
+    * (restart-durable, bucketed, Exchange-free on the index side).
+    * Admitted docs land under `outPath/batch_id=<id>/` (read the root
+    * as one partitioned parquet dataset). Effectively-once: each batch's
+    * output is an OVERWRITE of its own batch-keyed directory, written
+    * BEFORE the index append, and the anti-join excludes index rows
+    * stamped with the replaying batch's id — so a crash at any point
+    * replays to the identical admitted set and the identical output,
+    * instead of silently dropping docs whose fingerprints were indexed
+    * but never written out.
     */
   def intakeToIndex(
       docs: DataFrame,
@@ -65,11 +69,14 @@ object DocStream {
     intake(docs, tsCol, watermarkDelay).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ingest recomputes the canonical fingerprint and keeps first
         // per fp within the batch; drop intake's copy to avoid a clash
-        val admitted = graft.operators.IncrementalDedup.ingest(batch.drop("fp"), indexTable)
-        admitted.write.mode("append").parquet(outPath)
+        graft.operators.IncrementalDedup.ingestBatch(
+          batch.drop("fp"), indexTable, batchId,
+          writeOut = admitted =>
+            admitted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId"))
+        ()
       }
       .start()
 }

@@ -77,40 +77,54 @@ object StatefulSessions {
         state.remove()
         Iterator.single(close(user, s))
       } else {
-        // iterator order is not guaranteed — sort the batch's events
-        val ts     = it.map(_.ts_ms).toArray.sorted
-        var closed = List.empty[ClosedSession]
-        var cur    = state.getOption
-        ts.foreach { t =>
-          cur match {
-            case Some(o) if t - o.last_ms > gapMs =>
-              closed = close(user, o) :: closed
-              cur = Some(OpenSession(t, t, 1L))
-            case Some(o) =>
-              cur = Some(o.copy(last_ms = math.max(o.last_ms, t), n_events = o.n_events + 1))
-            case None =>
-              cur = Some(OpenSession(t, t, 1L))
+        // Fold the batch's events AND the open session with one
+        // gaps-and-islands sweep over start-ordered intervals. This is
+        // what makes cross-batch out-of-order events (still inside the
+        // watermark) match the batch fold: an event in
+        // (start − gap, start) extends the open session DOWNWARD
+        // (start_ms lowered), a chain of old events can bridge into it,
+        // and events older than any bridge form their own earlier
+        // sessions, closed immediately.
+        val evs = it.map(_.ts_ms).toArray.sorted.map(t => OpenSession(t, t, 1L))
+        val items: Array[OpenSession] = state.getOption match {
+          case Some(o) =>
+            val idx = evs.indexWhere(_.start_ms > o.start_ms) match {
+              case -1 => evs.length
+              case i  => i
+            }
+            (evs.take(idx) :+ o) ++ evs.drop(idx)
+          case None => evs
+        }
+        var merged = List.empty[OpenSession]
+        items.foreach { iv =>
+          merged match {
+            case h :: t if iv.start_ms - h.last_ms <= gapMs =>
+              merged = OpenSession(h.start_ms, math.max(h.last_ms, iv.last_ms),
+                h.n_events + iv.n_events) :: t
+            case _ => merged = iv :: merged
           }
         }
-        cur match {
+        val sessions = merged.reverse // ascending by start
+        var closed   = sessions.dropRight(1).map(close(user, _))
+        sessions.lastOption match {
           case Some(o) if streaming =>
             val closeAt = o.last_ms + gapMs
             if (state.getCurrentWatermarkMs() >= closeAt) {
               // watermark already past the close point (late burst):
               // a timeout this old would be rejected — close inline
-              closed = close(user, o) :: closed
-              state.remove()
+              closed = closed :+ close(user, o)
+              if (state.exists) state.remove()
             } else {
               state.update(o)
               state.setTimeoutTimestamp(closeAt)
             }
           case Some(o) =>
             // batch mode: end-of-input closes the trailing session
-            closed = close(user, o) :: closed
+            closed = closed :+ close(user, o)
             if (state.exists) state.remove()
           case None => ()
         }
-        closed.reverse.iterator
+        closed.iterator
       }
     }
 

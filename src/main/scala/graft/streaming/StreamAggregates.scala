@@ -117,8 +117,10 @@ object StreamAggregates {
       watermarkDelay: String = "10 seconds"
   ): DataFrame = {
     def mark(df: DataFrame, side: String): DataFrame = {
+      // integer ns→µs: double division rounds at epoch-ns magnitudes
+      // (ulp 256 ns) and can flip matches exactly on the ±interval edge
       val withTime = df
-        .withColumn(s"${side}_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+        .withColumn(s"${side}_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
       val m =
         if (df.isStreaming) withTime.withWatermark(s"${side}_time", watermarkDelay)
         else withTime

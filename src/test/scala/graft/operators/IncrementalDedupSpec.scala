@@ -63,6 +63,27 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(spark.table(table).count() == 4)
   }
 
+  test("a replayed stream batch re-admits its own docs (crash-safe ordering)") {
+    // crash model: batch 7's fingerprints reached the index but the
+    // output write never completed. The replay must admit the SAME docs
+    // again (its own index rows are excluded from the anti-join), so the
+    // idempotent batch-keyed output overwrite can land them.
+    val out   = collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val batch = Seq((30L, "pi rho sigma"), (31L, "alpha beta gamma")).toDF("doc_id", "text")
+    def run(): Unit = out += IncrementalDedup.ingestBatch(
+      batch, table, batchId = 7L,
+      writeOut = adm => out += adm.select("doc_id").as[Long].collect().toSet
+    ).select("doc_id").as[Long].collect().toSet
+    run() // original attempt: index append happened
+    run() // replay after the modeled crash
+    // doc 31 is a canonical dup of the batch-1 fingerprint → rejected in
+    // both attempts; doc 30 is novel and must be admitted BOTH times
+    assert(out.toList == List(Set(30L), Set(30L), Set(30L), Set(30L)))
+    // duplicate (fp, batch_id) rows from the replay are inert
+    val own = spark.table(table).where("batch_id = 7").count()
+    assert(own == 2L)
+  }
+
   test("the accumulated index side of the anti-join has no Exchange") {
     // force the sort-merge path (at real scale the index outgrows any
     // broadcast threshold; locally everything would broadcast)
