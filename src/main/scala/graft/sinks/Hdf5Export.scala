@@ -14,16 +14,36 @@ import org.json4s.jackson.JsonMethods
   * (`src/Stream/MessageWriter.cpp:31-36`). Each table is scanned in ONE
   * Spark action: a single `toLocalIterator` pass demuxes every row into
   * per-column builders (string byte-widths and array-uniformity checks
-  * ride the same pass), so a k-column table costs one job, not k+ — and
-  * buffering full columns costs no extra ceiling because the writer's
-  * output buffer already holds the entire file.
+  * ride the same pass), so a k-column table costs one job, not k+.
+  *
+  * Peak heap is BOUNDED: the writer streams the file through a
+  * FileChannel, and each column builder holds at most [[spillChunkValues]]
+  * values — columns that outgrow a chunk spill their encoded bytes to a
+  * temp file and are re-read chunk-wise during emission (twice for link
+  * copies, which re-pull their source). Driver memory is therefore
+  * O(columns × chunk), independent of table or file size.
   */
 object Hdf5Export {
 
   private val writer = new Hdf5Writer
   import writer._
 
+  /** Values a column builder may hold in memory before spilling encoded
+    * bytes to a temp file (1M values ≈ 8 MiB for i64/f64). Test hook:
+    * specs shrink it to prove the bound; [[maxResidentValues]] records the
+    * observed per-builder high-water mark of the last export.
+    */
+  @volatile private[sinks] var spillChunkValues: Int = 1 << 20
+  @volatile private[sinks] var maxResidentValues: Long = 0L
+
   def export(spark: SparkSession, outDir: String, h5Path: String): Unit = {
+    val spill = new Spill
+    try exportWith(spark, outDir, h5Path, spill)
+    finally spill.cleanup()
+  }
+
+  private def exportWith(
+      spark: SparkSession, outDir: String, h5Path: String, spill: Spill): Unit = {
     val closing =
       if (Files.exists(Paths.get(s"$outDir/closing.json")))
         JsonMethods.parse(Files.readString(Paths.get(s"$outDir/closing.json")))
@@ -55,7 +75,7 @@ object Hdf5Export {
           val sorted =
             if (df.columns.contains("row")) df.orderBy("row") else df
           val groupKey = par.mkString("/")
-          tableColumns(sorted).foreach { case (f, dv) =>
+          tableColumns(sorted, spill).foreach { case (f, dv) =>
             val unitAttr = units.get(groupKey).flatMap(_.get(f.name))
               .map(u => Seq("units" -> (StrAttr(u): AttrValue))).getOrElse(Nil)
             val name = if (table == "data" || table == "meta") f.name
@@ -219,14 +239,73 @@ object Hdf5Export {
     case _ => Map.empty
   }
 
+  /** Per-export registry of spill temp files, deleted when the export
+    * (including the final [[Hdf5Writer.write]], which re-reads them)
+    * completes.
+    */
+  private final class Spill {
+    private val paths = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def newFile(): java.nio.file.Path = synchronized {
+      val p = Files.createTempFile("graft-h5spill", ".bin")
+      paths += p
+      p
+    }
+    def cleanup(): Unit = synchronized {
+      paths.foreach(Files.deleteIfExists(_))
+      paths.clear()
+    }
+  }
+
+  /** Numeric spill codec: fixed-width little-endian values, chunked. */
+  private final class NumSpiller(spill: Spill, elemBytes: Int) {
+    private var out: java.io.DataOutputStream  = null
+    private var path: java.nio.file.Path       = null
+    private var total = 0L
+    def spilled: Boolean = path != null
+    def write(encode: java.nio.ByteBuffer => Unit, n: Int): Unit = {
+      if (out == null) {
+        path = spill.newFile()
+        out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(Files.newOutputStream(path), 1 << 16))
+      }
+      val bb = java.nio.ByteBuffer.allocate(n * elemBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      encode(bb)
+      out.write(bb.array(), 0, bb.position())
+      total += n
+    }
+    /** Close and return (path, value count) for read-back. */
+    def finish(): (java.nio.file.Path, Long) = { out.close(); (path, total) }
+    /** Chunked read-back of the raw little-endian values. */
+    def readBack(decode: (java.nio.ByteBuffer, Int) => DataValue): Iterator[DataValue] = {
+      val (p, n) = (path, total)
+      new Iterator[DataValue] {
+        private val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16))
+        private var read = 0L
+        def hasNext: Boolean = { val h = read < n; if (!h) in.close(); h }
+        def next(): DataValue = {
+          val k     = math.min(spillChunkValues.toLong, n - read).toInt
+          val bytes = new Array[Byte](k * elemBytes)
+          in.readFully(bytes)
+          read += k
+          decode(java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN), k)
+        }
+      }
+    }
+  }
+
   /** Every exportable column of one table from ONE `toLocalIterator`
     * pass: each row is demuxed into per-column builders; string columns
     * track their max UTF-8 byte-width and array columns their width
     * uniformity in the same pass (ragged or empty array columns are
     * skipped, as before). A zero-length typed seed chunk pins the dtype
-    * of empty columns.
+    * of empty columns. Builders hold at most [[spillChunkValues]] values:
+    * larger columns spill encoded chunks to a temp file and their
+    * [[Hdf5Writer.StreamedData]] re-reads it chunk-wise at emission.
     */
-  private def tableColumns(df: org.apache.spark.sql.DataFrame)
+  private def tableColumns(df: org.apache.spark.sql.DataFrame, spill: Spill)
       : Seq[(StructField, DataValue)] = {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
@@ -237,54 +316,187 @@ object Hdf5Export {
         rowWidth: Int = 0): DataValue =
       StreamedData(() => Iterator(seed, data), strWidth, rowWidth)
 
+    def noteResident(n: Long): Unit =
+      if (n > maxResidentValues) maxResidentValues = n
+
     sealed trait Acc {
       def add(r: Row, i: Int): Unit
       def result(): Option[DataValue]
     }
-    final class LongAcc extends Acc {
-      private val b = mutable.ArrayBuilder.make[Long]
-      def add(r: Row, i: Int): Unit = b += (if (r.isNullAt(i)) 0L else r.getLong(i))
-      def result() = Some(streamed(I64Data(Array.empty[Long]), I64Data(b.result())))
+
+    /** Fixed-width numeric builders: a primitive chunk array plus the
+      * shared [[NumSpiller]]; at most one chunk resident per column. The
+      * spill path re-reads the temp file chunk-wise at emission (chunk
+      * boundaries need not align to 2-D row widths — the writer
+      * concatenates chunk bytes and derives the dataspace from the TOTAL
+      * value count). Duplicated per type to keep the per-value hot path
+      * box-free.
+      */
+    class LongBase extends Acc {
+      private val buf = new Array[Long](spillChunkValues)
+      protected var n = 0
+      private val sp  = new NumSpiller(spill, 8)
+      private def enc(bb: java.nio.ByteBuffer): Unit =
+        { var i = 0; while (i < n) { bb.putLong(buf(i)); i += 1 } }
+      final def put(v: Long): Unit = {
+        buf(n) = v; n += 1
+        noteResident(n.toLong)
+        if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
+      }
+      def add(r: Row, i: Int): Unit = put(if (r.isNullAt(i)) 0L else r.getLong(i))
+      def result(): Option[DataValue] =
+        if (!sp.spilled)
+          Some(streamed(I64Data(Array.empty[Long]),
+            I64Data(java.util.Arrays.copyOf(buf, n))))
+        else {
+          if (n > 0) { sp.write(enc, n); n = 0 }
+          sp.finish()
+          Some(StreamedData(() => Iterator(I64Data(Array.empty[Long])) ++
+            sp.readBack((bb, k) =>
+              { val xs = new Array[Long](k); bb.asLongBuffer().get(xs); I64Data(xs) })))
+        }
     }
-    final class IntAcc extends Acc {
-      private val b = mutable.ArrayBuilder.make[Int]
-      def add(r: Row, i: Int): Unit = b += (if (r.isNullAt(i)) 0 else r.getInt(i))
-      def result() = Some(streamed(I32Data(Array.empty[Int]), I32Data(b.result())))
+    class IntBase extends Acc {
+      private val buf = new Array[Int](spillChunkValues)
+      protected var n = 0
+      private val sp  = new NumSpiller(spill, 4)
+      private def enc(bb: java.nio.ByteBuffer): Unit =
+        { var i = 0; while (i < n) { bb.putInt(buf(i)); i += 1 } }
+      final def put(v: Int): Unit = {
+        buf(n) = v; n += 1
+        noteResident(n.toLong)
+        if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
+      }
+      def add(r: Row, i: Int): Unit = put(if (r.isNullAt(i)) 0 else r.getInt(i))
+      def result(): Option[DataValue] =
+        if (!sp.spilled)
+          Some(streamed(I32Data(Array.empty[Int]),
+            I32Data(java.util.Arrays.copyOf(buf, n))))
+        else {
+          if (n > 0) { sp.write(enc, n); n = 0 }
+          sp.finish()
+          Some(StreamedData(() => Iterator(I32Data(Array.empty[Int])) ++
+            sp.readBack((bb, k) =>
+              { val xs = new Array[Int](k); bb.asIntBuffer().get(xs); I32Data(xs) })))
+        }
     }
-    final class ShortAcc extends Acc {
-      private val b = mutable.ArrayBuilder.make[Short]
+    class ShortBase extends Acc {
+      private val buf = new Array[Short](spillChunkValues)
+      protected var n = 0
+      private val sp  = new NumSpiller(spill, 2)
+      private def enc(bb: java.nio.ByteBuffer): Unit =
+        { var i = 0; while (i < n) { bb.putShort(buf(i)); i += 1 } }
+      final def put(v: Short): Unit = {
+        buf(n) = v; n += 1
+        noteResident(n.toLong)
+        if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
+      }
       def add(r: Row, i: Int): Unit =
-        b += (if (r.isNullAt(i)) 0.toShort else r.getShort(i))
-      def result() = Some(streamed(I16Data(Array.empty[Short]), I16Data(b.result())))
+        put(if (r.isNullAt(i)) 0.toShort else r.getShort(i))
+      def result(): Option[DataValue] =
+        if (!sp.spilled)
+          Some(streamed(I16Data(Array.empty[Short]),
+            I16Data(java.util.Arrays.copyOf(buf, n))))
+        else {
+          if (n > 0) { sp.write(enc, n); n = 0 }
+          sp.finish()
+          Some(StreamedData(() => Iterator(I16Data(Array.empty[Short])) ++
+            sp.readBack((bb, k) =>
+              { val xs = new Array[Short](k); bb.asShortBuffer().get(xs); I16Data(xs) })))
+        }
     }
-    final class DoubleAcc extends Acc {
-      private val b = mutable.ArrayBuilder.make[Double]
-      def add(r: Row, i: Int): Unit =
-        b += (if (r.isNullAt(i)) 0.0 else r.getDouble(i))
-      def result() = Some(streamed(F64Data(Array.empty[Double]), F64Data(b.result())))
+    class DoubleBase extends Acc {
+      private val buf = new Array[Double](spillChunkValues)
+      protected var n = 0
+      private val sp  = new NumSpiller(spill, 8)
+      private def enc(bb: java.nio.ByteBuffer): Unit =
+        { var i = 0; while (i < n) { bb.putDouble(buf(i)); i += 1 } }
+      final def put(v: Double): Unit = {
+        buf(n) = v; n += 1
+        noteResident(n.toLong)
+        if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
+      }
+      def add(r: Row, i: Int): Unit = put(if (r.isNullAt(i)) 0.0 else r.getDouble(i))
+      def result(): Option[DataValue] =
+        if (!sp.spilled)
+          Some(streamed(F64Data(Array.empty[Double]),
+            F64Data(java.util.Arrays.copyOf(buf, n))))
+        else {
+          if (n > 0) { sp.write(enc, n); n = 0 }
+          sp.finish()
+          Some(StreamedData(() => Iterator(F64Data(Array.empty[Double])) ++
+            sp.readBack((bb, k) =>
+              { val xs = new Array[Double](k); bb.asDoubleBuffer().get(xs); F64Data(xs) })))
+        }
     }
-    final class BoolAcc extends Acc {
-      private val b = mutable.ArrayBuilder.make[Short]
-      def add(r: Row, i: Int): Unit =
-        b += (if (!r.isNullAt(i) && r.getBoolean(i)) 1.toShort else 0.toShort)
-      def result() = Some(streamed(I16Data(Array.empty[Short]), I16Data(b.result())))
+    final class BoolAcc extends ShortBase {
+      override def add(r: Row, i: Int): Unit =
+        put(if (!r.isNullAt(i) && r.getBoolean(i)) 1.toShort else 0.toShort)
     }
+    /** Strings spill as 4-byte length + UTF-8 bytes (variable width —
+      * `NumSpiller` only carries the chunking; width is irrelevant to it).
+      */
     final class StrAcc extends Acc {
       private val b    = mutable.ArrayBuffer.empty[String]
       private var maxW = 1
+      private var out: java.io.DataOutputStream = null
+      private var path: java.nio.file.Path      = null
+      private var total = 0L
       def add(r: Row, i: Int): Unit = {
         val s = if (r.isNullAt(i)) "" else r.getString(i)
         maxW = math.max(maxW, s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
         b += s
+        noteResident(b.length.toLong)
+        if (b.length == spillChunkValues) flushChunk()
       }
-      def result() = Some(streamed(StrData(Array.empty[String]),
-        StrData(b.toArray), strWidth = maxW))
+      private def flushChunk(): Unit = {
+        if (out == null) {
+          path = spill.newFile()
+          out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(Files.newOutputStream(path), 1 << 16))
+        }
+        b.foreach { s =>
+          val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        }
+        total += b.length
+        b.clear()
+      }
+      def result(): Option[DataValue] =
+        if (path == null)
+          Some(streamed(StrData(Array.empty[String]), StrData(b.toArray),
+            strWidth = maxW))
+        else {
+          if (b.nonEmpty) flushChunk()
+          out.close()
+          val (p, n, w) = (path, total, maxW)
+          Some(StreamedData({ () =>
+            Iterator(StrData(Array.empty[String])) ++ new Iterator[DataValue] {
+              private val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16))
+              private var read = 0L
+              def hasNext: Boolean = { val h = read < n; if (!h) in.close(); h }
+              def next(): DataValue = {
+                val k  = math.min(spillChunkValues.toLong, n - read).toInt
+                val xs = new Array[String](k)
+                var i  = 0
+                while (i < k) {
+                  val bytes = new Array[Byte](in.readInt())
+                  in.readFully(bytes)
+                  xs(i) = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                  i += 1
+                }
+                read += k
+                StrData(xs)
+              }
+            }
+          }, strWidth = w))
+        }
     }
     /** Flat 2-D accumulator; bails out on ragged widths. */
     final class ArrAcc(elem: DataType) extends Acc {
-      private val dbl = mutable.ArrayBuilder.make[Double]
-      private val lng = mutable.ArrayBuilder.make[Long]
-      private val int = mutable.ArrayBuilder.make[Int]
+      private var inner: Acc = null
       private var w       = -1
       private var ragged  = false
       def add(r: Row, i: Int): Unit = if (!ragged) {
@@ -292,32 +504,33 @@ object Hdf5Export {
         if (w < 0) w = s.length
         if (s.length != w) ragged = true
         else elem match {
-          case DoubleType  => s.foreach(x => dbl += x.asInstanceOf[Double])
-          case LongType    => s.foreach(x => lng += x.asInstanceOf[Long])
-          case IntegerType => s.foreach(x => int += x.asInstanceOf[Int])
-          case _           => ragged = true
+          case DoubleType =>
+            if (inner == null) inner = new DoubleBase
+            s.foreach(x => inner.asInstanceOf[DoubleBase].put(x.asInstanceOf[Double]))
+          case LongType =>
+            if (inner == null) inner = new LongBase
+            s.foreach(x => inner.asInstanceOf[LongBase].put(x.asInstanceOf[Long]))
+          case IntegerType =>
+            if (inner == null) inner = new IntBase
+            s.foreach(x => inner.asInstanceOf[IntBase].put(x.asInstanceOf[Int]))
+          case _ => ragged = true
         }
       }
-      def result() =
-        if (ragged || w <= 0) None
-        else elem match {
-          case DoubleType => Some(streamed(F64Data(Array.empty[Double]),
-            F64Data(dbl.result()), rowWidth = w))
-          case LongType => Some(streamed(I64Data(Array.empty[Long]),
-            I64Data(lng.result()), rowWidth = w))
-          case IntegerType => Some(streamed(I32Data(Array.empty[Int]),
-            I32Data(int.result()), rowWidth = w))
-          case _ => None
+      def result(): Option[DataValue] =
+        if (ragged || w <= 0 || inner == null) None
+        else inner.result().map {
+          case sd: StreamedData => sd.copy(rowWidth = w)
+          case other            => other
         }
     }
 
     val fields = df.schema.fields.filterNot(_.name == "row").toSeq
     val used: Seq[(StructField, Acc)] = fields.flatMap { f =>
       val acc: Option[Acc] = f.dataType match {
-        case LongType    => Some(new LongAcc)
-        case IntegerType => Some(new IntAcc)
-        case ShortType   => Some(new ShortAcc)
-        case DoubleType  => Some(new DoubleAcc)
+        case LongType    => Some(new LongBase)
+        case IntegerType => Some(new IntBase)
+        case ShortType   => Some(new ShortBase)
+        case DoubleType  => Some(new DoubleBase)
         case BooleanType => Some(new BoolAcc)
         case StringType  => Some(new StrAcc)
         case ArrayType(et @ (DoubleType | LongType | IntegerType), _) =>

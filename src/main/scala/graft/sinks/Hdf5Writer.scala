@@ -2,8 +2,9 @@ package graft.sinks
 
 import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Paths, StandardOpenOption}
 
 /** Minimal from-scratch HDF5 (v0 superblock, v1 objects) writer — enough to
   * emit the NeXus tree natively: nested groups, contiguous 1-D/2-D datasets
@@ -15,15 +16,18 @@ import java.nio.file.{Files, Paths}
   * output is groups + chunked datasets; we emit contiguous layout, which
   * every HDF5 reader including h5py consumes identically).
   *
-  * Layout strategy: one buffer, addresses allocated append-only; each
-  * group = object header + local heap + one fixed-size B-tree leaf node
-  * pointing at fixed-size symbol-table nodes of ≤ 2·leaf_k children each
-  * (the block sizes libhdf5 derives from the superblock's declared k
+  * Layout strategy: addresses allocated append-only and STREAMED through a
+  * buffered `FileChannel` — the file is never held in memory, so output
+  * size is bounded by disk, not heap (the one back-reference, the
+  * superblock at offset 0, is patched with a positional write at the end).
+  * Each group = object header + local heap + one fixed-size B-tree leaf
+  * node pointing at fixed-size symbol-table nodes of ≤ 2·leaf_k children
+  * each (the block sizes libhdf5 derives from the superblock's declared k
   * values) — up to 2·internal_k · 2·leaf_k = 256 children per group.
   */
 final class Hdf5Writer {
 
-  private val buf = new GrowableBuffer
+  private var buf: FileBuffer = _
 
   // ---- public model ---------------------------------------------------
 
@@ -71,11 +75,19 @@ final class Hdf5Writer {
   /** Write a root tree to an .h5 file. */
   def write(path: String, rootChildren: Seq[Node],
       rootAttrs: Seq[(String, AttrValue)] = Nil): Unit = {
-    buf.reset()
-    buf.pad(96) // superblock placeholder, patched at the end
-    val rootHeader = writeGroup(Group("", rootChildren, rootAttrs))
-    patchSuperblock(rootHeader)
-    Files.write(Paths.get(path), buf.toArray)
+    val ch = FileChannel.open(Paths.get(path),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      buf = new FileBuffer(ch)
+      buf.pad(96) // superblock placeholder, patched at the end
+      val rootHeader = writeGroup(Group("", rootChildren, rootAttrs))
+      patchSuperblock(rootHeader)
+      buf.flush()
+    } finally {
+      buf = null
+      ch.close()
+    }
   }
 
   // ---- superblock -----------------------------------------------------
@@ -399,35 +411,40 @@ final class Hdf5Writer {
 
   // ---- buffer ---------------------------------------------------------
 
-  private final class GrowableBuffer {
-    private var arr  = new Array[Byte](1 << 20)
-    private var used = 0
-    def size: Long = used.toLong
-    def reset(): Unit = used = 0
-    def pad(n: Int): Unit = { ensure(n); used += n }
+  /** Append-only writer over a `FileChannel` with a fixed 1 MiB staging
+    * buffer: `append` returns the file address, `patch` (superblock only)
+    * flushes and writes positionally. Peak heap is the staging buffer plus
+    * the largest single message — file size is unbounded by memory (the
+    * pre-FileChannel design built the whole file in one `Array[Byte]`,
+    * capping output below 2 GiB).
+    */
+  private final class FileBuffer(ch: FileChannel) {
+    private val bb      = ByteBuffer.allocate(1 << 20)
+    private var written = 0L
+    def size: Long = written
+    def pad(n: Int): Unit = append(new Array[Byte](n))
     def append(bytes: Array[Byte]): Long = {
-      val addr = used.toLong
-      ensure(bytes.length)
-      System.arraycopy(bytes, 0, arr, used, bytes.length)
-      used += bytes.length
+      val addr = written
+      var off  = 0
+      while (off < bytes.length) {
+        if (!bb.hasRemaining) flush()
+        val k = math.min(bb.remaining, bytes.length - off)
+        bb.put(bytes, off, k)
+        off += k
+      }
+      written += bytes.length
       addr
     }
-    def patch(at: Int, bytes: Array[Byte]): Unit =
-      System.arraycopy(bytes, 0, arr, at, bytes.length)
-    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, used)
-    private def ensure(n: Int): Unit = {
-      // int doubling overflows negative past 1 GiB; the buffer (like the
-      // format's in-memory single-allocation design) caps at <2 GiB —
-      // fail loudly instead of throwing NegativeArraySizeException
-      val MaxLen = Integer.MAX_VALUE - 8
-      if (used.toLong + n > MaxLen)
-        throw new IllegalStateException(
-          s"HDF5 output exceeds the ${MaxLen} byte in-memory buffer cap " +
-            "(split the export or stream to a FileChannel)")
-      while (used + n > arr.length) {
-        val next = math.min(MaxLen.toLong, arr.length.toLong * 2).toInt
-        arr = java.util.Arrays.copyOf(arr, math.max(next, used + n))
-      }
+    def patch(at: Long, bytes: Array[Byte]): Unit = {
+      flush()
+      val b = ByteBuffer.wrap(bytes)
+      var pos = at
+      while (b.hasRemaining) pos += ch.write(b, pos)
+    }
+    def flush(): Unit = {
+      bb.flip()
+      while (bb.hasRemaining) ch.write(bb)
+      bb.clear()
     }
   }
 }

@@ -307,6 +307,67 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("fan-out"))
   }
 
+  test("files larger than the channel staging buffer round-trip " +
+    "(multi-flush FileChannel path)") {
+    val w = new Hdf5Writer
+    import w._
+    val path = Files.createTempFile("graft-big", ".h5").toString
+    // 400k longs = 3.2 MB of data through the 1 MiB staging buffer, pulled
+    // in 10 chunks the way Hdf5Export streams spilled columns
+    val n = 400000
+    val chunks = () => (0 until 10).iterator.map(c =>
+      I64Data(Array.tabulate(n / 10)(i => (c * (n / 10) + i).toLong)))
+    w.write(path, Seq(
+      Group("entry", Seq(
+        Dataset("big", StreamedData(chunks)),
+        Dataset("tail", I64Data(Array(42L))) // metadata AFTER the big data
+      ))))
+    assert(Files.size(Paths.get(path)) > (1 << 20) * 3)
+    val entry = MiniHdf5Reader.read(path).groups("entry")
+    val big   = entry.groups("big").datasets("").asInstanceOf[Array[Long]]
+    assert(big.length == n)
+    assert(big(0) == 0L && big(123456) == 123456L && big(n - 1) == (n - 1).toLong)
+    assert(entry.groups("tail").datasets("").asInstanceOf[Array[Long]].toSeq == Seq(42L))
+  }
+
+  test("export heap is bounded by the spill chunk, not the table size") {
+    import spark.implicits._
+    val prevChunk = Hdf5Export.spillChunkValues
+    Hdf5Export.spillChunkValues = 1024
+    Hdf5Export.maxResidentValues = 0L
+    try {
+      val out = Files.createTempDirectory("graft-h5out").toString
+      val n   = 50000
+      (0 until n).map(i => (i.toLong, i.toLong * 3, f"s$i%05d", i * 0.5))
+        .toDF("row", "v", "name", "x")
+        .coalesce(1)
+        .write.parquet(s"$out/data/entry/data")
+      val h5 = s"$out/spill.h5"
+      Hdf5Export.export(spark, out, h5)
+      // every column builder spilled: resident high-water is the chunk
+      // size, though the table is 50× larger
+      assert(Hdf5Export.maxResidentValues <= 1024L,
+        s"resident ${Hdf5Export.maxResidentValues} > chunk 1024")
+      val entry = MiniHdf5Reader.read(h5).groups("entry")
+      val v     = entry.groups("v").datasets("").asInstanceOf[Array[Long]]
+      val names = entry.groups("name").datasets("").asInstanceOf[Array[String]]
+      val xs    = entry.groups("x").datasets("").asInstanceOf[Array[Double]]
+      assert(v.length == n && names.length == n && xs.length == n)
+      assert(v(0) == 0L && v(n - 1) == (n - 1).toLong * 3)
+      assert(names(12345) == "s12345" && xs(n - 1) == (n - 1) * 0.5)
+      // spill temp files are cleaned up after the export
+      val leftovers = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+        .filter { p =>
+          val f = p.getFileName.toString
+          f.startsWith("graft-h5spill") && f.endsWith(".bin")
+        }
+        .count()
+      assert(leftovers == 0L, s"$leftovers spill files not cleaned up")
+    } finally {
+      Hdf5Export.spillChunkValues = prevChunk
+    }
+  }
+
   test("empty groups and empty datasets survive") {
     val w = new Hdf5Writer
     import w._
