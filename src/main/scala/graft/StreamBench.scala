@@ -68,6 +68,64 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val total = msgs + msgs / 10 // ev44 messages carry 10 events each
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
+
+    decodeBench(spark)
     spark.stop()
+  }
+
+  /** Scan-path decode throughput: raw FlatBuffers bytes (built on the
+    * executors) → envelope + payload decode → aggregate. Run twice —
+    * generated (the production path, `doGenCode` static calls inside
+    * WholeStageCodegen) vs forced-interpreted — to keep the codegen win
+    * measured across rounds.
+    */
+  private def decodeBench(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = sys.env.getOrElse("SPARK_GRAFT_DECODE_MSGS", "2000000").toLong
+
+    // bench-only generators (UDFs are fine off the measured path): raw
+    // wire bytes built on the executors, cached so only decode is timed
+    val genF144 = udf((id: Long) =>
+      graft.functions.FbEncoders.f144(s"s${id % 8}", 1000000L + id, (id % 97).toDouble))
+    val genEv44 = udf((id: Long) =>
+      graft.functions.FbEncoders.ev44(s"d${id % 4}", Seq(1000000L + id), Seq(0),
+        Seq.tabulate(10)(j => (id % 1000).toInt + j),
+        Seq.tabulate(10)(j => (id % 1000).toInt + j + 1)))
+    val raw = spark.range(n).select(
+      when(col("id") % 10 === 0, genEv44(col("id")))
+        .otherwise(genF144(col("id"))).as("value"))
+      .persist()
+    raw.count() // materialize outside the timed window
+
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val decoded = raw.select(
+        graft.functions.Decode.decode_envelope(col("value")).as("env"),
+        graft.functions.Decode.decode_f144(col("value")).as("f"),
+        graft.functions.Decode.decode_ev44(col("value")).as("e"))
+      val res = decoded.agg(
+        count(when(col("env.valid"), 1)),
+        sum("f.value"),
+        sum(aggregate(col("e.pixel_id"), lit(0L), (a, x) => a + x))).collect()
+      require(res.head.getLong(0) == n, "decode dropped rows")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm both paths (Janino compile + JIT), then take min-of-3 each
+    def interpreted[T](f: => T): T = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try f
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    run(); interpreted(run())
+    val genSec    = (0 until 3).map(_ => run()).min
+    val interpSec =
+      try interpreted((0 until 3).map(_ => run()).min)
+      finally raw.unpersist()
+    println(f"""{"metric":"decode_msg_per_sec","value":${n / genSec}%.1f,"unit":"msg/s","messages":$n,"sec":$genSec%.2f,"interpreted_msg_per_sec":${n / interpSec}%.1f}""")
   }
 }

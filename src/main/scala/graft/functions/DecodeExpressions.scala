@@ -5,7 +5,7 @@ import com.google.flatbuffers.FlatBufferBuilder
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,12 @@ import FlatBufferReader.{DTypes, F144Value, Reader, Se00Value}
 
 /** Scan-time decode operators (SURVEY §2.2, D1/D2): binary Kafka payload →
   * typed struct, as native Catalyst expressions so nested-field pruning
-  * applies and no row-level Scala UDF boundary exists. Evaluation is
-  * CodegenFallback (one virtual call per row over bytes already in memory);
-  * the decode itself is allocation-light.
+  * applies and no row-level Scala UDF boundary exists. Each expression
+  * implements `doGenCode` as a direct static call to its decoder body, so
+  * the decode PARTICIPATES in whole-stage codegen — the scan-time loop
+  * every ingested byte passes through stays one fused span with no
+  * interpreted `eval` boundary and no per-row boxing (a CodegenFallback
+  * here would split the WholeStageCodegen span at the hottest operator).
   *
   * Validity taxonomy mirrors `FlatbufferMessage.cpp:41-74`: BufferTooSmall,
   * UnknownFlatbufferID, NotValidFlatbuffer, ZeroTimestamp — invalid rows
@@ -24,6 +27,22 @@ import FlatBufferReader.{DTypes, F144Value, Reader, Se00Value}
   * rows are counted, not fatal).
   */
 object Decode {
+
+  /** Shared `doGenCode` shape: one static call per row on the non-null
+    * path (`Decode` has no companion class, so the Scala object methods
+    * get true static forwarders Janino can link). `nullableResult`
+    * decoders return null on foreign/invalid payloads.
+    */
+  sealed trait StaticCallCodegen extends UnaryExpression {
+    protected def staticMethod: String
+    protected def nullableResult: Boolean
+    override def nullable: Boolean = child.nullable || nullableResult
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val call = s"${ev.value} = graft.functions.Decode.$staticMethod($bytes);"
+        if (nullableResult) s"$call\n${ev.isNull} = ${ev.value} == null;" else call
+      })
+  }
 
   private val envelopeType = StructType(Seq(
     StructField("schema_id", StringType),
@@ -33,53 +52,57 @@ object Decode {
     StructField("error", StringType)
   ))
 
+  /** D1 eval body — static so generated code calls it directly. */
+  def envelopeEval(bytes: Array[Byte]): InternalRow = {
+    def err(e: String) =
+      InternalRow(null, null, null, false, UTF8String.fromString(e))
+    if (bytes.length < 8) return err("BufferTooSmall")
+    val r  = new Reader(bytes)
+    val id = r.fileIdentifier
+    try {
+      val root = r.rootTable
+      val (srcPos, ts) = id match {
+        case "f144" | "al00" | "ad00" | "da00" =>
+          (r.field(root, 0), at(r, root, tsFieldId = idTs(id)))
+        case "ep01" =>
+          (r.field(root, 0), at(r, root, 1))
+        case "se00" =>
+          // name=0, packet_timestamp=6 (se00_Extractor.cpp:31-39)
+          (r.field(root, 0), at(r, root, 6))
+        case "ev44" =>
+          val rt = r.field(root, 2)
+          (r.field(root, 0), if (rt < 0 || r.vectorLen(rt) == 0) 0L else r.i64Vector(rt)(0))
+        case "tdct" =>
+          val tv = r.field(root, 1)
+          (r.field(root, 0), if (tv < 0 || r.vectorLen(tv) == 0) 0L else r.i64Vector(tv)(0))
+        case _ => return err("UnknownFlatbufferID")
+      }
+      if (ts == 0L) return err("ZeroTimestamp")
+      val src = if (srcPos < 0) null else UTF8String.fromString(r.string(srcPos))
+      InternalRow(UTF8String.fromString(id), src, ts, true, null)
+    } catch {
+      case _: IndexOutOfBoundsException => err("NotValidFlatbuffer")
+    }
+  }
+  private def idTs(id: String): Int = id match {
+    case "f144" => 3 // source_name, value_type, value, timestamp
+    case _      => 1 // source_name, timestamp, ...
+  }
+  private def at(r: Reader, root: Int, tsFieldId: Int): Long = {
+    val p = r.field(root, tsFieldId)
+    if (p < 0) 0L else r.i64(p)
+  }
+
   /** D1 — schema dispatch + verify + metadata extraction (source_name and
     * the per-schema timestamp rule: ev44 = reference_time[0], tdct =
     * timestamps[0]).
     */
-  case class DecodeEnvelope(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class DecodeEnvelope(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = envelopeType
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      def err(e: String) =
-        InternalRow(null, null, null, false, UTF8String.fromString(e))
-      if (bytes.length < 8) return err("BufferTooSmall")
-      val r  = new Reader(bytes)
-      val id = r.fileIdentifier
-      try {
-        val root = r.rootTable
-        val (srcPos, ts) = id match {
-          case "f144" | "al00" | "ad00" | "da00" =>
-            (r.field(root, 0), at(r, root, tsFieldId = idTs(id)))
-          case "ep01" =>
-            (r.field(root, 0), at(r, root, 1))
-          case "se00" =>
-            // name=0, packet_timestamp=6 (se00_Extractor.cpp:31-39)
-            (r.field(root, 0), at(r, root, 6))
-          case "ev44" =>
-            val rt = r.field(root, 2)
-            (r.field(root, 0), if (rt < 0 || r.vectorLen(rt) == 0) 0L else r.i64Vector(rt)(0))
-          case "tdct" =>
-            val tv = r.field(root, 1)
-            (r.field(root, 0), if (tv < 0 || r.vectorLen(tv) == 0) 0L else r.i64Vector(tv)(0))
-          case _ => return err("UnknownFlatbufferID")
-        }
-        if (ts == 0L) return err("ZeroTimestamp")
-        val src = if (srcPos < 0) null else UTF8String.fromString(r.string(srcPos))
-        InternalRow(UTF8String.fromString(id), src, ts, true, null)
-      } catch {
-        case _: IndexOutOfBoundsException => err("NotValidFlatbuffer")
-      }
-    }
-    private def idTs(id: String): Int = id match {
-      case "f144" => 3 // source_name, value_type, value, timestamp
-      case _      => 1 // source_name, timestamp, ...
-    }
-    private def at(r: Reader, root: Int, tsFieldId: Int): Long = {
-      val p = r.field(root, tsFieldId)
-      if (p < 0) 0L else r.i64(p)
-    }
+    protected def staticMethod   = "envelopeEval"
+    protected def nullableResult = false // every input yields a row (maybe an error row)
+    override def nullSafeEval(input: Any): Any =
+      envelopeEval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeEnvelope = copy(c)
   }
 
@@ -89,45 +112,49 @@ object Decode {
     StructField("value", DoubleType)
   ))
 
+  /** f144 eval body — static for the generated call. */
+  def f144Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "f144") return null
+    val r    = new Reader(bytes)
+    val root = r.rootTable
+    try {
+      val src    = r.field(root, 0)
+      val vtPos  = r.field(root, 1)
+      val vPos   = r.field(root, 2)
+      val tsPos  = r.field(root, 3)
+      if (src < 0 || vtPos < 0 || vPos < 0) return null
+      val vTable = r.indirect(vPos)
+      val valPos = r.field(vTable, 0)
+      if (valPos < 0) return null
+      val v = (r.i8(vtPos).toInt: Int) match {
+        case F144Value.Byte   => r.i8(valPos).toDouble
+        case F144Value.UByte  => (r.i8(valPos) & 0xff).toDouble
+        case F144Value.Short  => r.i16(valPos).toDouble
+        case F144Value.UShort => (r.i16(valPos) & 0xffff).toDouble
+        case F144Value.Int    => r.i32(valPos).toDouble
+        case F144Value.UInt   => (r.i32(valPos) & 0xffffffffL).toDouble
+        case F144Value.Long   => r.i64(valPos).toDouble
+        case F144Value.ULong  => r.i64(valPos).toDouble
+        case F144Value.Float  => r.f32(valPos).toDouble
+        case F144Value.Double => r.f64(valPos)
+        case _                => return null // array variants rejected (f144_Writer.cpp:249)
+      }
+      InternalRow(
+        UTF8String.fromString(r.string(src)),
+        if (tsPos < 0) 0L else r.i64(tsPos),
+        v)
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
   /** D2/W1 — f144 payload decode with the 10-way scalar union dispatch
     * (`f144_Writer.cpp:209-256`), widened to double.
     */
-  case class DecodeF144(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class DecodeF144(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = f144Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "f144") return null
-      val r    = new Reader(bytes)
-      val root = r.rootTable
-      try {
-        val src    = r.field(root, 0)
-        val vtPos  = r.field(root, 1)
-        val vPos   = r.field(root, 2)
-        val tsPos  = r.field(root, 3)
-        if (src < 0 || vtPos < 0 || vPos < 0) return null
-        val vTable = r.indirect(vPos)
-        val valPos = r.field(vTable, 0)
-        if (valPos < 0) return null
-        val v = (r.i8(vtPos).toInt: Int) match {
-          case F144Value.Byte   => r.i8(valPos).toDouble
-          case F144Value.UByte  => (r.i8(valPos) & 0xff).toDouble
-          case F144Value.Short  => r.i16(valPos).toDouble
-          case F144Value.UShort => (r.i16(valPos) & 0xffff).toDouble
-          case F144Value.Int    => r.i32(valPos).toDouble
-          case F144Value.UInt   => (r.i32(valPos) & 0xffffffffL).toDouble
-          case F144Value.Long   => r.i64(valPos).toDouble
-          case F144Value.ULong  => r.i64(valPos).toDouble
-          case F144Value.Float  => r.f32(valPos).toDouble
-          case F144Value.Double => r.f64(valPos)
-          case _                => return null // array variants rejected (f144_Writer.cpp:249)
-        }
-        InternalRow(
-          UTF8String.fromString(r.string(src)),
-          if (tsPos < 0) 0L else r.i64(tsPos),
-          v)
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "f144Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      f144Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeF144 = copy(c)
   }
 
@@ -139,33 +166,37 @@ object Decode {
     StructField("pixel_id", ArrayType(IntegerType))
   ))
 
+  /** ev44 eval body — static for the generated call. */
+  def ev44Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "ev44") return null
+    val r    = new Reader(bytes)
+    val root = r.rootTable
+    try {
+      def longs(id: Int): ArrayData = {
+        val p = r.field(root, id)
+        new GenericArrayData(if (p < 0) Array.empty[Long] else r.i64Vector(p))
+      }
+      def ints(id: Int): ArrayData = {
+        val p = r.field(root, id)
+        new GenericArrayData(if (p < 0) Array.empty[Int] else r.i32Vector(p))
+      }
+      val src = r.field(root, 0)
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        longs(2), ints(3), ints(4), ints(5))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
   /** ev44 payload decode: 4 parallel arrays (`ev44_Writer.cpp:98-136`).
     * Field ids: source_name, message_id, reference_time,
     * reference_time_index, time_of_flight, pixel_id.
     */
-  case class DecodeEv44(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class DecodeEv44(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = ev44Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "ev44") return null
-      val r    = new Reader(bytes)
-      val root = r.rootTable
-      try {
-        def longs(id: Int): ArrayData = {
-          val p = r.field(root, id)
-          new GenericArrayData(if (p < 0) Array.empty[Long] else r.i64Vector(p))
-        }
-        def ints(id: Int): ArrayData = {
-          val p = r.field(root, id)
-          new GenericArrayData(if (p < 0) Array.empty[Int] else r.i32Vector(p))
-        }
-        val src = r.field(root, 0)
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          longs(2), ints(3), ints(4), ints(5))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "ev44Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      ev44Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeEv44 = copy(c)
   }
 
@@ -180,28 +211,32 @@ object Decode {
     * (`al00_Writer.cpp:57-70`). Field ids: source_name=0, timestamp=1,
     * severity=2 (short enum), message=3.
     */
-  case class DecodeAl00(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** al00 eval body — static for the generated call. */
+  def al00Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "al00") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val tsP  = r.field(root, 1)
+      val sevP = r.field(root, 2)
+      val msgP = r.field(root, 3)
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        if (tsP < 0) 0L else r.i64(tsP),
+        if (sevP < 0) 0.toShort else r.i16(sevP),
+        if (msgP < 0) UTF8String.fromString("")
+        else UTF8String.fromString(r.string(msgP)))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeAl00(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = al00Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "al00") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val tsP  = r.field(root, 1)
-        val sevP = r.field(root, 2)
-        val msgP = r.field(root, 3)
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          if (tsP < 0) 0L else r.i64(tsP),
-          if (sevP < 0) 0.toShort else r.i16(sevP),
-          if (msgP < 0) UTF8String.fromString("")
-          else UTF8String.fromString(r.string(msgP)))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "al00Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      al00Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeAl00 = copy(c)
   }
 
@@ -215,25 +250,29 @@ object Decode {
     * status→i16) (`ep01_Writer.cpp:38-46`). Field ids: source_name=0,
     * timestamp=1, status=2 (short enum).
     */
-  case class DecodeEp01(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** ep01 eval body — static for the generated call. */
+  def ep01Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "ep01") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val tsP  = r.field(root, 1)
+      val stP  = r.field(root, 2)
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        if (tsP < 0) 0L else r.i64(tsP),
+        if (stP < 0) 0.toShort else r.i16(stP))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeEp01(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = ep01Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "ep01") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val tsP  = r.field(root, 1)
-        val stP  = r.field(root, 2)
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          if (tsP < 0) 0L else r.i64(tsP),
-          if (stP < 0) 0.toShort else r.i16(stP))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "ep01Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      ep01Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeEp01 = copy(c)
   }
 
@@ -248,26 +287,30 @@ object Decode {
     * sequence_counter=2 (u32). u64 timestamps keep their bit patterns in
     * LongType (SURVEY §1.2 wrap caveat, as the reference writes natively).
     */
-  case class DecodeTdct(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** tdct eval body — static for the generated call. */
+  def tdctEval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "tdct") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val tsV  = r.field(root, 1)
+      val seqP = r.field(root, 2)
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        new GenericArrayData(
+          if (tsV < 0) Array.empty[Long] else r.i64Vector(tsV)),
+        if (seqP < 0) 0L else r.i32(seqP) & 0xffffffffL)
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeTdct(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = tdctType
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "tdct") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val tsV  = r.field(root, 1)
-        val seqP = r.field(root, 2)
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          new GenericArrayData(
-            if (tsV < 0) Array.empty[Long] else r.i64Vector(tsV)),
-          if (seqP < 0) 0L else r.i32(seqP) & 0xffffffffL)
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "tdctEval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      tdctEval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeTdct = copy(c)
   }
 
@@ -290,48 +333,52 @@ object Decode {
     * timestamps vector decodes to null — the writer then generates
     * `packet_timestamp + i·Δ` (se00_Writer.cpp:209-219).
     */
-  case class DecodeSe00(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** se00 eval body — static for the generated call. */
+  def se00Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "se00") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val chP  = r.field(root, 1)
+      val dtP  = r.field(root, 2)
+      val tsV  = r.field(root, 4)
+      val mcP  = r.field(root, 5)
+      val ptP  = r.field(root, 6)
+      val vtP  = r.field(root, 7)
+      val valP = r.field(root, 8)
+      val member = if (vtP < 0) 0 else r.i8(vtP).toInt
+      val values =
+        if (valP < 0 || member < Se00Value.Int8Array ||
+          member > Se00Value.DoubleArray) Array.empty[Double]
+        else {
+          val memberTable = r.indirect(valP)
+          val vecP        = r.field(memberTable, 0)
+          if (vecP < 0) Array.empty[Double]
+          else r.elemVectorAsDouble(vecP,
+            Se00Value.elemCode(member), lengthInBytes = false)
+        }
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        if (chP < 0) 0 else r.i32(chP),
+        if (dtP < 0) 0.0 else r.f64(dtP),
+        if (tsV < 0) null else new GenericArrayData(r.i64Vector(tsV)),
+        if (mcP < 0) 0L else r.i64(mcP),
+        if (ptP < 0) 0L else r.i64(ptP),
+        UTF8String.fromString(
+          if (member < 1 || member > 10) "none"
+          else DTypes.name(Se00Value.elemCode(member))),
+        new GenericArrayData(values))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeSe00(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = se00Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "se00") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val chP  = r.field(root, 1)
-        val dtP  = r.field(root, 2)
-        val tsV  = r.field(root, 4)
-        val mcP  = r.field(root, 5)
-        val ptP  = r.field(root, 6)
-        val vtP  = r.field(root, 7)
-        val valP = r.field(root, 8)
-        val member = if (vtP < 0) 0 else r.i8(vtP).toInt
-        val values =
-          if (valP < 0 || member < Se00Value.Int8Array ||
-            member > Se00Value.DoubleArray) Array.empty[Double]
-          else {
-            val memberTable = r.indirect(valP)
-            val vecP        = r.field(memberTable, 0)
-            if (vecP < 0) Array.empty[Double]
-            else r.elemVectorAsDouble(vecP,
-              Se00Value.elemCode(member), lengthInBytes = false)
-          }
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          if (chP < 0) 0 else r.i32(chP),
-          if (dtP < 0) 0.0 else r.f64(dtP),
-          if (tsV < 0) null else new GenericArrayData(r.i64Vector(tsV)),
-          if (mcP < 0) 0L else r.i64(mcP),
-          if (ptP < 0) 0L else r.i64(ptP),
-          UTF8String.fromString(
-            if (member < 1 || member > 10) "none"
-            else DTypes.name(Se00Value.elemCode(member))),
-          new GenericArrayData(values))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "se00Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      se00Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeSe00 = copy(c)
   }
 
@@ -350,33 +397,37 @@ object Decode {
     * writer does). c_string data decodes to per-char byte values (the
     * reference appends a char array).
     */
-  case class DecodeAd00(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** ad00 eval body — static for the generated call. */
+  def ad00Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "ad00") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val tsP  = r.field(root, 1)
+      val dimV = r.field(root, 2)
+      val dtP  = r.field(root, 3)
+      val datV = r.field(root, 4)
+      val code = if (dtP < 0) DTypes.Int8 else r.i8(dtP).toInt
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        if (tsP < 0) 0L else r.i64(tsP),
+        new GenericArrayData(
+          if (dimV < 0) Array.empty[Long] else r.i64Vector(dimV)),
+        UTF8String.fromString(DTypes.name(code)),
+        new GenericArrayData(
+          if (datV < 0) Array.empty[Double]
+          else r.elemVectorAsDouble(datV, code, lengthInBytes = true)))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeAd00(child: Expression) extends StaticCallCodegen {
     override def dataType: DataType = ad00Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "ad00") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val tsP  = r.field(root, 1)
-        val dimV = r.field(root, 2)
-        val dtP  = r.field(root, 3)
-        val datV = r.field(root, 4)
-        val code = if (dtP < 0) DTypes.Int8 else r.i8(dtP).toInt
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          if (tsP < 0) 0L else r.i64(tsP),
-          new GenericArrayData(
-            if (dimV < 0) Array.empty[Long] else r.i64Vector(dimV)),
-          UTF8String.fromString(DTypes.name(code)),
-          new GenericArrayData(
-            if (datV < 0) Array.empty[Double]
-            else r.elemVectorAsDouble(datV, code, lengthInBytes = true)))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+    protected def staticMethod   = "ad00Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      ad00Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeAd00 = copy(c)
   }
 
@@ -402,49 +453,53 @@ object Decode {
     * axes=5, shape=6, data=7 (raw [ubyte], reinterpreted + widened like
     * ad00; `da00_Type.h:18-53`).
     */
-  case class DecodeDa00(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = da00Type
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      if (bytes.length < 8) return null
-      val r = new Reader(bytes)
-      if (r.fileIdentifier != "da00") return null
-      try {
-        val root = r.rootTable
-        val src  = r.field(root, 0)
-        val tsP  = r.field(root, 1)
-        val varV = r.field(root, 2)
-        val vars =
-          if (varV < 0) Array.empty[InternalRow]
-          else r.offsetVector(varV).map { vt =>
-            def str(id: Int): UTF8String = {
-              val p = r.field(vt, id)
-              if (p < 0) null else UTF8String.fromString(r.string(p))
-            }
-            val dtP  = r.field(vt, 4)
-            val code = (if (dtP < 0) 0 else r.i8(dtP).toInt) - 1 // da00 none=0
-            val axP  = r.field(vt, 5)
-            val shP  = r.field(vt, 6)
-            val daP  = r.field(vt, 7)
-            InternalRow(
-              str(0), str(1), str(2),
-              new GenericArrayData(
-                if (axP < 0) Array.empty[Any]
-                else r.stringVector(axP).map(s => UTF8String.fromString(s): Any)),
-              new GenericArrayData(
-                if (shP < 0) Array.empty[Long] else r.i64Vector(shP)),
-              UTF8String.fromString(if (code < 0) "none" else DTypes.name(code)),
-              new GenericArrayData(
-                if (daP < 0 || code < 0) Array.empty[Double]
-                else r.elemVectorAsDouble(daP, code, lengthInBytes = true)))
+  /** da00 eval body — static for the generated call. */
+  def da00Eval(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes)
+    if (r.fileIdentifier != "da00") return null
+    try {
+      val root = r.rootTable
+      val src  = r.field(root, 0)
+      val tsP  = r.field(root, 1)
+      val varV = r.field(root, 2)
+      val vars =
+        if (varV < 0) Array.empty[InternalRow]
+        else r.offsetVector(varV).map { vt =>
+          def str(id: Int): UTF8String = {
+            val p = r.field(vt, id)
+            if (p < 0) null else UTF8String.fromString(r.string(p))
           }
-        InternalRow(
-          if (src < 0) null else UTF8String.fromString(r.string(src)),
-          if (tsP < 0) 0L else r.i64(tsP),
-          new GenericArrayData(vars.map(v => v: Any)))
-      } catch { case _: IndexOutOfBoundsException => null }
-    }
+          val dtP  = r.field(vt, 4)
+          val code = (if (dtP < 0) 0 else r.i8(dtP).toInt) - 1 // da00 none=0
+          val axP  = r.field(vt, 5)
+          val shP  = r.field(vt, 6)
+          val daP  = r.field(vt, 7)
+          InternalRow(
+            str(0), str(1), str(2),
+            new GenericArrayData(
+              if (axP < 0) Array.empty[Any]
+              else r.stringVector(axP).map(s => UTF8String.fromString(s): Any)),
+            new GenericArrayData(
+              if (shP < 0) Array.empty[Long] else r.i64Vector(shP)),
+            UTF8String.fromString(if (code < 0) "none" else DTypes.name(code)),
+            new GenericArrayData(
+              if (daP < 0 || code < 0) Array.empty[Double]
+              else r.elemVectorAsDouble(daP, code, lengthInBytes = true)))
+        }
+      InternalRow(
+        if (src < 0) null else UTF8String.fromString(r.string(src)),
+        if (tsP < 0) 0L else r.i64(tsP),
+        new GenericArrayData(vars.map(v => v: Any)))
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  case class DecodeDa00(child: Expression) extends StaticCallCodegen {
+    override def dataType: DataType = da00Type
+    protected def staticMethod   = "da00Eval"
+    protected def nullableResult = true
+    override def nullSafeEval(input: Any): Any =
+      da00Eval(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): DecodeDa00 = copy(c)
   }
 

@@ -66,6 +66,66 @@ class DecodeSpec extends SparkSpec {
     assert(row.getSeq[Int](4) == Seq(1, 2, 3))
   }
 
+  test("decoders GENERATE code (no silent interpreted fallback) and stay " +
+    "inside one WholeStageCodegen span") {
+    // fallback=false makes a codegen compile error fatal instead of
+    // silently degrading to interpreted eval — this pins the doGenCode
+    // static-call path for every decoder
+    val msgs = Seq(
+      FbEncoders.f144("s", 7L, 1.5),
+      FbEncoders.ev44("det", Seq(5L), Seq(0), Seq(7), Seq(1)),
+      FbEncoders.al00("s", 7L, 2, "alarm"),
+      FbEncoders.ep01("s", 7L, 1),
+      FbEncoders.tdct("s", Seq(9L)),
+      FbEncoders.se00("s", 0, 1.0, None, 1L, 7L, Seq(1.0)),
+      FbEncoders.ad00("s", 7L, Seq(1L), Seq(2.0)),
+      FbEncoders.da00("s", 7L, Seq(FbEncoders.Da00Var(
+        "v", "", "", Nil, Seq(1L), "float64", Seq(3.0))))
+    )
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      // RDD-backed input: a local Seq would be constant-folded into a
+      // LocalTableScan at optimization time (interpreted eval), leaving
+      // nothing for codegen to prove
+      val input = spark.createDataFrame(
+        spark.sparkContext.parallelize(msgs.map(org.apache.spark.sql.Row(_)), 2),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "value", org.apache.spark.sql.types.BinaryType))))
+      val df = input.select(
+        Decode.decode_envelope($"value").as("env"),
+        Decode.decode_f144($"value").as("f144"),
+        Decode.decode_ev44($"value").as("ev44"),
+        Decode.decode_al00($"value").as("al00"),
+        Decode.decode_ep01($"value").as("ep01"),
+        Decode.decode_tdct($"value").as("tdct"),
+        Decode.decode_se00($"value").as("se00"),
+        Decode.decode_ad00($"value").as("ad00"),
+        Decode.decode_da00($"value").as("da00"))
+      val rows = df.collect()
+      assert(rows.length == msgs.length)
+      // every payload decodes under its own schema, nulls elsewhere
+      assert(rows.count(r => !r.isNullAt(r.fieldIndex("f144"))) == 1)
+      assert(rows.count(r => !r.isNullAt(r.fieldIndex("da00"))) == 1)
+      assert(rows.forall(r => !r.isNullAt(r.fieldIndex("env"))))
+      // the decode projection participates in whole-stage codegen: the
+      // `*(n)` marker on Project is the fused-span annotation
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"decode Project not inside a WholeStageCodegen span:\n$plan")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val (k, v) = kv
+    val prev   = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   test("decode of a full pipeline slice: filter + project over decoded structs") {
     val msgs = (1 to 10).map(i =>
       Tuple1(FbEncoders.f144(if (i % 2 == 0) "even" else "odd", i * 1000L, i.toDouble)))
