@@ -25,8 +25,14 @@ import graft.queries.DocQueries
   * Every stage is a narrow transformation over the previous frame plus
   * the already-audited keyed shuffles of its operator — composing them
   * adds NO new shuffle shape. `run` returns the surviving corpus and a
-  * per-stage attrition report (one count action per stage, the usual
-  * pipeline-observability cost).
+  * per-stage attrition report. Each stage frame is eagerly
+  * `localCheckpoint`ed before its count, so the corpus materializes ONCE
+  * per stage: the count reads the checkpointed blocks and stage N+1
+  * builds on them instead of re-executing stages 1..N (unchecked, the
+  * report alone would cost O(stages²) corpus passes). Blocks of
+  * superseded stages are reclaimed by the ContextCleaner once their
+  * frames go out of scope (the [[graft.operators.ConnectedComponents]]
+  * round pattern).
   */
 object TrainingDataPipeline {
 
@@ -36,7 +42,9 @@ object TrainingDataPipeline {
           lmKeepAtMost: Double = 5.36): Result = {
     val report = Seq.newBuilder[(String, Long)]
     def stage(name: String, d: DataFrame): DataFrame = {
-      report += name -> d.count(); d
+      val cp = d.localCheckpoint(true)
+      report += name -> cp.count()
+      cp
     }
 
     val raw = stage("raw", docs.select("doc_id", "text", "lang", "source"))

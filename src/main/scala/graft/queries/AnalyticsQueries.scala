@@ -378,6 +378,21 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           count(lit(1)).as("n"))),
 
+    // The estimator-measurement pattern (embed_ivf_recall,
+    // dedup_estimate_vs_exact): the HLL sketch value has no cross-engine
+    // oracle, but |approx − exact| / exact against the configured rsd's
+    // 3σ bound IS oracle-checkable — the sketch is hash-based, not
+    // randomized, so the boolean is stable for a given dataset. Turns
+    // approx_distinct_users' grey no-oracle row into a checked invariant.
+    "approx_distinct_error" -> ((s, dir) =>
+      Graft.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.06).as("within_bound"))),
+
     // Semi-structured extraction: JSON property pulled with the codegen'd
     // path expression (no UDF, no full from_json materialization — only
     // the one key is parsed), then a keyed aggregate. The standard
@@ -599,6 +614,149 @@ object AnalyticsQueries {
         .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
           (sum(col("bal_c")) / 100.0).as("totacctbal"))
+    },
+
+    // TPC-H Q2-shaped correlated min-cost subquery: for each part in the
+    // size slice, the EUROPE suppliers achieving that part's minimum unit
+    // cost (lineitem stands in for partsupp — the schema has no such
+    // table). Unit cost is integer micro-cents so the min-equality join
+    // is exact on both engines; the correlated subquery becomes one
+    // keyed min joined back — no per-row re-execution; all dims broadcast,
+    // the fact scan is the only shuffle source.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val euroSupp = Graft.supplier(s, dir)
+        .join(Graft.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Graft.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val unitC = expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 100 div CAST(l_quantity AS BIGINT)")
+      // cost feeds both the per-part min and the equality join back —
+      // checkpointed so the fact scan happens once, not twice
+      val cost = Graft.lineitem(s, dir)
+        .join(broadcast(euroSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(unitC).as("unit_c"))
+        .localCheckpoint()
+      val best = cost.groupBy(col("l_partkey").as("bp_key")).agg(min("unit_c").as("best_c"))
+      cost.join(best, col("l_partkey") === col("bp_key") && col("unit_c") === col("best_c"))
+        .join(broadcast(Graft.part(s, dir).filter(col("p_size") === 15)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_type"), (col("unit_c") / 10000.0).as("unit_cost"))
+    },
+
+    // TPC-H Q9-shaped profit by nation-year: revenue minus a cost
+    // surrogate (10% of retail per unit — no partsupp supplycost in this
+    // schema), exact integer arithmetic end to end. Part filter prunes
+    // the fact scan; part/supplier/nation broadcast; lineitem⋈orders is
+    // the one fact shuffle.
+    "q9_product_profit" -> { (s, dir) =>
+      val parts = Graft.part(s, dir).filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+      val supNat = Graft.supplier(s, dir)
+        .join(Graft.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Graft.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(Graft.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))) -
+          col("retail_c") * lit(10) * col("l_quantity").cast("long")) / 10000.0)
+          .as("sum_profit"))
+    },
+
+    // TPC-H Q11-shaped important stock: per-part value held by one
+    // nation's suppliers, kept where value exceeds a fraction of the
+    // global total. The HAVING scalar subquery is a 1-row aggregate
+    // broadcast back; the threshold compares INTEGERS (val_c × 1000 >
+    // total_c) so no float-boundary flakes.
+    "q11_important_stock" -> { (s, dir) =>
+      val natSupp = Graft.supplier(s, dir)
+        .join(broadcast(Graft.nation(s, dir).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      // value feeds both the total and the threshold filter — checkpointed
+      // so the fact scan happens once
+      val value = Graft.lineitem(s, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("val_c"))
+        .localCheckpoint()
+      val total = value.agg(sum("val_c").as("total_c"))
+      value.crossJoin(broadcast(total))
+        .filter(col("val_c") * 1000 > col("total_c"))
+        .select(col("ps_partkey"), (col("val_c") / 100.0).as("value"))
+    },
+
+    // TPC-H Q16-shaped supplier counts: distinct suppliers per
+    // (brand, type, size) excluding a brand/type slice and a NOT-IN
+    // supplier set (negative balances stand in for the complaints
+    // filter). The NOT IN is a broadcast anti-join; part dims broadcast;
+    // one distinct-aggregate shuffle.
+    "q16_supplier_part_counts" -> { (s, dir) =>
+      val parts = Graft.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val badSupp = Graft.supplier(s, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+      Graft.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    },
+
+    // TPC-H Q20-shaped nested semi-joins: suppliers who shipped a heavy
+    // quantity of any name-prefixed part in a year — supplier ⋉ (heavy
+    // (supp, part) groups ⋉ prefix parts). Both semi-join sides reduce
+    // before touching the supplier dim; nothing but the fact scan
+    // shuffles.
+    "q20_heavy_shippers" -> { (s, dir) =>
+      val smallParts = Graft.part(s, dir).filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val heavy = Graft.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1998)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .filter(col("qty") > 50)
+        .select("l_suppkey").distinct()
+      Graft.supplier(s, dir)
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Graft.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+    },
+
+    // TPC-H Q21-shaped waiting suppliers: in finished multi-supplier
+    // orders, the supplier who was the ONLY late one (ship > order + 365d
+    // — the schema has no receipt/commit dates). The double correlation
+    // (EXISTS other supplier / NOT EXISTS other late supplier) collapses
+    // to one per-order aggregate — n_supp ≥ 2 ∧ n_late = 1 — joined back
+    // to the late lines: two keyed shuffles total, no per-row subquery
+    // re-execution.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      // the joined fact feeds both the per-order aggregate and the late
+      // lines — checkpointed so lineitem⋈orders runs once, not twice
+      val li = Graft.lineitem(s, dir)
+        .join(Graft.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS")).as("late"))
+        .localCheckpoint()
+      val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      li.filter(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(perOrder, col("l_orderkey") === col("po_key"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(Graft.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct("l_orderkey").as("numwait"))
     },
 
     // TPC-H Q13-shaped customer distribution: orders per customer via one
@@ -904,6 +1062,86 @@ object AnalyticsQueries {
         |WHERE bal_c > avg_c
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         |GROUP BY c_nationkey""".stripMargin,
+    "approx_distinct_error" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH es AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+        |        // CAST(l_quantity AS BIGINT)) AS unit_c
+        |  FROM lineitem JOIN es ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |  unit_c / 10000.0 AS unit_cost
+        |FROM cost JOIN part ON l_partkey = p_partkey
+        |JOIN es ON l_suppkey = s_suppkey
+        |WHERE p_size = 15
+        |  AND unit_c = (SELECT min(c2.unit_c) FROM cost c2
+        |                WHERE c2.l_partkey = cost.l_partkey)""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) * 10 *
+        |        CAST(l_quantity AS BIGINT)) / 10000.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT ps_partkey, val_c / 100.0 AS value
+        |FROM v WHERE val_c * 1000 > (SELECT CAST(sum(val_c) AS BIGINT) FROM v)""".stripMargin,
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_heavy_shippers" ->
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE year(l_shipdate) = 1998
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |l1 AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count

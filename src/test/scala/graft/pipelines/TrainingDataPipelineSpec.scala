@@ -96,6 +96,20 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("each stage materializes the corpus once (no O(stages²) recompute)") {
+    val acc = spark.sparkContext.longAccumulator("source_scans")
+    val tap = udf { (t: String) => acc.add(1); t }
+    val tapped = docs.withColumn("text", tap(col("text")))
+    val res = TrainingDataPipeline.run(tapped, bench, lmKeepAtMost = 1e9)
+    res.corpus.count()
+    // the source is evaluated only while the "raw" stage checkpoint
+    // materializes — every later stage (and the attrition counts) reads
+    // checkpointed blocks. Unchecked, each of ~7 stage counts re-executed
+    // the lineage from the source and this accumulator hit ~stages×rows.
+    assert(acc.value <= 2L * 9,
+      s"source text evaluated ${acc.value} times for 9 rows — stages are recomputing")
+  }
+
   test("surviving corpus is exactly the planted survivors") {
     val rows = result.corpus.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
