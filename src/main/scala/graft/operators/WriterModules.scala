@@ -172,6 +172,13 @@ object WriterModules {
     */
   object Ev44 extends WriterModule {
     val id = "ev44"
+    /** Observability of the last batch's cue resolution (test hook): how
+      * many candidate rows the driver collected (bounded ≈
+      * batchEvents/interval) and how many per-link fallback jobs the
+      * proof-of-first-crossing had to issue (0 in the common case).
+      */
+    private[graft] var lastCueCandidates: Int = 0
+    private[graft] var lastCueFallbacks: Int  = 0
     override def acceptRepeats = true
     override def emitBuffered  = false
     override def nxClass       = "NXevent_data"
@@ -209,31 +216,59 @@ object WriterModules {
           col("col.pixel_id").as("event_id"))
       // cue via the EXACT greedy chain of ev44_Writer.cpp:127-134: cue
       // when cumulative events exceed lastCue + interval, the new anchor
-      // being that message's last event index. Event counts jump per
-      // message, so the anchor is data-dependent and inherently
-      // sequential — resolved in ONE Spark job: the (row, ea, cue_ts)
-      // projection (3 longs per message, bounded by the batch's message
-      // count, not its event count) is collected row-ordered and the
-      // greedy chain walked locally, exactly the reference's per-message
-      // loop. Replaces one filter+limit(1) driver round-trip per cue
-      // link, which degenerated at small configured intervals.
+      // being that message's last event index. The anchor is
+      // data-dependent and inherently sequential, but the driver no
+      // longer collects every message: it collects only the CANDIDATE
+      // messages whose cumulative count crosses a multiple of the
+      // interval (≈ batchEvents/interval rows — the fire-rate bound —
+      // instead of 24 B × every message). Greedy anchors drift off that
+      // grid, so the walk PROVES each candidate before firing: a
+      // candidate with ea_prev ≤ last+interval < ea is necessarily the
+      // first crossing (its predecessor hadn't crossed and ea is
+      // monotone); when the proof fails — the superset missed the true
+      // first crossing — that single link is fetched with one filtered
+      // limit(1) job, so exactness never depends on the heuristic.
       val interval = cfg.long("cue_interval").getOrElse(100000000L)
-      val msgs = nonEmpty.select(
+      val L0 = cur.lastCue
+      val proj = nonEmpty.select(
         col("row"),
         (col("events_after") + lit(cur.eventsWritten)).as("ea"),
+        (col("events_written") + lit(cur.eventsWritten)).as("ea_prev"),
         (element_at(col("reference_time"), -1) +
           element_at(col("time_of_flight"), -1).cast("long")).as("cue_ts"))
+      val maxEa = proj.agg(max("ea")).collect().head match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r                  => r.getLong(0)
+      }
+      val cand = proj.filter(
+        expr(s"(ea - 1 - ${L0}L) div ${interval}L") >
+          expr(s"(ea_prev - 1 - ${L0}L) div ${interval}L"))
         .orderBy("row").collect()
+      Ev44.lastCueCandidates = cand.length
+      Ev44.lastCueFallbacks  = 0
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      var last = cur.lastCue
-      msgs.foreach { r =>
-        if (r.getAs[Long]("ea") > last + interval) {
+      var last = L0
+      var i    = 0
+      var done = false
+      while (!done) {
+        while (i < cand.length && cand(i).getAs[Long]("ea") <= last + interval) i += 1
+        if (i < cand.length && cand(i).getAs[Long]("ea_prev") <= last + interval) {
+          val r = cand(i)
           // sort key = the global event index itself: monotone and
           // unique across batches with no renumber pass
           hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
             r.getAs[Long]("cue_ts")))
           last = r.getAs[Long]("ea") - 1
-        }
+          i += 1
+        } else if (maxEa > last + interval) {
+          // superset miss: the true first crossing is a non-candidate
+          Ev44.lastCueFallbacks += 1
+          val r = proj.filter(col("ea") > last + interval)
+            .orderBy("row").limit(1).collect().head
+          hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
+            r.getAs[Long]("cue_ts")))
+          last = r.getAs[Long]("ea") - 1
+        } else done = true
       }
       val session = df.sparkSession
       import session.implicits._

@@ -108,6 +108,20 @@ class Ev44ModuleSpec extends SparkSpec {
     assert(c2.map(_.getAs[Long]("cue_index")).toSeq == Seq(15L))
   }
 
+  test("cue candidate collect is bounded by events/interval, not messages") {
+    // 200 single-event messages, interval 50: chain fires at ea=51,101,151
+    // (cue indexes 50,100,150). Only the ~3 grid-crossing candidates reach
+    // the driver — not all 200 messages — and every fire is proven from
+    // the candidates (no per-link fallback jobs).
+    val df = (0 until 200).map(i =>
+      msg(i.toLong, Seq(100L + i), Seq(0), Seq(1))).toDF()
+    val cue = Ev44.tables(df, cfg(50))("cue").orderBy("cue_index").collect()
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(50L, 100L, 150L))
+    assert(Ev44.lastCueCandidates <= 5,
+      s"driver collected ${Ev44.lastCueCandidates} candidate rows for 200 messages")
+    assert(Ev44.lastCueFallbacks == 0)
+  }
+
   test("greedy cue chain matches a sequential simulation under random batch splits") {
     import graft.operators.WriterModules.Cursor
     val rnd = new scala.util.Random(42)
