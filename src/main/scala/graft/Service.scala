@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.commands.{CommandLoop, CommandTransport, Durations, Master}
+import graft.commands.{CommandLoop, CommandTransport, Durations, Master, MetricsReporter}
 
 /** The service entry point — CLI parity with the reference's
   * `apps/kafka-to-nexus.cpp:187-412` (option names, required options,
@@ -24,6 +24,7 @@ object Service {
       commandStatusTopic: String = "",
       jobPoolTopic: String = "",
       hdfOutputPrefix: String = ".",
+      grafanaCarbonAddress: String = "",
       serviceName: String = defaultServiceId,
       statusMasterIntervalMs: Long = 2000L,
       timeBeforeStartMs: Long = 10000L,
@@ -50,6 +51,18 @@ object Service {
         "CommandTransport via Service.transportFactory")
   }
 
+  /** Carbon line transport for `--grafana-carbon-address host:port` —
+    * production default opens a plaintext-graphite TCP socket
+    * (`src/Metrics/CarbonConnection.cpp`); tests install a buffer.
+    */
+  @volatile var carbonSenderFactory: String => (String => Unit) = { hostPort =>
+    val Array(host, port) = hostPort.split(':')
+    val sock = new java.net.Socket(host, port.toInt)
+    val out  = new java.io.OutputStreamWriter(
+      sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+    line => { out.write(line); out.flush() }
+  }
+
   /** Parse the reference's option surface. Unknown options and malformed
     * durations are errors, as in CLI11.
     */
@@ -66,6 +79,8 @@ object Service {
       case "--job-pool-topic" :: v :: t => go(t, cfg.copy(jobPoolTopic = v))
       case "--hdf-output-prefix" :: v :: t =>
         go(t, cfg.copy(hdfOutputPrefix = v))
+      case "--grafana-carbon-address" :: v :: t =>
+        go(t, cfg.copy(grafanaCarbonAddress = v))
       case "--service-name" :: v :: t => go(t, cfg.copy(serviceName = v))
       case "--status-master-interval" :: v :: t => dur(rest.head, v) match {
         case Right(ms) => go(t, cfg.copy(statusMasterIntervalMs = ms))
@@ -112,9 +127,30 @@ object Service {
   ): Long = {
     val master = new Master(spark, cfg.serviceName, cfg.hdfOutputPrefix)
     val loop   = new CommandLoop(master, transport, cfg.statusMasterIntervalMs)
+    // push-metrics reporters at the reference cadences
+    // (`apps/kafka-to-nexus.cpp:313-323`): log every 60 s, Carbon every
+    // 10 s when an address is configured
+    val reporters = Seq(
+      new MetricsReporter.Reporter(
+        new MetricsReporter.LogSink((_, msg) => System.err.println(s"[graft] $msg")),
+        periodMs = 60000)) ++
+      (if (cfg.grafanaCarbonAddress.isEmpty) Nil
+       else Seq(new MetricsReporter.Reporter(
+         new MetricsReporter.CarbonSink(carbonSenderFactory(cfg.grafanaCarbonAddress)),
+         periodMs = 10000,
+         onUnhealthy = msg => System.err.println(s"[graft] $msg"))))
+    val registrar = new MetricsReporter.Registrar(
+      MetricsReporter.appPrefix("kafka-to-nexus",
+        java.net.InetAddress.getLocalHost.getHostName) + "." +
+        cfg.serviceName.replace('.', '_').replace(':', '_'),
+      reporters)
     var ticks  = 0L
     while (!shouldStop() && (cfg.maxTicks == 0L || ticks < cfg.maxTicks)) {
       loop.tick(clock())
+      // (re-)register the active job's per-stream counters — addMetric
+      // rejects duplicates, so this just picks up newly-appeared streams
+      master.currentJob.foreach(MetricsReporter.registerJob(_, registrar))
+      reporters.foreach(_.tick(clock()))
       ticks += 1
       if (cfg.pollIntervalMs > 0) Thread.sleep(cfg.pollIntervalMs)
     }

@@ -84,6 +84,12 @@ class StreamingJob(
   private def streamKey(s: NexusPlan.Stream): String =
     if (s.synthesized) s"${s.path}/${s.module}" else s.path
 
+  /** Configured stream keys from the plan — present from job acceptance,
+    * before any batch creates runtime state (metrics registration needs
+    * the names at start, `Registrar` pattern).
+    */
+  def streamKeys: Seq[String] = plan.streams.map(streamKey).distinct
+
   /** All streams of this schema are done (used by stop monitors). */
   def allFinished(schemaId: String): Boolean = synchronized {
     val keys = plan.streams.filter(_.module == schemaId).map(streamKey)

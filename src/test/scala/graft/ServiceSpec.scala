@@ -106,4 +106,47 @@ class ServiceSpec extends SparkSpec {
     // the run's output tree exists (stop-now still closes the structure)
     assert(Files.exists(Paths.get(s"$outRoot/svcfile/manifest.json")))
   }
+
+  test("--grafana-carbon-address wires a 10s carbon reporter through the loop") {
+    val outRoot = Files.createTempDirectory("graft-service").toString
+    val tr      = new MemTransport
+    val jobId   = UUID.randomUUID().toString
+    tr.pool += encodeRunStart(RunStart(10000, 15000, "run-carbon", "inst",
+      template, jobId, "svc-carbon", "svcfile", ""))
+
+    val lines    = mutable.ArrayBuffer.empty[String]
+    val prevT    = Service.transportFactory
+    val prevC    = Service.carbonSenderFactory
+    Service.transportFactory = _ => tr
+    Service.carbonSenderFactory = { addr =>
+      assert(addr == "carbon.example.org:2003")
+      lines += _
+    }
+    try {
+      // a fake clock stepping 6 s per tick crosses the 10 s carbon cadence
+      // twice in 5 ticks; the job is accepted on tick 1 so its stream
+      // counters are registered before the second report round
+      var now = 0L
+      val cfg = Service.parseArgs(Seq(
+        "--brokers", "b:9092",
+        "--command-status-topic", "cst",
+        "--job-pool-topic", "jp",
+        "--hdf-output-prefix", outRoot,
+        "--grafana-carbon-address", "carbon.example.org:2003",
+        "--service-name", "svc-carbon",
+        "--poll-interval", "0ms",
+        "--max-ticks", "5")).toOption.get
+      Service.run(spark, cfg, tr, clock = () => { now += 6000; now })
+    } finally {
+      Service.transportFactory = prevT
+      Service.carbonSenderFactory = prevC
+    }
+    // graphite plaintext lines carrying the job's stream counters under
+    // the app.host.service prefix
+    assert(lines.nonEmpty, "no carbon lines produced")
+    assert(lines.forall(_.matches("""[\w.\-]+ -?\d+ \d+\n""")),
+      s"bad graphite line in $lines")
+    assert(lines.exists(_.contains(".svc-carbon.entry.speed.")),
+      s"no stream counter lines in $lines")
+  }
 }

@@ -1,0 +1,95 @@
+package graft.commands
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import MetricsReporter._
+
+/** The push-metrics seam over in-memory transports: reference cadences
+  * (carbon 10 s / log 60 s, `apps/kafka-to-nexus.cpp:313-323`), the
+  * Carbon plaintext line format (`CarbonSink.cpp:6-15`), change-only log
+  * reporting (`LogSink.cpp:15-30`), dotted registrar prefixes
+  * (`Registrar.cpp:14-48`), and the unhealthy-sink skip
+  * (`Reporter.cpp:7-21`).
+  */
+class MetricsReporterSpec extends AnyFunSuite {
+
+  test("carbon reporter pushes all metrics at the 10 s cadence in graphite format") {
+    val lines  = collection.mutable.ArrayBuffer.empty[String]
+    val carbon = new Reporter(new CarbonSink(lines += _), periodMs = 10000)
+    var writes = 0L; var errors = 0L
+    val root = new Registrar(appPrefix("kafka-to-nexus", "host.example.org"),
+      Seq(carbon))
+    val stream = root.getNewRegistrar("speed")
+    stream.registerMetric(Metric("writes_done", "writes")(() => writes))
+    stream.registerMetric(Metric("write_errors", "errors")(() => errors))
+
+    assert(carbon.tick(0L))      // first tick reports immediately
+    writes = 5
+    assert(!carbon.tick(5000L))  // within the period: nothing
+    assert(carbon.tick(10000L))  // cadence boundary
+    writes = 7; errors = 1
+    assert(!carbon.tick(19999L))
+    assert(carbon.tick(20000L))
+
+    // three rounds × two metrics, fully-qualified dotted names, epoch secs
+    assert(lines.size == 6)
+    val exp = Seq(
+      "kafka-to-nexus.host_example_org.speed.writes_done 0 0\n",
+      "kafka-to-nexus.host_example_org.speed.write_errors 0 0\n",
+      "kafka-to-nexus.host_example_org.speed.writes_done 5 10\n",
+      "kafka-to-nexus.host_example_org.speed.write_errors 0 10\n",
+      "kafka-to-nexus.host_example_org.speed.writes_done 7 20\n",
+      "kafka-to-nexus.host_example_org.speed.write_errors 1 20\n")
+    assert(lines.toSeq == exp)
+  }
+
+  test("log reporter fires at 60 s and reports only changed metrics with deltas") {
+    val logged = collection.mutable.ArrayBuffer.empty[(Severity, String)]
+    val log    = new Reporter(new LogSink((s, m) => logged += ((s, m))), periodMs = 60000)
+    var n = 0L
+    new Registrar("app", Seq(log))
+      .registerMetric(Metric("events", "event count", Severity.Info)(() => n))
+
+    n = 42
+    assert(log.tick(60000L))
+    assert(logged.size == 1)
+    assert(logged.head._1 == Severity.Info)
+    assert(logged.head._2.contains("42 events of type \"app.events\""))
+    assert(logged.head._2.contains("In the past 60000 ms"))
+
+    // unchanged value → silent round
+    assert(log.tick(120000L))
+    assert(logged.size == 1)
+
+    // delta since the LAST report, not since zero
+    n = 50
+    assert(log.tick(180000L))
+    assert(logged.size == 2)
+    assert(logged(1)._2.contains("8 events of type"))
+    assert(logged(1)._2.contains("In the past 120000 ms"))
+  }
+
+  test("an unhealthy sink skips the round and surfaces the reference error line") {
+    var healthy = false
+    val lines   = collection.mutable.ArrayBuffer.empty[String]
+    val errs    = collection.mutable.ArrayBuffer.empty[String]
+    val rep = new Reporter(new CarbonSink(lines += _, () => healthy),
+      periodMs = 10000, onUnhealthy = errs += _)
+    new Registrar("p", Seq(rep)).registerMetric(Metric("m", "d")(() => 1L))
+    assert(rep.tick(0L))
+    assert(lines.isEmpty && errs == Seq("Unable to push metrics to the carbon sink."))
+    healthy = true
+    assert(rep.tick(10000L))
+    assert(lines.size == 1)
+  }
+
+  test("duplicate registration is rejected; removal frees the name") {
+    val rep = new Reporter(new CarbonSink(_ => ()), 1000)
+    val m   = Metric("x", "d")(() => 0L)
+    assert(rep.addMetric(m, "a.x"))
+    assert(!rep.addMetric(m, "a.x"))
+    assert(rep.tryRemoveMetric("a.x"))
+    assert(!rep.tryRemoveMetric("a.x"))
+    assert(rep.addMetric(m, "a.x"))
+  }
+}

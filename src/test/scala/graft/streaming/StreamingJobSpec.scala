@@ -208,6 +208,32 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
   }
 
+  test("x5f2 counters ride the push-metrics reporter with live values") {
+    import graft.commands.MetricsReporter._
+    val out = Files.createTempDirectory("graft-stream").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(f144(0, 10100, 10.0)).toDF())
+    job.processBatch("ev44", Seq(ev44(0, 10100, Seq(1, 2, 3))).toDF())
+
+    val lines  = collection.mutable.ArrayBuffer.empty[String]
+    val carbon = new Reporter(new CarbonSink(lines += _), periodMs = 10000)
+    registerJob(job, new Registrar(
+      appPrefix("kafka-to-nexus", "host.example.org"), Seq(carbon)))
+    assert(carbon.tick(0L))
+    val byName = lines.map(_.split(' ')).map(p => p(0) -> p(1).toLong).toMap
+    // per-stream counters under app.host.<tree path>.counter, pulled live
+    assert(byName("kafka-to-nexus.host_example_org.entry.speed.events_written") == 0L)
+    assert(byName("kafka-to-nexus.host_example_org.entry.events.events_written") == 3L)
+    assert(byName.keys.exists(_.endsWith(".write_errors")))
+
+    // values are pulled at report time: a later batch moves the counter
+    job.processBatch("ev44", Seq(ev44(1, 10200, Seq(4, 5))).toDF())
+    lines.clear()
+    assert(carbon.tick(10000L))
+    val after = lines.map(_.split(' ')).map(p => p(0) -> p(1).toLong).toMap
+    assert(after("kafka-to-nexus.host_example_org.entry.events.events_written") == 5L)
+  }
+
   test("streaming finish can emit the native .h5 artifact") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
