@@ -70,7 +70,79 @@ object StreamBench {
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
 
     decodeBench(spark)
+    statefulBench(spark)
     spark.stop()
+  }
+
+  /** Stateful-operator throughput at production trigger sizes: the
+    * flatMapGroupsWithState sessionizer and the watermarked stream-stream
+    * interval join, each driven through MemoryStream micro-batches.
+    * State stays bounded by construction (one OpenSession per key;
+    * both-sides watermark on the join) — this measures the msg/s those
+    * bounds sustain.
+    */
+  private def statefulBench(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StatefulSessions, StreamAggregates}
+    import spark.implicits._
+
+    val n       = sys.env.getOrElse("SPARK_GRAFT_SESSION_MSGS", "200000").toInt
+    val users   = 5000
+    val batches = 10
+
+    // sessionizer: n events over `users` keys, ts advancing so sessions
+    // close continuously (gap 10 s, events 3 s apart per user round)
+    locally {
+      val stream = MemoryStream[StatefulSessions.SessionEvent](spark)
+      val q = StatefulSessions.sessions(stream.toDS(), gapMs = 10000)
+        .writeStream.format("memory").queryName("bench_sessions")
+        .outputMode("append").start()
+      val t0  = System.nanoTime()
+      var ts  = 0L
+      val per = n / batches
+      try {
+        (0 until batches).foreach { b =>
+          stream.addData((0 until per).map { i =>
+            StatefulSessions.SessionEvent((i % users).toLong, ts + (i / users) * 3000L)
+          })
+          ts += 30000L // next batch 30 s later: every open session times out
+          q.processAllAvailable()
+        }
+        val sec    = (System.nanoTime() - t0) / 1e9
+        val closed = spark.table("bench_sessions").count()
+        println(f"""{"metric":"sessions_msg_per_sec","value":${n / sec}%.1f,"unit":"msg/s","messages":$n,"users":$users,"closed_sessions":$closed,"sec":$sec%.2f}""")
+      } finally q.stop()
+    }
+
+    // interval join: clicks ± 5 s around views per user, both sides
+    // watermarked (bounded buffers), append sink
+    locally {
+      val left  = MemoryStream[(Long, Long)](spark)
+      val right = MemoryStream[(Long, Long)](spark)
+      val joined = StreamAggregates.intervalJoin(
+        left.toDF().toDF("user_id", "ts"),
+        right.toDF().toDF("user_id", "ts"),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        before = "5 seconds", after = "5 seconds",
+        watermarkDelay = "10 seconds")
+      val q = joined.writeStream.format("memory").queryName("bench_ijoin")
+        .outputMode("append").start()
+      val t0  = System.nanoTime()
+      val per = n / batches / 2
+      try {
+        (0 until batches).foreach { b =>
+          val base = b.toLong * 60000L
+          left.addData((0 until per).map(i =>
+            ((i % users).toLong, (base + (i / users) * 7000L) * 1000000L)))
+          right.addData((0 until per).map(i =>
+            ((i % users).toLong, (base + 2000L + (i / users) * 7000L) * 1000000L)))
+          q.processAllAvailable()
+        }
+        val sec   = (System.nanoTime() - t0) / 1e9
+        val pairs = spark.table("bench_ijoin").count()
+        println(f"""{"metric":"interval_join_msg_per_sec","value":${n / sec}%.1f,"unit":"msg/s","messages":$n,"pairs":$pairs,"sec":$sec%.2f}""")
+      } finally q.stop()
+    }
   }
 
   /** Scan-path decode throughput: raw FlatBuffers bytes (built on the
