@@ -49,6 +49,31 @@ object DocQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis -------------------------------------------------
+    // Token-window chunking — the training-data shaping step that turns
+    // documents into model-sized sequences: stride-S windows of up to W
+    // tokens, the last window anchored so the document tail is always
+    // covered without a fully-subsumed trailing chunk. Pure per-row
+    // explode (no shuffle); chunk_id is the window ordinal. (W=32/S=24
+    // here so the synthetic 10-99-token docs exercise 1-4 windows; a
+    // production call uses model-context sizes — the arithmetic is
+    // identical.)
+    "chunk_documents" -> { (s, dir) =>
+      val W = 32; val S = 24
+      docs(s, dir)
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") > 0)
+        .withColumn("start",
+          explode(sequence(lit(0),
+            expr(s"greatest(0, ((n - $W + ${S - 1}) div $S) * $S)"), lit(S))))
+        .select(col("doc_id"),
+          expr(s"CAST(start div $S AS BIGINT)").as("chunk_id"),
+          slice(col("tk"), col("start") + 1, lit(W)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("ck")).as("chunk_text"))
+    },
+
     "text_token_count" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1125,6 +1150,17 @@ object DocQueries {
   }
 
   val sql: Map[String, String] = Map(
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk, len($SqlToks) AS n
+         |           FROM documents),
+         |s AS (SELECT doc_id, tk, n,
+         |        unnest(generate_series(0,
+         |          greatest(0, ((n - 32 + 23) // 24) * 24), 24)) AS start
+         |      FROM t WHERE n > 0)
+         |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+         |  CAST(len(tk[start+1 : least(start+32, n)]) AS BIGINT) AS n_tokens,
+         |  array_to_string(tk[start+1 : least(start+32, n)], ' ') AS chunk_text
+         |FROM s""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_text,

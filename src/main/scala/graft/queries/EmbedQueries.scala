@@ -222,6 +222,53 @@ object EmbedQueries {
           .as("recall_at_k"))
     },
 
+    // Product quantization (PQ) kNN — the canonical high-compression ANN
+    // shape at 100 TB (Jégou et al., IVF-ADC): 64-d vectors split into
+    // M=8 subspaces, each encoded as the argmin over a 16-entry
+    // per-subspace codebook → 8 bytes/vector (32× vs float32). The
+    // codebook is a DETERMINISTIC sample (subvectors of vec_ids 0..15 —
+    // the standard k-means seeding step, stopped before iteration so the
+    // oracle can mirror it exactly, the embed_sq8 determinism pattern).
+    // Scale shape: the one-row codebook broadcasts; corpus encoding is a
+    // pure per-row expression (no shuffle); queries broadcast with their
+    // per-subspace lookup tables; ranking uses asymmetric distance (ADC)
+    // summed in fixed m-order so both engines fold identically; bounded
+    // top-k. The compression cost is measured by embed_pq_recall.
+    "embed_pq_knn" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val coded = pqCodes(e)
+      val qd = e.filter(col("vec_id") < NumQueries)
+        .crossJoin(broadcast(pqCodebook(e)))
+        .select(col("vec_id").as("query_id"),
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            transform(element_at(col("cb"), m + 1),
+              c => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)), c)))
+            .as("qd"))
+      val scored = coded
+        .join(broadcast(qd), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+            (acc, m) => acc + element_at(element_at(col("qd"), m + 1),
+              element_at(col("codes"), m + 1) + 1)), 6).as("pq_dist"))
+      topKPerQuery(scored.withColumn("negd", -col("pq_dist")),
+        "negd", K, extra = Seq("pq_dist"))
+        .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
+          col("rank"))
+    },
+
+    // recall@k of the PQ ranking against exact brute force — what the
+    // 32× compression costs, per query (the sq8_recall pattern).
+    "embed_pq_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = queries("embed_pq_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
+    },
+
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
     "embed_ivf_knn" -> { (s, dir) =>
@@ -259,6 +306,44 @@ object EmbedQueries {
         .select("query_id", "cell", "neighbor_id", "cosine", "rank")
     }
   )
+
+  private val PqM  = 8  // subspaces
+  private val PqDs = 8  // dims per subspace (64-d embeddings)
+  private val PqCb = 16 // codebook entries per subspace
+
+  /** Asymmetric squared L2 via three dot products — each term is the same
+    * native fold `list_dot_product` mirrors, so the composed double is
+    * bit-identical across engines.
+    */
+  private def pqL2sq(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** One-row codebook frame `cb[m][j]` = subspace-m slice of vector j
+    * (j < [[PqCb]]) — deterministic sampled codebook, broadcastable.
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqCb)
+      .select(col("vec_id").cast("int").as("j"), col("v"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("v")))).as("js"))
+      .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        transform(sequence(lit(0), lit(PqCb - 1)), j =>
+          slice(element_at(col("js"), j + 1).getField("v"),
+            m * lit(PqDs) + lit(1), lit(PqDs)))).as("cb"))
+
+  /** Corpus PQ codes `(vec_id, codes: array<int> of length M)` — a pure
+    * per-row expression over the broadcast codebook: code m = argmin_j
+    * L2²(sub_m(v), cb[m][j]), ties to the smallest j (first position of
+    * the min). No shuffle touches the corpus.
+    */
+  def pqCodes(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(pqCodebook(e)))
+      .select(col("vec_id"), col("v"),
+        transform(sequence(lit(0), lit(PqM - 1)), m => {
+          val sub   = slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs))
+          val dists = transform(element_at(col("cb"), m + 1), c => pqL2sq(sub, c))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
 
   /** SQ8 codes `(vec_id, cq: array<double> of ints in [0,255], nrm)` for a
     * raw embeddings frame: per-dimension min/max via one keyed agg,
@@ -405,6 +490,45 @@ object EmbedQueries {
          |  SELECT r.src, ed.vec_b FROM reach r JOIN edges ed ON r.node = ed.vec_a)
          |SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node
          |HAVING node <> min(src)""".stripMargin,
+    "embed_pq_knn" ->
+      s"""WITH $SqlPqCtes,
+         |score AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         round(list_sum(list(q.ds ORDER BY q.m)), 6) AS pq_dist
+         |  FROM codes c JOIN qd q ON q.m = c.m AND q.j = c.code
+         |  WHERE c.vec_id <> q.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, pq_dist, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY pq_dist ASC, neighbor_id) AS rnk
+         |  FROM score)
+         |WHERE rnk <= $K""".stripMargin,
+    "embed_pq_recall" ->
+      s"""WITH $SqlPqCtes,
+         |nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |       FROM nb q JOIN nb b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= $K),
+         |score AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         round(list_sum(list(q.ds ORDER BY q.m)), 6) AS pq_dist
+         |  FROM codes c JOIN qd q ON q.m = c.m AND q.j = c.code
+         |  WHERE c.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |pq AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY pq_dist ASC, neighbor_id) AS rnk
+         |    FROM score) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  round(CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM brute b LEFT JOIN pq p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
     "embed_sq8_knn" ->
       s"""WITH $SqlSq8,
          |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -494,6 +618,30 @@ object EmbedQueries {
       .filter(col("cosine") >= 0.3)
       .distinct() // a pair can collide in several bands
   }
+
+  /** PQ structures as reusable CTEs ending in `codes(vec_id, m, code)`
+    * and `qd(query_id, m, j, ds)` — mirrors [[pqCodes]] exactly: sampled
+    * codebook from vec_ids 0..15, L2² via three dot products, argmin
+    * ties to the smallest j.
+    */
+  private lazy val SqlPqCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |cbj AS (SELECT vec_id AS j, v FROM e WHERE vec_id < $PqCb),
+       |cb AS (SELECT m, j, v[m*$PqDs+1 : m*$PqDs+$PqDs] AS c
+       |       FROM cbj, generate_series(0, ${PqM - 1}) t(m)),
+       |sub AS (SELECT vec_id, m, v[m*$PqDs+1 : m*$PqDs+$PqDs] AS sv
+       |        FROM e, generate_series(0, ${PqM - 1}) t(m)),
+       |d AS (SELECT vec_id, m, j,
+       |        list_dot_product(sv, sv) + list_dot_product(c, c)
+       |          - 2 * list_dot_product(sv, c) AS ds
+       |      FROM sub JOIN cb USING (m)),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY ds, j) AS rn FROM d)
+       |  WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, m, j, ds FROM d
+       |       WHERE vec_id < $NumQueries)""".stripMargin
 
   /** RP-LSH verified pairs as reusable CTEs ending in
     * `rpp(vec_a, vec_b, cosine)`.
