@@ -256,6 +256,45 @@ object EmbedQueries {
           col("rank"))
     },
 
+    // IVF-PQ — the full production ANN serving composition (coarse cell
+    // probe × compressed in-cell ranking): each query probes its nearest
+    // label-centroid cell (the embed_ivf_knn rule) and ranks ONLY that
+    // cell's members by PQ asymmetric distance. At 100 TB this is the
+    // shape that bounds both scan (cell pruning) and memory (8-byte
+    // codes); here both constituents and their composition are
+    // oracle-checked end to end.
+    "embed_ivfpq_knn" -> { (s, dir) =>
+      val e     = withNorm(emb(s, dir))
+      val cents = graft.operators.IvfIndex.labelCentroids(e)
+      val qd = e.filter(col("vec_id") < NumQueries)
+        .crossJoin(broadcast(pqCodebook(e)))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            transform(element_at(col("cb"), m + 1),
+              c => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)), c)))
+            .as("qd"))
+      import org.apache.spark.sql.expressions.Window
+      val assignW = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("c_label"))
+      val assigned = qd.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("crank", row_number().over(assignW))
+        .filter(col("crank") === 1)
+        .select(col("query_id"), col("qd"), col("c_label").as("cell"))
+      val scored = pqCodes(e)
+        .join(broadcast(assigned),
+          col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell").cast("int").as("cell"),
+          col("vec_id").as("neighbor_id"),
+          round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+            (acc, m) => acc + element_at(element_at(col("qd"), m + 1),
+              element_at(col("codes"), m + 1) + 1)), 6).as("pq_dist"))
+      topKPerQuery(scored.withColumn("negd", -col("pq_dist")),
+        "negd", K, extra = Seq("cell", "pq_dist"))
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          col("pq_dist"), col("rank"))
+    },
+
     // recall@k of the PQ ranking against exact brute force — what the
     // 32× compression costs, per query (the sq8_recall pattern).
     "embed_pq_recall" -> { (s, dir) =>
@@ -331,19 +370,21 @@ object EmbedQueries {
           slice(element_at(col("js"), j + 1).getField("v"),
             m * lit(PqDs) + lit(1), lit(PqDs)))).as("cb"))
 
-  /** Corpus PQ codes `(vec_id, codes: array<int> of length M)` — a pure
-    * per-row expression over the broadcast codebook: code m = argmin_j
+  /** Input frame + `codes: array<int>` of length M — a pure per-row
+    * expression over the broadcast codebook: code m = argmin_j
     * L2²(sub_m(v), cb[m][j]), ties to the smallest j (first position of
-    * the min). No shuffle touches the corpus.
+    * the min). No shuffle touches the corpus; all input columns ride
+    * along (label for IVF-PQ cell pruning).
     */
   def pqCodes(e: DataFrame): DataFrame =
     e.crossJoin(broadcast(pqCodebook(e)))
-      .select(col("vec_id"), col("v"),
+      .withColumn("codes",
         transform(sequence(lit(0), lit(PqM - 1)), m => {
           val sub   = slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs))
           val dists = transform(element_at(col("cb"), m + 1), c => pqL2sq(sub, c))
           (array_position(dists, array_min(dists)) - 1).cast("int")
-        }).as("codes"))
+        }))
+      .drop("cb")
 
   /** SQ8 codes `(vec_id, cq: array<double> of ints in [0,255], nrm)` for a
     * raw embeddings frame: per-dimension min/max via one keyed agg,
@@ -503,6 +544,41 @@ object EmbedQueries {
          |                               ORDER BY pq_dist ASC, neighbor_id) AS rnk
          |  FROM score)
          |WHERE rnk <= $K""".stripMargin,
+    "embed_ivfpq_knn" ->
+      s"""WITH $SqlPqCtes,
+         |nb AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cl AS (SELECT label, pos, avg(x) AS c
+         |       FROM (SELECT label, unnest(v) AS x,
+         |                    unnest(generate_series(0, len(v) - 1)) AS pos
+         |             FROM e)
+         |       GROUP BY label, pos),
+         |cents AS (SELECT label AS c_label, list(c ORDER BY pos) AS cv
+         |          FROM cl GROUP BY label),
+         |cn2 AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |qq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb
+         |       WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT query_id, c_label AS cell FROM (
+         |    SELECT q.query_id, cn2.c_label,
+         |           row_number() OVER (
+         |             PARTITION BY q.query_id
+         |             ORDER BY round(list_dot_product(q.qv, cn2.cv) / (q.qn * cn2.cn), 6) DESC,
+         |                      cn2.c_label) AS crank
+         |    FROM qq q, cn2)
+         |  WHERE crank = 1),
+         |score AS (
+         |  SELECT a.query_id, CAST(a.cell AS INT) AS cell, b.vec_id AS neighbor_id,
+         |         round(list_sum(list(q2.ds ORDER BY q2.m)), 6) AS pq_dist
+         |  FROM assign a
+         |  JOIN nb b ON b.label = a.cell AND b.vec_id <> a.query_id
+         |  JOIN codes c ON c.vec_id = b.vec_id
+         |  JOIN qd q2 ON q2.query_id = a.query_id AND q2.m = c.m AND q2.j = c.code
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id, cell, neighbor_id, pq_dist, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY pq_dist ASC, neighbor_id) AS rnk
+         |  FROM score)
+         |WHERE rnk <= $K""".stripMargin,
     "embed_pq_recall" ->
       s"""WITH $SqlPqCtes,
          |nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -625,7 +701,8 @@ object EmbedQueries {
     * ties to the smallest j.
     */
   private lazy val SqlPqCtes: String =
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""e AS (SELECT vec_id, label,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |      FROM embeddings),
        |cbj AS (SELECT vec_id AS j, v FROM e WHERE vec_id < $PqCb),
        |cb AS (SELECT m, j, v[m*$PqDs+1 : m*$PqDs+$PqDs] AS c

@@ -80,6 +80,40 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming: within-watermark out-of-order events lower the open " +
+    "session's start or close as their own earlier session") {
+    val stream = MemoryStream[SessionEvent](spark)
+    val query = StatefulSessions
+      .sessions(stream.toDS(), GapMs, watermarkDelay = "120 seconds")
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: open session [100s, 100s]
+      stream.addData(ev(1, 100000L))
+      query.processAllAvailable()
+      // batch 2 (all within the 120 s watermark): 90s is inside
+      // (start − gap, start) → bridges and LOWERS start_ms to 90s; 10s is
+      // older than start − gap → its own earlier session, closed
+      // immediately as a non-trailing island
+      stream.addData(ev(1, 90000L), ev(1, 10000L))
+      query.processAllAvailable()
+      val early = spark.table("ooo_sessions").as[ClosedSession].collect().toSeq
+      assert(early == Seq(cs(1, 10000L, 10000L, 1L)))
+
+      // advance the watermark far enough to time out the merged session
+      stream.addData(ev(2, 400000L))
+      query.processAllAvailable()
+      stream.addData(ev(2, 400001L))
+      query.processAllAvailable()
+      val all = spark.table("ooo_sessions").as[ClosedSession].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start_ms).toSeq
+      // the merged session carries the LOWERED start and both events
+      assert(all == Seq(
+        cs(1, 10000L, 10000L, 1L),
+        cs(1, 90000L, 100000L, 2L)))
+    } finally query.stop()
+  }
+
   test("streaming: events older than the watermark are dropped, not merged") {
     val stream = MemoryStream[SessionEvent](spark)
     val query = StatefulSessions
