@@ -581,6 +581,58 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // Bloom-filter decontamination — the 100 TB shape when the benchmark
+    // gram set outgrows an exact broadcast: the bench 8-grams fold into
+    // ONE Spark-native Bloom sketch (bloom_filter_agg — fixed bits
+    // regardless of set size), and corpus grams probe it with
+    // might_contain. By construction the sketch has NO false negatives
+    // (every truly contaminated doc is flagged) and only bounded false
+    // positives; both facts are checked with the estimator-bound pattern
+    // (approx_distinct_error): the exact per-source contamination counts
+    // come from the same SQL as `decontaminate`, and the two booleans are
+    // deterministic because the sketch is hash-based, not randomized.
+    "decontaminate_bloom_check" -> { (s, dir) =>
+      val grams = docs(s, dir)
+        .withColumn("tk", toks)
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
+      val bench  = grams.filter(col("doc_id") < 10).select("g8").distinct()
+      val corpus = grams.filter(col("doc_id") >= 10)
+      // bloom_filter_agg/might_contain are registry-internal — built as
+      // Catalyst expressions directly (the TopKStructs column pattern)
+      import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexpr}
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      // might_contain requires a CONSTANT sketch (the same restriction the
+      // planner's injected runtime bloom joins satisfy via scalar
+      // subquery): materialize the fixed-size binary (numBits/8 bytes —
+      // ~100 KB here, independent of bench-set cardinality) and embed it
+      val bf = bench.agg(
+        gcol(new BloomFilterAggregate(gexpr(xxhash64(col("g8"))),
+          Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+        .collect().head.getAs[Array[Byte]]("bf")
+      val flagged = corpus
+        .filter(gcol(BloomFilterMightContain(
+          Literal(bf, org.apache.spark.sql.types.BinaryType),
+          gexpr(xxhash64(col("g8"))))))
+        .select("doc_id").distinct().withColumn("bl", lit(1L))
+      val exact = corpus.join(broadcast(bench), "g8")
+        .select("doc_id").distinct().withColumn("ex", lit(1L))
+      docs(s, dir).filter(col("doc_id") >= 10).select("doc_id", "source")
+        .join(exact, Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          sum(coalesce(col("ex"), lit(0L))).as("n_contaminated"),
+          (min(when(col("ex") === 1L, coalesce(col("bl"), lit(0L)))
+            .otherwise(lit(1L))) === 1L).as("no_false_negatives"),
+          ((sum(when(col("ex").isNull && col("bl") === 1L, 1L).otherwise(0L))
+            .cast("double") /
+            greatest(sum(when(col("ex").isNull, 1L).otherwise(0L)).cast("double"),
+              lit(1.0))) <= 0.01).as("fp_bounded"))
+    },
+
     // Domain-mix upsampling — the fractional-epoch step of a data-mixing
     // recipe (e.g. wiki×2.3, web×0.5): every doc gets floor(w) copies plus
     // one more for a deterministic md5-bucket fraction of docs. Weights in
@@ -1577,6 +1629,22 @@ object DocQueries {
          |      x -> x IS NOT NULL), ' '), '') END AS clean_text,
          |  COALESCE(rl.nd, CAST(0 AS BIGINT)) AS n_dropped_tokens
          |FROM alltk a LEFT JOIN rl ON rl.doc_id = a.doc_id""".stripMargin,
+    "decontaminate_bloom_check" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(generate_series(1, len(tk) - 7),
+        |                       i -> array_to_string(list_slice(tk, i, i + 7), ' ')))) AS g8
+        |      FROM tok WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 10),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g8) WHERE g.doc_id >= 10)
+        |SELECT d.source,
+        |  CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_bounded
+        |FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+        |WHERE d.doc_id >= 10
+        |GROUP BY d.source""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
