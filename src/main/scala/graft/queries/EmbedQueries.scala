@@ -242,7 +242,8 @@ object EmbedQueries {
         .select(col("vec_id").as("query_id"),
           transform(sequence(lit(0), lit(PqM - 1)), m =>
             transform(element_at(col("cb"), m + 1),
-              c => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)), c)))
+              e0 => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)),
+                e0.getField("c"))))
             .as("qd"))
       val scored = coded
         .join(broadcast(qd), col("vec_id") =!= col("query_id"))
@@ -271,7 +272,8 @@ object EmbedQueries {
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
           transform(sequence(lit(0), lit(PqM - 1)), m =>
             transform(element_at(col("cb"), m + 1),
-              c => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)), c)))
+              e0 => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)),
+                e0.getField("c"))))
             .as("qd"))
       import org.apache.spark.sql.expressions.Window
       val assignW = Window.partitionBy("query_id")
@@ -366,9 +368,14 @@ object EmbedQueries {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("j"), col("v")))).as("js"))
       .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
-        transform(sequence(lit(0), lit(PqCb - 1)), j =>
-          slice(element_at(col("js"), j + 1).getField("v"),
-            m * lit(PqDs) + lit(1), lit(PqDs)))).as("cb"))
+        transform(sequence(lit(0), lit(PqCb - 1)), j => {
+          val c = slice(element_at(col("js"), j + 1).getField("v"),
+            m * lit(PqDs) + lit(1), lit(PqDs))
+          // cc precomputed once per entry: encoding then costs ONE dot
+          // per (row, entry) — the argmin needs only cc − 2·⟨sub,c⟩
+          // (the row's own self-dot shifts every entry equally)
+          struct(c.as("c"), dot(c, c).as("cc"))
+        })).as("cb"))
 
   /** Input frame + `codes: array<int>` of length M — a pure per-row
     * expression over the broadcast codebook: code m = argmin_j
@@ -380,8 +387,13 @@ object EmbedQueries {
     e.crossJoin(broadcast(pqCodebook(e)))
       .withColumn("codes",
         transform(sequence(lit(0), lit(PqM - 1)), m => {
-          val sub   = slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs))
-          val dists = transform(element_at(col("cb"), m + 1), c => pqL2sq(sub, c))
+          val sub = slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs))
+          // argmin over cc − 2·⟨sub,c⟩ ≡ argmin over full L2² (the
+          // row-constant ⟨sub,sub⟩ shifts every entry equally); the
+          // oracle computes the SAME expression so float ties break
+          // identically
+          val dists = transform(element_at(col("cb"), m + 1),
+            e0 => e0.getField("cc") - lit(2.0) * dot(sub, e0.getField("c")))
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }))
       .drop("cb")
@@ -711,11 +723,12 @@ object EmbedQueries {
        |        FROM e, generate_series(0, ${PqM - 1}) t(m)),
        |d AS (SELECT vec_id, m, j,
        |        list_dot_product(sv, sv) + list_dot_product(c, c)
-       |          - 2 * list_dot_product(sv, c) AS ds
+       |          - 2 * list_dot_product(sv, c) AS ds,
+       |        list_dot_product(c, c) - 2 * list_dot_product(sv, c) AS dm
        |      FROM sub JOIN cb USING (m)),
        |codes AS (SELECT vec_id, m, j AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-       |                                 ORDER BY ds, j) AS rn FROM d)
+       |                                 ORDER BY dm, j) AS rn FROM d)
        |  WHERE rn = 1),
        |qd AS (SELECT vec_id AS query_id, m, j, ds FROM d
        |       WHERE vec_id < $NumQueries)""".stripMargin
