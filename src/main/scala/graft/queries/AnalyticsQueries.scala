@@ -557,12 +557,15 @@ object AnalyticsQueries {
     // scalar — computed as a 1-row aggregate and broadcast, not a global
     // window).
     "q15_top_supplier" -> { (s, dir) =>
+      // rev feeds both the max and the equality join back — checkpointed
+      // (one small keyed frame) so the fact scan runs once, not twice
       val rev = Graft.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
           .as("rev_c"))
+        .localCheckpoint()
       val top = rev.agg(max("rev_c").as("max_c"))
       rev.join(broadcast(top), col("rev_c") === col("max_c"))
         .join(broadcast(Graft.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))

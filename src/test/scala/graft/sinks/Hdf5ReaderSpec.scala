@@ -338,8 +338,9 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
     try {
       val out = Files.createTempDirectory("graft-h5out").toString
       val n   = 50000
-      (0 until n).map(i => (i.toLong, i.toLong * 3, f"s$i%05d", i * 0.5))
-        .toDF("row", "v", "name", "x")
+      (0 until n).map(i => (i.toLong, i.toLong * 3, f"s$i%05d", i * 0.5,
+          Seq(i * 1.0, i * 2.0, i * 3.0, i * 4.0)))
+        .toDF("row", "v", "name", "x", "arr")
         .coalesce(1)
         .write.parquet(s"$out/data/entry/data")
       val h5 = s"$out/spill.h5"
@@ -355,6 +356,12 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
       assert(v.length == n && names.length == n && xs.length == n)
       assert(v(0) == 0L && v(n - 1) == (n - 1).toLong * 3)
       assert(names(12345) == "s12345" && xs(n - 1) == (n - 1) * 0.5)
+      // the flat-2D (array-column) accumulator spills too: 200k values in
+      // 1024-value chunks whose boundaries do NOT align to the 4-wide
+      // rows — flattened order must still be exact
+      val arr = entry.groups("arr").datasets("").asInstanceOf[Array[Double]]
+      assert(arr.length == 4 * n)
+      assert(arr(4 * 12345 + 2) == 12345 * 3.0 && arr(4 * n - 1) == (n - 1) * 4.0)
       // spill temp files are cleaned up after the export
       val leftovers = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
         .filter { p =>
