@@ -63,9 +63,11 @@ object IncrementalDedup {
     val novel =
       if (spark.catalog.tableExists(indexTable)) {
         // exclude the replaying batch's OWN index rows (real stream batch
-        // ids are >= 0; the batch-mode sentinel -1 excludes nothing)
+        // ids are >= 0; the batch-mode sentinel -1 excludes nothing).
+        // Null-safe: a NULL batch_id (foreign/legacy row) must still gate
         val index =
-          if (batchId >= 0L) spark.table(indexTable).filter(col("batch_id") =!= batchId)
+          if (batchId >= 0L)
+            spark.table(indexTable).filter(!(col("batch_id") <=> lit(batchId)))
           else spark.table(indexTable)
         fp.join(index.select("fp"), Seq("fp"), "left_anti")
       } else fp
