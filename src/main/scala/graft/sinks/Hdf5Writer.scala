@@ -72,9 +72,12 @@ final class Hdf5Writer {
       rowWidth: Int = 0
   ) extends DataValue
 
-  /** Write a root tree to an .h5 file. */
+  /** Write a root tree to an .h5 file. Synchronized: one writer instance
+    * holds one in-flight channel (the reference's single-writer-thread
+    * discipline, `src/Stream/MessageWriter.cpp:31-36`).
+    */
   def write(path: String, rootChildren: Seq[Node],
-      rootAttrs: Seq[(String, AttrValue)] = Nil): Unit = {
+      rootAttrs: Seq[(String, AttrValue)] = Nil): Unit = synchronized {
     val ch = FileChannel.open(Paths.get(path),
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
