@@ -488,19 +488,34 @@ object StreamingJob {
       topics: Seq[String],
       startMs: Long,
       leewayMs: Long = 10000
-  ): DataFrame = {
+  ): DataFrame =
+    kafkaSourceOptions(brokers, topics, startMs, leewayMs)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load()
+
+  /** The option surface of [[kafkaSource]], separately visible so the
+    * S1-S3 contract (timestamp seek with leeway, all-partition `-1` key,
+    * big-payload fetch sizes, bounded trigger) stays unit-testable in an
+    * environment with no Kafka connector jars (this sandbox).
+    */
+  def kafkaSourceOptions(
+      brokers: String,
+      topics: Seq[String],
+      startMs: Long,
+      leewayMs: Long = 10000
+  ): Map[String, String] = {
     val startingOffsets = topics
       .map(t => s""""$t": {"-1": ${startMs - leewayMs}}""")
       .mkString("{", ",", "}")
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsetsByTimestamp", startingOffsets)
-      .option("kafka.fetch.max.bytes", (52428800L * 6).toString)
-      .option("kafka.max.partition.fetch.bytes", (52428800L * 6).toString)
-      .option("maxOffsetsPerTrigger", "10000000")
-      .load()
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsetsByTimestamp" -> startingOffsets,
+      "kafka.fetch.max.bytes" -> (52428800L * 6).toString,
+      "kafka.max.partition.fetch.bytes" -> (52428800L * 6).toString,
+      "maxOffsetsPerTrigger" -> "10000000")
   }
 
   /** Attach a decoded per-schema stream to the job: micro-batches flow
