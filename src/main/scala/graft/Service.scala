@@ -51,17 +51,14 @@ object Service {
         "CommandTransport via Service.transportFactory")
   }
 
-  /** Carbon line transport for `--grafana-carbon-address host:port` —
-    * production default opens a plaintext-graphite TCP socket
-    * (`src/Metrics/CarbonConnection.cpp`); tests install a buffer.
+  /** Carbon transport for `--grafana-carbon-address host:port` —
+    * production default is the lazy-reconnecting plaintext-graphite TCP
+    * transport (outages skip report rounds instead of killing the
+    * service, `src/Metrics/CarbonConnection.cpp`); tests install a
+    * buffer.
     */
-  @volatile var carbonSenderFactory: String => (String => Unit) = { hostPort =>
-    val Array(host, port) = hostPort.split(':')
-    val sock = new java.net.Socket(host, port.toInt)
-    val out  = new java.io.OutputStreamWriter(
-      sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
-    line => { out.write(line); out.flush() }
-  }
+  @volatile var carbonSenderFactory: String => MetricsReporter.CarbonTransport =
+    addr => new MetricsReporter.ReconnectingCarbonTransport(addr)
 
   /** Parse the reference's option surface. Unknown options and malformed
     * durations are errors, as in CLI11.
@@ -133,23 +130,42 @@ object Service {
     val reporters = Seq(
       new MetricsReporter.Reporter(
         new MetricsReporter.LogSink((_, msg) => System.err.println(s"[graft] $msg")),
-        periodMs = 60000)) ++
+        periodMs = 60000, clock = clock)) ++
       (if (cfg.grafanaCarbonAddress.isEmpty) Nil
-       else Seq(new MetricsReporter.Reporter(
-         new MetricsReporter.CarbonSink(carbonSenderFactory(cfg.grafanaCarbonAddress)),
-         periodMs = 10000,
-         onUnhealthy = msg => System.err.println(s"[graft] $msg"))))
+       else {
+         val t = carbonSenderFactory(cfg.grafanaCarbonAddress)
+         Seq(new MetricsReporter.Reporter(
+           new MetricsReporter.CarbonSink(t.send, () => t.healthy),
+           periodMs = 10000,
+           onUnhealthy = msg => System.err.println(s"[graft] $msg"),
+           clock = clock))
+       })
     val registrar = new MetricsReporter.Registrar(
       MetricsReporter.appPrefix("kafka-to-nexus",
         java.net.InetAddress.getLocalHost.getHostName) + "." +
         cfg.serviceName.replace('.', '_').replace(':', '_'),
       reporters)
+    // metric lifecycle: (re-)register only when the active job or its
+    // stream count changes; a NEW job first deregisters the old job's
+    // names so its suppliers stop reporting the dead job's frozen values
+    var regJob: graft.streaming.StreamingJob = null
+    var regNames: Seq[String]                = Nil
+    var regStreams                           = -1
     var ticks  = 0L
     while (!shouldStop() && (cfg.maxTicks == 0L || ticks < cfg.maxTicks)) {
       loop.tick(clock())
-      // (re-)register the active job's per-stream counters — addMetric
-      // rejects duplicates, so this just picks up newly-appeared streams
-      master.currentJob.foreach(MetricsReporter.registerJob(_, registrar))
+      master.currentJob.foreach { j =>
+        val live = j.liveStreamCount
+        if (!(j eq regJob) || live != regStreams) {
+          if (!(j eq regJob)) {
+            regNames.foreach(registrar.removeMetric)
+            regNames = Nil
+            regJob = j
+          }
+          regNames = (regNames ++ MetricsReporter.registerJob(j, registrar)).distinct
+          regStreams = live
+        }
+      }
       reporters.foreach(_.tick(clock()))
       ticks += 1
       if (cfg.pollIntervalMs > 0) Thread.sleep(cfg.pollIntervalMs)

@@ -70,6 +70,44 @@ object MetricsReporter {
       send(s"${m.fullName} ${m.metric.value()} ${nowMs / 1000}\n")
   }
 
+  /** Line transport behind [[CarbonSink]]. */
+  trait CarbonTransport {
+    def send(line: String): Unit
+    def healthy: Boolean = true
+  }
+
+  /** Production transport: lazy connect with a bounded timeout, reconnect
+    * attempted on the next round after any failure, unhealthy while
+    * disconnected — so a Graphite outage SKIPS report rounds (the
+    * reference `CarbonConnection` reconnect posture, `Reporter.cpp:7-21`)
+    * instead of throwing through the service loop and killing the active
+    * write job. A failed send drops the line and marks the connection
+    * down. Last-colon parse admits IPv6 hosts; a malformed address fails
+    * fast at construction.
+    */
+  final class ReconnectingCarbonTransport(hostPort: String, connectTimeoutMs: Int = 5000)
+      extends CarbonTransport {
+    private val splitAt = hostPort.lastIndexOf(':')
+    require(splitAt > 0 && splitAt < hostPort.length - 1,
+      s"carbon address '$hostPort' is not host:port")
+    private val host = hostPort.substring(0, splitAt)
+    private val port = hostPort.substring(splitAt + 1).toInt
+    private var out: java.io.Writer = null
+    private def connect(): Unit =
+      try {
+        val sock = new java.net.Socket()
+        sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        out = new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+      } catch { case _: Exception => out = null }
+    override def healthy: Boolean = synchronized { if (out == null) connect(); out != null }
+    def send(line: String): Unit = synchronized {
+      if (out != null)
+        try { out.write(line); out.flush() }
+        catch { case _: java.io.IOException => out = null }
+    }
+  }
+
   /** Change-only log reporting with delta and elapsed window
     * (`LogSink.cpp:15-30`).
     */
@@ -92,15 +130,25 @@ object MetricsReporter {
   /** Periodic pusher of all registered metrics to one sink
     * (`Reporter.cpp:6-28`), tick-driven: call [[tick]] from the host
     * loop; it fires when `periodMs` has elapsed since the last round.
+    * `clock` seeds each metric's log-window baseline at registration
+    * (the reference initializes `LastTime` at `InternalMetric`
+    * construction — without it the first changed-metric log line claims
+    * an epoch-sized elapsed window).
     */
   final class Reporter(val sink: MetricSink, val periodMs: Long,
-      onUnhealthy: String => Unit = _ => ()) {
+      onUnhealthy: String => Unit = _ => (),
+      clock: () => Long = () => System.currentTimeMillis()) {
     private val metrics = scala.collection.mutable.LinkedHashMap.empty[String, InternalMetric]
     private var lastReportAt = Long.MinValue / 2 // first tick always reports
 
     def addMetric(m: Metric, fullName: String): Boolean = synchronized {
       if (metrics.contains(fullName)) false
-      else { metrics(fullName) = new InternalMetric(m, fullName); true }
+      else {
+        val im = new InternalMetric(m, fullName)
+        im.lastTimeMs = clock()
+        metrics(fullName) = im
+        true
+      }
     }
     def tryRemoveMetric(fullName: String): Boolean =
       synchronized(metrics.remove(fullName).nonEmpty)
@@ -118,13 +166,17 @@ object MetricsReporter {
   }
 
   /** Dotted-prefix metric registration fanning out to every reporter
-    * (`Registrar.cpp:14-48`).
+    * (`Registrar.cpp:14-48`). Returns the full name so callers can
+    * deregister when the metric's owner goes away.
     */
   final class Registrar(prefix: String, reporters: Seq[Reporter]) {
-    def registerMetric(m: Metric): Unit = {
+    def registerMetric(m: Metric): String = {
       val fullName = if (prefix.isEmpty) m.name else s"$prefix.${m.name}"
       reporters.foreach(_.addMetric(m, fullName))
+      fullName
     }
+    def removeMetric(fullName: String): Unit =
+      reporters.foreach(_.tryRemoveMetric(fullName))
     def getNewRegistrar(subPrefix: String): Registrar =
       new Registrar(if (prefix.isEmpty) subPrefix else s"$prefix.$subPrefix", reporters)
   }
@@ -139,20 +191,25 @@ object MetricsReporter {
     * counters under `<registrar prefix>.<stream>.<counter>` — the bridge
     * that carries the existing status counters onto the push path without
     * double bookkeeping (values are pulled from the job at report time).
+    * Returns the registered full names so the caller can DEREGISTER them
+    * when a new job replaces this one (otherwise later jobs with the
+    * same stream paths would keep reporting the dead job's frozen
+    * counters — addMetric rejects duplicate names by design).
     */
-  def registerJob(job: graft.streaming.StreamingJob, registrar: Registrar): Unit = {
+  def registerJob(job: graft.streaming.StreamingJob, registrar: Registrar): Seq[String] = {
     val live = job.metrics
     val streams = (job.streamKeys ++ live.keys).distinct
-    streams.foreach { stream =>
+    streams.flatMap { stream =>
       // plan streams register their static counters at acceptance; the
       // per-table rows_written counters appear once batches flow (callers
-      // re-invoke per tick — addMetric rejects duplicates)
+      // re-invoke when the job's stream count changes — addMetric rejects
+      // duplicates)
       val names = live.getOrElse(stream, Map.empty).keySet ++
         Set("events_written", "write_errors", "finished")
       // stream keys are output-tree paths (entry/speed): dots flatten like
       // the fqdn, path levels become graphite name segments
       val sub = registrar.getNewRegistrar(stream.replace('.', '_').replace('/', '.'))
-      names.foreach { name =>
+      names.toSeq.map { name =>
         sub.registerMetric(Metric(name, s"stream $stream counter $name")(
           () => job.metrics.get(stream).flatMap(_.get(name)).getOrElse(0L)))
       }

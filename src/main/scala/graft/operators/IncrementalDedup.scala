@@ -32,24 +32,33 @@ object IncrementalDedup {
     * fingerprints to the index. Returns the admitted frame.
     */
   def ingest(batch: DataFrame, indexTable: String, buckets: Int = 16): DataFrame =
-    ingestBatch(batch, indexTable, batchId = -1L, writeOut = _ => (), buckets)
+    ingestBatch(batch, indexTable, batchKey = "", writeOut = _ => (), buckets)
 
   /** [[ingest]] with a REPLAY-SAFE ordering for streaming `foreachBatch`
     * sinks: the admitted rows are handed to `writeOut` (which must be
     * idempotent per batch — e.g. overwrite a batch-keyed path) BEFORE
     * the fingerprints are appended to the index, and the anti-join
-    * excludes index rows stamped with this `batchId`. Crash anywhere and
+    * excludes index rows stamped with this `batchKey`. Crash anywhere and
     * the replayed batch recomputes the SAME admitted set (its own
     * index rows, if any landed, are excluded) and overwrites the same
     * output — no admitted doc can be lost to a half-committed batch.
+    *
+    * `batchKey` must identify the LOGICAL batch across restarts AND
+    * across runs: a bare foreachBatch id restarts from 0 when a
+    * checkpoint is recreated, and excluding on it alone would unlock an
+    * old run's batch-N fingerprints and re-admit duplicates — callers
+    * scope it with the streaming query id persisted in the checkpoint
+    * ([[graft.streaming.DocStream.intakeToIndex]] stamps
+    * `<queryId>#<batchId>`). Empty = batch mode, no exclusion.
+    *
     * The one non-idempotent residue: a crash after the index append
-    * leaves duplicate `(fp, batch_id)` rows once replayed, which are
+    * leaves duplicate `(fp, batch_key)` rows once replayed, which are
     * semantically inert for the anti-join (dedup is set membership).
     */
   def ingestBatch(
       batch: DataFrame,
       indexTable: String,
-      batchId: Long,
+      batchKey: String,
       writeOut: DataFrame => Unit,
       buckets: Int = 16
   ): DataFrame = {
@@ -62,12 +71,12 @@ object IncrementalDedup {
       .drop("__first")
     val novel =
       if (spark.catalog.tableExists(indexTable)) {
-        // exclude the replaying batch's OWN index rows (real stream batch
-        // ids are >= 0; the batch-mode sentinel -1 excludes nothing).
-        // Null-safe: a NULL batch_id (foreign/legacy row) must still gate
+        // exclude the replaying batch's OWN index rows (batch-mode key ""
+        // excludes nothing). Null-safe: a NULL batch_key (foreign/legacy
+        // row) must still gate
         val index =
-          if (batchId >= 0L)
-            spark.table(indexTable).filter(!(col("batch_id") <=> lit(batchId)))
+          if (batchKey.nonEmpty)
+            spark.table(indexTable).filter(!(col("batch_key") <=> lit(batchKey)))
           else spark.table(indexTable)
         fp.join(index.select("fp"), Seq("fp"), "left_anti")
       } else fp
@@ -80,11 +89,11 @@ object IncrementalDedup {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
         java.net.URI.create(location(spark, indexTable)).getPath))
       spark.sql(
-        s"""CREATE TABLE `$indexTable` (fp STRING, batch_id BIGINT) USING parquet
+        s"""CREATE TABLE `$indexTable` (fp STRING, batch_key STRING) USING parquet
            |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
            |LOCATION '${location(spark, indexTable)}'""".stripMargin)
     }
-    admitted.select(col("fp"), lit(batchId).as("batch_id"))
+    admitted.select(col("fp"), lit(batchKey).as("batch_key"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(indexTable)
@@ -108,7 +117,7 @@ object IncrementalDedup {
       if (java.nio.file.Files.exists(loc) &&
         java.nio.file.Files.list(loc).findFirst().isPresent)
         spark.sql(
-          s"""CREATE TABLE `$table` (fp STRING, batch_id BIGINT) USING parquet
+          s"""CREATE TABLE `$table` (fp STRING, batch_key STRING) USING parquet
              |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
              |LOCATION '${location(spark, table)}'""".stripMargin)
     }

@@ -333,12 +333,18 @@ object Hdf5Export {
       * box-free.
       */
     class LongBase extends Acc {
-      private val buf = new Array[Long](spillChunkValues)
+      // start small, grow geometrically to the spill ceiling: tiny
+      // tables (the common many-stream export) must not pay an 8 MiB
+      // allocation floor per column
+      private var buf = new Array[Long](math.min(1024, spillChunkValues))
       protected var n = 0
       private val sp  = new NumSpiller(spill, 8)
       private def enc(bb: java.nio.ByteBuffer): Unit =
         { var i = 0; while (i < n) { bb.putLong(buf(i)); i += 1 } }
       final def put(v: Long): Unit = {
+        if (n == buf.length && n < spillChunkValues)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(spillChunkValues, buf.length * 2))
         buf(n) = v; n += 1
         noteResident(n.toLong)
         if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
@@ -357,12 +363,18 @@ object Hdf5Export {
         }
     }
     class IntBase extends Acc {
-      private val buf = new Array[Int](spillChunkValues)
+      // start small, grow geometrically to the spill ceiling: tiny
+      // tables (the common many-stream export) must not pay an 8 MiB
+      // allocation floor per column
+      private var buf = new Array[Int](math.min(1024, spillChunkValues))
       protected var n = 0
       private val sp  = new NumSpiller(spill, 4)
       private def enc(bb: java.nio.ByteBuffer): Unit =
         { var i = 0; while (i < n) { bb.putInt(buf(i)); i += 1 } }
       final def put(v: Int): Unit = {
+        if (n == buf.length && n < spillChunkValues)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(spillChunkValues, buf.length * 2))
         buf(n) = v; n += 1
         noteResident(n.toLong)
         if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
@@ -381,12 +393,18 @@ object Hdf5Export {
         }
     }
     class ShortBase extends Acc {
-      private val buf = new Array[Short](spillChunkValues)
+      // start small, grow geometrically to the spill ceiling: tiny
+      // tables (the common many-stream export) must not pay an 8 MiB
+      // allocation floor per column
+      private var buf = new Array[Short](math.min(1024, spillChunkValues))
       protected var n = 0
       private val sp  = new NumSpiller(spill, 2)
       private def enc(bb: java.nio.ByteBuffer): Unit =
         { var i = 0; while (i < n) { bb.putShort(buf(i)); i += 1 } }
       final def put(v: Short): Unit = {
+        if (n == buf.length && n < spillChunkValues)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(spillChunkValues, buf.length * 2))
         buf(n) = v; n += 1
         noteResident(n.toLong)
         if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
@@ -406,12 +424,18 @@ object Hdf5Export {
         }
     }
     class DoubleBase extends Acc {
-      private val buf = new Array[Double](spillChunkValues)
+      // start small, grow geometrically to the spill ceiling: tiny
+      // tables (the common many-stream export) must not pay an 8 MiB
+      // allocation floor per column
+      private var buf = new Array[Double](math.min(1024, spillChunkValues))
       protected var n = 0
       private val sp  = new NumSpiller(spill, 8)
       private def enc(bb: java.nio.ByteBuffer): Unit =
         { var i = 0; while (i < n) { bb.putDouble(buf(i)); i += 1 } }
       final def put(v: Double): Unit = {
+        if (n == buf.length && n < spillChunkValues)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(spillChunkValues, buf.length * 2))
         buf(n) = v; n += 1
         noteResident(n.toLong)
         if (n == spillChunkValues) { sp.write(enc, n); n = 0 }

@@ -71,12 +71,31 @@ object DocStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ingest recomputes the canonical fingerprint and keeps first
-        // per fp within the batch; drop intake's copy to avoid a clash
+        // per fp within the batch; drop intake's copy to avoid a clash.
+        // The batch key is scoped by the streaming QUERY id (persisted in
+        // the checkpoint, stable across restarts, fresh when the
+        // checkpoint is recreated) so replay exclusion can never unlock
+        // an OLD run's rows when foreachBatch ids restart from 0.
         graft.operators.IncrementalDedup.ingestBatch(
-          batch.drop("fp"), indexTable, batchId,
+          batch.drop("fp"), indexTable, s"${queryId(checkpoint)}#$batchId",
           writeOut = admitted =>
             admitted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId"))
         ()
       }
       .start()
+
+  /** The streaming query id from the checkpoint's metadata file — written
+    * at query start, so it exists by the time any foreachBatch runs.
+    * Unreadable metadata degrades to batch-id-only scoping (the key stays
+    * non-empty, so same-run replay exclusion still works).
+    */
+  private def queryId(checkpoint: String): String =
+    try {
+      import org.json4s._
+      (jackson.JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(checkpoint, "metadata"))) \ "id") match {
+        case JString(id) => id
+        case _           => ""
+      }
+    } catch { case _: Exception => "" }
 }

@@ -6,16 +6,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Custom-state streaming sessionization via `flatMapGroupsWithState` —
   * the arbitrary-state form the builtin `session_window` can't express
   * when a session needs imperative per-group bookkeeping (event counts
-  * folded incrementally, explicit close-on-timeout emission, state the
-  * size of ONE open session per key regardless of stream length).
+  * folded incrementally, explicit close-on-timeout emission, bounded
+  * explicit state per key).
   *
-  * Semantics: gap-based sessions per user. Events within `gapMs` of the
-  * session's last event extend it; a larger gap closes it (emitted
-  * immediately, append mode); the watermark passing `last + gap` fires an
-  * event-time timeout that closes the trailing open session. State per
-  * key is a single `OpenSession` (three longs) and is removed on close —
-  * bounded by the number of concurrently-active users, not by history,
-  * which is what lets this run forever on an unbounded stream.
+  * Semantics: gap-based sessions per user, emitted EXACTLY as the batch
+  * gaps-and-islands fold would for all data within the watermark: a
+  * session (island) closes only once the watermark passes `last + gap` —
+  * never earlier, because a within-watermark out-of-order event may still
+  * extend it, lower its start, or bridge two islands (append-mode output
+  * is unretractable, so early emission would fabricate overlapping
+  * sessions the batch fold merges). State per key is the list of islands
+  * whose close point the watermark has not yet passed — bounded by the
+  * watermark horizon over the gap, NOT by history — and is removed when
+  * the last island closes, which is what lets this run forever on an
+  * unbounded stream.
   *
   * Mirrors the reference's stop-time handling shape (close-on-quiet,
   * `src/Stream/Partition.cpp` stop logic) generalized to per-key sessions.
@@ -25,6 +29,11 @@ object StatefulSessions {
   case class SessionEvent(user_id: Long, ts_ms: Long)
 
   case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** Per-key state: start-ordered disjoint islands still inside the
+    * watermark horizon.
+    */
+  case class SessionLedger(islands: Seq[OpenSession])
 
   case class ClosedSession(
       user_id: Long,
@@ -44,7 +53,7 @@ object StatefulSessions {
       watermarkDelay: String = "0 seconds"
   ): Dataset[ClosedSession] = {
     implicit val keyEnc: Encoder[Long]            = Encoders.scalaLong
-    implicit val stateEnc: Encoder[OpenSession]   = Encoders.product[OpenSession]
+    implicit val stateEnc: Encoder[SessionLedger] = Encoders.product[SessionLedger]
     implicit val outEnc: Encoder[ClosedSession]   = Encoders.product[ClosedSession]
     implicit val evEnc: Encoder[SessionEvent]     = Encoders.product[SessionEvent]
 
@@ -67,34 +76,46 @@ object StatefulSessions {
     def close(user: Long, s: OpenSession): ClosedSession =
       ClosedSession(user, s.start_ms, s.last_ms, s.n_events)
 
+    /** Emit the islands the watermark has passed; keep (and re-arm the
+      * timeout for) the rest. An island closes ONLY here — emitting any
+      * earlier would race within-watermark out-of-order events that can
+      * still merge into it (append output is unretractable).
+      */
+    def settle(
+        user: Long,
+        islands: Seq[OpenSession],
+        state: GroupState[SessionLedger]
+    ): Iterator[ClosedSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, open) = islands.partition(_.last_ms + gapMs <= wm)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(SessionLedger(open))
+        // earliest close point; all open islands have closeAt > wm, so
+        // the timestamp is valid for EventTimeTimeout
+        state.setTimeoutTimestamp(open.map(_.last_ms + gapMs).min)
+      }
+      done.map(close(user, _)).iterator
+    }
+
     def fold(
         user: Long,
         it: Iterator[SessionEvent],
-        state: GroupState[OpenSession]
+        state: GroupState[SessionLedger]
     ): Iterator[ClosedSession] = {
       if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(close(user, s))
+        settle(user, state.get.islands, state)
       } else {
-        // Fold the batch's events AND the open session with one
+        // Fold the batch's events AND every held island with one
         // gaps-and-islands sweep over start-ordered intervals. This is
         // what makes cross-batch out-of-order events (still inside the
-        // watermark) match the batch fold: an event in
-        // (start − gap, start) extends the open session DOWNWARD
-        // (start_ms lowered), a chain of old events can bridge into it,
-        // and events older than any bridge form their own earlier
-        // sessions, closed immediately.
+        // watermark) match the batch fold: an event can extend an island
+        // DOWNWARD (start lowered), bridge two islands into one, or open
+        // its own island between them.
         val evs = it.map(_.ts_ms).toArray.sorted.map(t => OpenSession(t, t, 1L))
-        val items: Array[OpenSession] = state.getOption match {
-          case Some(o) =>
-            val idx = evs.indexWhere(_.start_ms > o.start_ms) match {
-              case -1 => evs.length
-              case i  => i
-            }
-            (evs.take(idx) :+ o) ++ evs.drop(idx)
-          case None => evs
-        }
+        val prior = state.getOption.map(_.islands).getOrElse(Seq.empty)
+        val items =
+          (prior ++ evs).sortBy(iv => (iv.start_ms, iv.last_ms))
         var merged = List.empty[OpenSession]
         items.foreach { iv =>
           merged match {
@@ -105,26 +126,12 @@ object StatefulSessions {
           }
         }
         val sessions = merged.reverse // ascending by start
-        var closed   = sessions.dropRight(1).map(close(user, _))
-        sessions.lastOption match {
-          case Some(o) if streaming =>
-            val closeAt = o.last_ms + gapMs
-            if (state.getCurrentWatermarkMs() >= closeAt) {
-              // watermark already past the close point (late burst):
-              // a timeout this old would be rejected — close inline
-              closed = closed :+ close(user, o)
-              if (state.exists) state.remove()
-            } else {
-              state.update(o)
-              state.setTimeoutTimestamp(closeAt)
-            }
-          case Some(o) =>
-            // batch mode: end-of-input closes the trailing session
-            closed = closed :+ close(user, o)
-            if (state.exists) state.remove()
-          case None => ()
+        if (streaming) settle(user, sessions, state)
+        else {
+          // batch mode: end-of-input IS the watermark at +∞ — close all
+          if (state.exists) state.remove()
+          sessions.map(close(user, _)).iterator
         }
-        closed.iterator
       }
     }
 

@@ -90,6 +90,11 @@ class StreamingJob(
     */
   def streamKeys: Seq[String] = plan.streams.map(streamKey).distinct
 
+  /** Cheap change signal for metric re-registration: the number of
+    * streams with runtime state (no map snapshot).
+    */
+  def liveStreamCount: Int = synchronized(states.size)
+
   /** All streams of this schema are done (used by stop monitors). */
   def allFinished(schemaId: String): Boolean = synchronized {
     val keys = plan.streams.filter(_.module == schemaId).map(streamKey)

@@ -120,7 +120,9 @@ class ServiceSpec extends SparkSpec {
     Service.transportFactory = _ => tr
     Service.carbonSenderFactory = { addr =>
       assert(addr == "carbon.example.org:2003")
-      lines += _
+      new graft.commands.MetricsReporter.CarbonTransport {
+        def send(line: String): Unit = lines += line
+      }
     }
     try {
       // a fake clock stepping 6 s per tick crosses the 10 s carbon cadence

@@ -45,7 +45,9 @@ class MetricsReporterSpec extends AnyFunSuite {
 
   test("log reporter fires at 60 s and reports only changed metrics with deltas") {
     val logged = collection.mutable.ArrayBuffer.empty[(Severity, String)]
-    val log    = new Reporter(new LogSink((s, m) => logged += ((s, m))), periodMs = 60000)
+    // synthetic clock: registration seeds the log-window baseline at 0
+    val log = new Reporter(new LogSink((s, m) => logged += ((s, m))),
+      periodMs = 60000, clock = () => 0L)
     var n = 0L
     new Registrar("app", Seq(log))
       .registerMetric(Metric("events", "event count", Severity.Info)(() => n))
@@ -81,6 +83,23 @@ class MetricsReporterSpec extends AnyFunSuite {
     healthy = true
     assert(rep.tick(10000L))
     assert(lines.size == 1)
+  }
+
+  test("reconnecting transport: outages mark unhealthy, never throw; " +
+    "malformed addresses fail fast") {
+    // nothing listens on this port: connect fails → unhealthy, and the
+    // reporter routes the round to onUnhealthy instead of dying
+    val t = new ReconnectingCarbonTransport("127.0.0.1:1", connectTimeoutMs = 200)
+    assert(!t.healthy)
+    t.send("dropped 1 0\n") // disconnected send is a silent no-op
+    val errs = collection.mutable.ArrayBuffer.empty[String]
+    val rep  = new Reporter(new CarbonSink(t.send, () => t.healthy),
+      periodMs = 1000, onUnhealthy = errs += _, clock = () => 0L)
+    new Registrar("p", Seq(rep)).registerMetric(Metric("m", "d")(() => 1L))
+    assert(rep.tick(0L))
+    assert(errs == Seq("Unable to push metrics to the carbon sink."))
+    intercept[IllegalArgumentException](new ReconnectingCarbonTransport("nocolon"))
+    intercept[IllegalArgumentException](new ReconnectingCarbonTransport("host:"))
   }
 
   test("duplicate registration is rejected; removal frees the name") {

@@ -70,18 +70,23 @@ class IncrementalDedupSpec extends SparkSpec {
     // idempotent batch-keyed output overwrite can land them.
     val out   = collection.mutable.ArrayBuffer.empty[Set[Long]]
     val batch = Seq((30L, "pi rho sigma"), (31L, "alpha beta gamma")).toDF("doc_id", "text")
-    def run(): Unit = out += IncrementalDedup.ingestBatch(
-      batch, table, batchId = 7L,
+    def run(key: String): Unit = out += IncrementalDedup.ingestBatch(
+      batch, table, key,
       writeOut = adm => out += adm.select("doc_id").as[Long].collect().toSet
     ).select("doc_id").as[Long].collect().toSet
-    run() // original attempt: index append happened
-    run() // replay after the modeled crash
+    run("runA#7") // original attempt: index append happened
+    run("runA#7") // replay after the modeled crash
     // doc 31 is a canonical dup of the batch-1 fingerprint → rejected in
     // both attempts; doc 30 is novel and must be admitted BOTH times
     assert(out.toList == List(Set(30L), Set(30L), Set(30L), Set(30L)))
-    // duplicate (fp, batch_id) rows from the replay are inert
-    val own = spark.table(table).where("batch_id = 7").count()
+    // duplicate (fp, batch_key) rows from the replay are inert
+    val own = spark.table(table).where("batch_key = 'runA#7'").count()
     assert(own == 2L)
+    // a DIFFERENT run reusing the same foreachBatch id must NOT unlock
+    // run A's rows: doc 30's fingerprint is indexed → nothing admitted
+    out.clear()
+    run("runB#7")
+    assert(out.toList == List(Set.empty[Long], Set.empty[Long]))
   }
 
   test("the accumulated index side of the anti-join has no Exchange") {

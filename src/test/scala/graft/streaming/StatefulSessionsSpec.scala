@@ -80,36 +80,40 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming: within-watermark out-of-order events lower the open " +
-    "session's start or close as their own earlier session") {
+  test("streaming: within-watermark out-of-order events lower starts, open " +
+    "earlier islands, and MERGE into them across batches (batch-fold parity)") {
     val stream = MemoryStream[SessionEvent](spark)
     val query = StatefulSessions
       .sessions(stream.toDS(), GapMs, watermarkDelay = "120 seconds")
       .writeStream.format("memory").queryName("ooo_sessions")
       .outputMode("append").start()
     try {
-      // batch 1: open session [100s, 100s]
+      // batch 1: open island [100s, 100s]
       stream.addData(ev(1, 100000L))
       query.processAllAvailable()
       // batch 2 (all within the 120 s watermark): 90s is inside
-      // (start − gap, start) → bridges and LOWERS start_ms to 90s; 10s is
-      // older than start − gap → its own earlier session, closed
-      // immediately as a non-trailing island
+      // (start − gap, start) → bridges and LOWERS the island to [90s,100s];
+      // 10s is older than any bridge → its own earlier island. NOTHING is
+      // emitted yet — the watermark hasn't passed either close point, and
+      // a later within-watermark event may still merge
       stream.addData(ev(1, 90000L), ev(1, 10000L))
       query.processAllAvailable()
-      val early = spark.table("ooo_sessions").as[ClosedSession].collect().toSeq
-      assert(early == Seq(cs(1, 10000L, 10000L, 1L)))
-
-      // advance the watermark far enough to time out the merged session
+      assert(spark.table("ooo_sessions").isEmpty)
+      // batch 3: 12s arrives — within the gap of the EARLIER island, which
+      // must absorb it (early emission would have split this into two
+      // overlapping sessions the batch fold merges)
+      stream.addData(ev(1, 12000L))
+      query.processAllAvailable()
+      // advance the watermark far enough to close everything
       stream.addData(ev(2, 400000L))
       query.processAllAvailable()
       stream.addData(ev(2, 400001L))
       query.processAllAvailable()
       val all = spark.table("ooo_sessions").as[ClosedSession].collect()
         .filter(_.user_id == 1L).sortBy(_.session_start_ms).toSeq
-      // the merged session carries the LOWERED start and both events
+      // exactly the batch gaps-and-islands fold of {10s,12s,90s,100s}
       assert(all == Seq(
-        cs(1, 10000L, 10000L, 1L),
+        cs(1, 10000L, 12000L, 2L),
         cs(1, 90000L, 100000L, 2L)))
     } finally query.stop()
   }
@@ -140,7 +144,8 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming: within-batch gap split emits the early session immediately") {
+  test("streaming: a within-batch gap split closes the early island once " +
+    "the watermark passes it (not before)") {
     val stream = MemoryStream[SessionEvent](spark)
     val query = StatefulSessions
       .sessions(stream.toDS(), GapMs)
@@ -151,9 +156,13 @@ class StatefulSessionsSpec extends SparkSpec {
       .start()
     try {
       stream.addData(ev(7, 0L), ev(7, 1000L), ev(7, 90000L))
+      // processAllAvailable drains the follow-up micro-batch too: the
+      // watermark advances to 90s and the TIMEOUT closes [0,1s] (gap-split
+      // islands close via the watermark, never by early emission — the
+      // distinction is observable under a nonzero delay, see the
+      // out-of-order merge test); [90s] stays open (closeAt 120s > 90s)
       query.processAllAvailable()
       val rows = spark.table("stateful_sessions_split").as[ClosedSession].collect().toSeq
-      // the [0, 1s] session closed by the in-batch gap, no timeout needed
       assert(rows == Seq(cs(7, 0L, 1000L, 2L)))
     } finally query.stop()
   }

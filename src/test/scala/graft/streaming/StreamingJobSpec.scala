@@ -234,6 +234,27 @@ class StreamingJobSpec extends SparkSpec {
     assert(after("kafka-to-nexus.host_example_org.entry.events.events_written") == 5L)
   }
 
+  test("a replacement job's counters take over once the old names are removed") {
+    import graft.commands.MetricsReporter._
+    val jobA = newJob(Files.createTempDirectory("graft-stream").toString)
+    val jobB = newJob(Files.createTempDirectory("graft-stream").toString)
+    jobA.processBatch("ev44", Seq(ev44(0, 10100, Seq(1, 2, 3))).toDF())
+    jobB.processBatch("ev44", Seq(ev44(0, 10100, Seq(4, 5))).toDF())
+
+    val lines  = collection.mutable.ArrayBuffer.empty[String]
+    val carbon = new Reporter(new CarbonSink(lines += _), periodMs = 10000,
+      clock = () => 0L)
+    val registrar = new Registrar("app", Seq(carbon))
+    val namesA = registerJob(jobA, registrar)
+    // same stream paths: without deregistration the suppliers would stay
+    // bound to job A forever (addMetric rejects the duplicate names)
+    namesA.foreach(registrar.removeMetric)
+    registerJob(jobB, registrar)
+    assert(carbon.tick(0L))
+    val byName = lines.map(_.split(' ')).map(p => p(0) -> p(1).toLong).toMap
+    assert(byName("app.entry.events.events_written") == 2L) // job B's count
+  }
+
   test("streaming finish can emit the native .h5 artifact") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
