@@ -211,7 +211,7 @@ object MetricsReporter {
       val sub = registrar.getNewRegistrar(stream.replace('.', '_').replace('/', '.'))
       names.toSeq.map { name =>
         sub.registerMetric(Metric(name, s"stream $stream counter $name")(
-          () => job.metrics.get(stream).flatMap(_.get(name)).getOrElse(0L)))
+          () => job.counter(stream, name)))
       }
     }
   }

@@ -95,6 +95,23 @@ class StreamingJob(
     */
   def liveStreamCount: Int = synchronized(states.size)
 
+  /** One counter value without materializing the full [[metrics]]
+    * snapshot — the per-report read path of the push-metrics suppliers
+    * (a carbon round reads streams × counters values; snapshotting the
+    * whole map for each would be quadratic in the surface).
+    */
+  def counter(stream: String, name: String): Long = synchronized {
+    states.get(stream) match {
+      case None => 0L
+      case Some(st) => name match {
+        case "events_written" => st.eventsWritten
+        case "write_errors"   => st.writeErrors
+        case "finished"       => if (st.finished) 1L else 0L
+        case other            => st.rowsWritten.getOrElse(other, 0L)
+      }
+    }
+  }
+
   /** All streams of this schema are done (used by stop monitors). */
   def allFinished(schemaId: String): Boolean = synchronized {
     val keys = plan.streams.filter(_.module == schemaId).map(streamKey)
