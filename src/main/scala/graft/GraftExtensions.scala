@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", "rolling_hash(text) - Rabin-Karp fingerprint mod 2^61-1"),
       (args: Seq[Expression]) => graft.functions.RollingHash(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      info("token_hashes",
+        "token_hashes(arr) - rolling_hash of every element of an array<string> in one pass"),
+      (args: Seq[Expression]) => graft.functions.TokenHashes(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("window_poly_hash"),
       info("window_poly_hash",
         "window_poly_hash(hashes, w) - all w-wide gram hashes of an array<long> in one pass"),

@@ -4,10 +4,9 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** All `numHashes` MinHash signature values of a shingle set in ONE pass:
   * per shingle, the base hash is the first 4 bytes of its md5 (exactly
@@ -18,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces numHashes interpreted `transform`+`array_min` passes (plus
   * the intermediate hash array) with a single evaluation that allocates
   * nothing per seed — the signature step of MinHash-LSH at corpus scale.
+  * `doGenCode` is one static call (seed arrays ride the references
+  * array), so the signature pass stays inside whole-stage codegen.
   * Arithmetic is identical to [[TextFunctions.minhash]], so DuckDB
   * reproduces every signature bit-for-bit.
   */
-case class MinHashSigs(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
 
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
@@ -39,14 +39,39 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     }
   }
 
-  import TextFunctions.{minhashA, minhashB, MinhashP}
+  import TextFunctions.{minhashA, minhashB}
   private val as = (0 until numHashes).map(minhashA).toArray
   private val bs = (0 until numHashes).map(minhashB).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr  = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.sigsEval(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MinHashSigs.sigsEval($arr, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigs =
+    copy(child = c)
+}
+
+object MinHashSigs {
+
+  import TextFunctions.MinhashP
+
+  // one digest per task thread — getInstance per row would dominate the loop
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static eval body (forwarded onto the companion class, so generated
+    * Java links it directly).
+    */
+  def sigsEval(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val md   = MessageDigest.getInstance("MD5")
+    val md   = mdPool.get()
     var i    = 0
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
@@ -66,11 +91,6 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSigs =
-    copy(child = c)
-}
-
-object MinHashSigs {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def minhash_sigs(c: Column, numHashes: Int): Column =
     column(MinHashSigs(expression(c), numHashes))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,20 +20,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * `length` ≡ DuckDB `length`), and gram/argmax ties break to the
   * lexicographically smallest gram.
   */
-case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = RepetitionStats.Schema
 
-  override def nullSafeEval(input: Any): Any = {
-    val text  = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.statsEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RepetitionStats.statsEval($s);")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(c)
+}
+
+object RepetitionStats {
+  private[functions] val SumInts
+      : java.util.function.BiFunction[Int, Int, Int] = (a, b) => a + b
+
+  /** Static eval body (forwarded onto the companion class for codegen). */
+  def statsEval(input: UTF8String): InternalRow = {
+    val text  = input.toString
     val lines = text.split("\n", -1)
     val toks  = text.split(" ", -1)
 
     def cp(s: String): Long = s.codePointCount(0, s.length).toLong
 
     val lineCounts = new java.util.HashMap[String, Int]
-    lines.foreach(l => lineCounts.merge(l, 1, RepetitionStats.SumInts))
+    lines.foreach(l => lineCounts.merge(l, 1, SumInts))
     var dupChars = 0L
     lineCounts.forEach { (l, c) => dupChars += (c - 1).toLong * cp(l) }
 
@@ -46,7 +61,7 @@ case class RepetitionStats(child: Expression)
           val sb = new java.lang.StringBuilder(toks(i))
           var j = 1
           while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-          m.merge(sb.toString, 1, RepetitionStats.SumInts)
+          m.merge(sb.toString, 1, SumInts)
           i += 1
         }
         var bestCnt  = 0
@@ -65,14 +80,6 @@ case class RepetitionStats(child: Expression)
     new GenericInternalRow(Array[Any](
       lines.length, lineCounts.size, dupChars, c2, l2, c3, l3))
   }
-
-  override protected def withNewChildInternal(c: Expression): RepetitionStats =
-    copy(c)
-}
-
-object RepetitionStats {
-  private[functions] val SumInts
-      : java.util.function.BiFunction[Int, Int, Int] = (a, b) => a + b
 
   val Schema: StructType = StructType(Seq(
     StructField("n_lines", IntegerType, nullable = false),

@@ -2,14 +2,18 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared Rabin–Karp modular arithmetic: base 257 over bytes, modulus
   * 2^61−1 (Mersenne, reduction via shift-add) — the same construction as
-  * content-defined chunking hashes.
+  * content-defined chunking hashes. This object (no companion class →
+  * true static forwarders) also hosts the static eval bodies the
+  * generated code calls, so every rolling-hash expression participates
+  * in whole-stage codegen — these sit under the substring-dedup and
+  * LM-filter query group, the heaviest text path.
   */
 object RollingMod {
   val Mod: Long  = (1L << 61) - 1
@@ -36,48 +40,16 @@ object RollingMod {
     }
     h
   }
-}
 
-/** Document fingerprint via a Rabin–Karp rolling hash over UTF-8 bytes —
-  * one pass, order-sensitive (unlike md5-of-normalized-text it
-  * distinguishes permutations cheaply and supports incremental extension).
-  */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  /** [[RollingHash]] eval body. */
+  def rollingHashEval(s: UTF8String): Long = hashBytes(s.getBytes)
 
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any =
-    RollingMod.hashBytes(input.asInstanceOf[UTF8String].getBytes)
-
-  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
-}
-
-/** Sliding-window polynomial hash over a precomputed Array[Long] of
-  * element hashes: output i (0-based) is the base-`WindowBase` polynomial
-  * of elements [i, i+width) mod 2^61−1 — i.e. the hash every `w`-token
-  * gram of a document, computed in ONE O(n) pass via the rolling update
-  * G' = (G − x_out·B^(w−1))·B + x_in instead of O(n·w) per-window folds.
-  * The gram-table primitive of substring-level dedup (the public
-  * shingle-span approach; cf. the reference's windowed stream processing,
-  * `src/Stream/MessageWriter.cpp` being per-message one-pass in the same
-  * spirit).
-  */
-case class WindowPolyHash(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(width >= 1, s"window width must be >= 1, got $width")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  import RollingMod.{mulMod, Mod}
-  private val B: Long = WindowPolyHash.WindowBase
-  // B^(width-1) mod M — the weight of the outgoing element
-  private val topW: Long =
-    (1 until width).foldLeft(1L)((acc, _) => mulMod(acc, B))
-
-  override def nullSafeEval(input: Any): Any = {
-    val xs = input.asInstanceOf[ArrayData].toLongArray()
+  /** [[WindowPolyHash]] eval body: `topW` = B^(width−1) mod M precomputed
+    * at plan time.
+    */
+  def windowPolyEval(input: ArrayData, width: Int, topW: Long): ArrayData = {
+    val B  = WindowPolyHash.WindowBase
+    val xs = input.toLongArray()
     val n  = xs.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n)
@@ -102,26 +74,18 @@ case class WindowPolyHash(child: Expression, width: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): WindowPolyHash =
-    copy(child = c)
-}
+  /** [[TokenHashes]] eval body. */
+  def tokenHashesEval(arr: ArrayData): ArrayData = {
+    val n   = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hashBytes(arr.getUTF8String(i).getBytes); i += 1 }
+    new GenericArrayData(out)
+  }
 
-/** All character `n`-gram codes of a string in ONE pass over its UTF-8
-  * bytes: code i = big-endian packing of bytes [i, i+n) — for n=3,
-  * `(b₀ << 16) | (b₁ << 8) | b₂`. Injective for n ≤ 7, so grouping by
-  * code ≡ grouping by gram string, with 8-byte shuffle keys instead of
-  * string allocations (the LM-filter gram primitive; on an ASCII corpus
-  * the oracle reproduces codes as `ord(substr)·256^k` arithmetic).
-  */
-case class CharGramCodes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(n >= 1 && n <= 7, s"gram width must be in [1,7], got $n")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** [[CharGramCodes]] eval body. */
+  def charGramEval(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
     val count = bytes.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Long])
     val out  = new Array[Long](count)
@@ -136,6 +100,103 @@ case class CharGramCodes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
+}
+
+/** Document fingerprint via a Rabin–Karp rolling hash over UTF-8 bytes —
+  * one pass, order-sensitive (unlike md5-of-normalized-text it
+  * distinguishes permutations cheaply and supports incremental extension).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMod.rollingHashEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RollingMod.rollingHashEval($s);")
+
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+/** Rolling hash of EVERY element of an array<string> in one native pass
+  * — replaces the `transform(tk, t => rolling_hash(t))` higher-order
+  * form, which evaluates interpreted (per-element lambda dispatch) and
+  * drags the whole projection out of whole-stage codegen. Feeds
+  * [[WindowPolyHash]] in the substring-dedup gram pipeline.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMod.tokenHashesEval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.RollingMod.tokenHashesEval($arr);")
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
+    copy(c)
+}
+
+object TokenHashes {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+  def token_hashes(c: Column): Column = column(TokenHashes(expression(c)))
+}
+
+/** Sliding-window polynomial hash over a precomputed Array[Long] of
+  * element hashes: output i (0-based) is the base-`WindowBase` polynomial
+  * of elements [i, i+width) mod 2^61−1 — i.e. the hash every `w`-token
+  * gram of a document, computed in ONE O(n) pass via the rolling update
+  * G' = (G − x_out·B^(w−1))·B + x_in instead of O(n·w) per-window folds.
+  * The gram-table primitive of substring-level dedup (the public
+  * shingle-span approach; cf. the reference's windowed stream processing,
+  * `src/Stream/MessageWriter.cpp` being per-message one-pass in the same
+  * spirit).
+  */
+case class WindowPolyHash(child: Expression, width: Int) extends UnaryExpression {
+
+  require(width >= 1, s"window width must be >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  import RollingMod.mulMod
+  // B^(width-1) mod M — the weight of the outgoing element
+  private val topW: Long =
+    (1 until width).foldLeft(1L)((acc, _) => mulMod(acc, WindowPolyHash.WindowBase))
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMod.windowPolyEval(input.asInstanceOf[ArrayData], width, topW)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.RollingMod.windowPolyEval($xs, $width, ${topW}L);")
+
+  override protected def withNewChildInternal(c: Expression): WindowPolyHash =
+    copy(child = c)
+}
+
+/** All character `n`-gram codes of a string in ONE pass over its UTF-8
+  * bytes: code i = big-endian packing of bytes [i, i+n) — for n=3,
+  * `(b₀ << 16) | (b₁ << 8) | b₂`. Injective for n ≤ 7, so grouping by
+  * code ≡ grouping by gram string, with 8-byte shuffle keys instead of
+  * string allocations (the LM-filter gram primitive; on an ASCII corpus
+  * the oracle reproduces codes as `ord(substr)·256^k` arithmetic).
+  */
+case class CharGramCodes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 7, s"gram width must be in [1,7], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMod.charGramEval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RollingMod.charGramEval($s, $n);")
 
   override protected def withNewChildInternal(c: Expression): CharGramCodes =
     copy(child = c)

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,19 +18,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature is set when the majority of token hashes have bit b set.
   * The explode version exists for oracle parity documentation; THIS is the
   * form you run at 100 TB — the whole signature computes inside the scan
-  * projection with zero shuffles.
+  * projection with zero shuffles, and `doGenCode` is one static call so
+  * it stays inside whole-stage codegen.
   */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
-  private val HexDigits = "0123456789abcdef"
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.simhashEval(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val text   = input.asInstanceOf[UTF8String].toString
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SimHash32.simhashEval($s);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
+}
+
+object SimHash32 {
+
+  // one digest per task thread — getInstance per row would dominate the loop
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static eval body (forwarded onto the companion class for codegen). */
+  def simhashEval(input: UTF8String): Long = {
+    val text   = input.toString
     val counts = new Array[Int](32)
+    val md     = mdPool.get()
     var start  = 0
     val n      = text.length
     var i      = 0
@@ -62,10 +77,6 @@ case class SimHash32(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
-}
-
-object SimHash32 {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def simhash32(c: Column): Column = column(SimHash32(expression(c)))
 }

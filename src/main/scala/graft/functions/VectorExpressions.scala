@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -15,84 +15,141 @@ import org.apache.spark.sql.types._
   * literal (a few KB — the "broadcast centroid matrix" pattern), giving
   * both fast eval AND trivial compile.
   *
+  * Every expression implements `doGenCode` as ONE static call per row
+  * (the `Decode.StaticCallCodegen` recipe), so the vector math sits
+  * INSIDE whole-stage codegen — the per-row scoring loop of every
+  * embed_* query stays a fused span instead of splitting at an
+  * interpreted eval boundary. Matrix-parameterized expressions pass
+  * their `double[][]` via `ctx.addReferenceObj` (resolved once, not per
+  * row).
+  *
   * Summation order is the same sequential left-to-right as the previous
   * fold expressions, so scores are bit-identical and oracle hashes stable.
   */
 object VectorExpressions {
 
-  private def toDoubles(a: Any): Array[Double] =
-    a.asInstanceOf[ArrayData].toDoubleArray()
+  // ---- static eval bodies (object has no companion class, so these get
+  // true static forwarders the generated Java links directly) ----------
+
+  def dotEval(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  def l2Eval(a: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def centroidDistsEval(a: ArrayData, m: Array[Array[Double]]): ArrayData = {
+    val v   = a.toDoubleArray()
+    val out = new Array[Double](m.length)
+    var c = 0
+    while (c < m.length) {
+      val cent = m(c)
+      val n    = math.min(v.length, cent.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def nearestCentroidEval(a: ArrayData, m: Array[Array[Double]]): Int = {
+    val v    = a.toDoubleArray()
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < m.length) {
+      val cent = m(c)
+      val n    = math.min(v.length, cent.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def rpSignatureEval(a: ArrayData, m: Array[Array[Double]]): Long = {
+    val v   = a.toDoubleArray()
+    var sig = 0L
+    var p = 0
+    while (p < m.length) {
+      val h = m(p)
+      val n = math.min(v.length, h.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += v(i) * h(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val Self = "graft.functions.VectorExpressions"
+
+  /** Shared codegen shape for the matrix-parameterized unary expressions:
+    * the matrix rides the references array, the row work is one static
+    * call.
+    */
+  sealed trait MatrixCallCodegen extends UnaryExpression {
+    protected def matrix: Array[Array[Double]]
+    protected def staticMethod: String
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("mat", matrix, "double[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = $Self.$staticMethod($v, $mRef);")
+    }
+  }
 
   /** Σ aᵢ·bᵢ over two array<double> columns. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = toDoubles(a); val y = toDoubles(b)
-      val n = math.min(x.length, y.length)
-      var s = 0.0; var i = 0
-      while (i < n) { s += x(i) * y(i); i += 1 }
-      s
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dotEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $Self.dotEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(l, r)
   }
 
   /** √(Σ aᵢ²). */
-  case class L2Norm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any): Any = {
-      val x = toDoubles(a)
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i) * x(i); i += 1 }
-      math.sqrt(s)
-    }
+    override def nullSafeEval(a: Any): Any = l2Eval(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $Self.l2Eval($a);")
     override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
   }
 
   /** Squared-L2 distance to every centroid of a literal k×d matrix. */
   case class CentroidDists(child: Expression, cents: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends MatrixCallCodegen {
     @transient private lazy val m: Array[Array[Double]] = cents.map(_.toArray).toArray
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def nullSafeEval(a: Any): Any = {
-      val v   = toDoubles(a)
-      val out = new Array[Double](m.length)
-      var c = 0
-      while (c < m.length) {
-        val cent = m(c)
-        val n    = math.min(v.length, cent.length)
-        var s = 0.0; var i = 0
-        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
-        out(c) = s
-        c += 1
-      }
-      new GenericArrayData(out)
-    }
+    protected def matrix       = m
+    protected def staticMethod = "centroidDistsEval"
+    override def nullSafeEval(a: Any): Any =
+      centroidDistsEval(a.asInstanceOf[ArrayData], m)
     override protected def withNewChildInternal(c: Expression): CentroidDists =
       copy(child = c)
   }
 
   /** Index of the nearest centroid (squared L2; ties → lowest index). */
   case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends MatrixCallCodegen {
     @transient private lazy val m: Array[Array[Double]] = cents.map(_.toArray).toArray
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(a: Any): Any = {
-      val v    = toDoubles(a)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < m.length) {
-        val cent = m(c)
-        val n    = math.min(v.length, cent.length)
-        var s = 0.0; var i = 0
-        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
+    protected def matrix       = m
+    protected def staticMethod = "nearestCentroidEval"
+    override def nullSafeEval(a: Any): Any =
+      nearestCentroidEval(a.asInstanceOf[ArrayData], m)
     override protected def withNewChildInternal(c: Expression): NearestCentroid =
       copy(child = c)
   }
@@ -103,23 +160,13 @@ object VectorExpressions {
     * STOC'02), the embedding-space analog of the text SimHash.
     */
   case class RpSignature(child: Expression, planes: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends MatrixCallCodegen {
     @transient private lazy val m: Array[Array[Double]] = planes.map(_.toArray).toArray
     override def dataType: DataType = LongType
-    override def nullSafeEval(a: Any): Any = {
-      val v   = toDoubles(a)
-      var sig = 0L
-      var p = 0
-      while (p < m.length) {
-        val h = m(p)
-        val n = math.min(v.length, h.length)
-        var s = 0.0; var i = 0
-        while (i < n) { s += v(i) * h(i); i += 1 }
-        if (s >= 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
+    protected def matrix       = m
+    protected def staticMethod = "rpSignatureEval"
+    override def nullSafeEval(a: Any): Any =
+      rpSignatureEval(a.asInstanceOf[ArrayData], m)
     override protected def withNewChildInternal(c: Expression): RpSignature =
       copy(child = c)
   }

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Row, functions => F}
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Pins the `doGenCode` static-call path for the hot non-decode
+  * expression families (vector math, rolling hashes, MinHash/SimHash
+  * signatures, repetition stats): with `spark.sql.codegen.fallback=false`
+  * a codegen compile error is fatal instead of silently degrading to
+  * interpreted eval, and the projection must land inside a
+  * WholeStageCodegen span. Values are asserted against independently
+  * computed expectations, so generated code = interpreted semantics.
+  */
+class HotExprCodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val (k, v) = kv
+    val prev   = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
+  test("hot expression families GENERATE code (no interpreted fallback) " +
+    "and stay inside one WholeStageCodegen span") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      // RDD-backed input so nothing constant-folds into a LocalTableScan
+      val input = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("b a b a b", Array(1.0, 2.0, 3.0), Array(0.5, 0.5, 0.5)),
+          Row("x\nx\ny z", Array(0.0, -1.0, 1.0), Array(1.0, 0.0, 0.0))), 2),
+        StructType(Seq(
+          StructField("text", StringType),
+          StructField("v", ArrayType(DoubleType)),
+          StructField("w", ArrayType(DoubleType)))))
+      val cents  = Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0))
+      val planes = VectorExpressions.dyadicPlanes(4, 3)
+      val df = input.select(
+        RollingHash.rolling_hash(F.col("text")).as("rh"),
+        WindowPolyHash.window_poly_hash(
+          TokenHashes.token_hashes(F.split(F.col("text"), " ")), 2).as("wph"),
+        CharGramCodes.char_gram_codes(F.col("text"), 3).as("cgc"),
+        MinHashSigs.minhash_sigs(F.split(F.col("text"), " "), 4).as("mhs"),
+        SimHash32.simhash32(F.col("text")).as("sh"),
+        RepetitionStats.repetition_stats(F.col("text")).as("rs"),
+        VectorExpressions.dot_product(F.col("v"), F.col("w")).as("dp"),
+        VectorExpressions.l2_norm(F.col("v")).as("l2"),
+        VectorExpressions.centroid_dists(F.col("v"), cents).as("cd"),
+        VectorExpressions.nearest_centroid(F.col("v"), cents).as("nc"),
+        VectorExpressions.rp_signature(F.col("v"), planes).as("rp"))
+      val rows = df.collect()
+      assert(rows.length == 2)
+
+      val r0 = rows.find(_.getAs[Double]("dp") == 3.0).get // 1·.5+2·.5+3·.5
+      assert(r0.getAs[Long]("rh") ==
+        RollingMod.hashBytes("b a b a b".getBytes("UTF-8")))
+      assert(r0.getAs[Double]("l2") == math.sqrt(1 + 4 + 9))
+      assert(r0.getSeq[Double](r0.fieldIndex("cd")) == Seq(14.0, 0.0)) // d² per centroid
+      assert(r0.getAs[Int]("nc") == 1)
+      // window hash of ["b","a","b","a","b"] at w=2: 4 windows, (b,a)==(b,a)
+      val wph = r0.getSeq[Long](r0.fieldIndex("wph"))
+      assert(wph.length == 4 && wph(0) == wph(2) && wph(1) == wph(3))
+      // 3-gram codes are big-endian byte packs, injective
+      val cgc = r0.getSeq[Long](r0.fieldIndex("cgc"))
+      assert(cgc.length == "b a b a b".length - 2)
+      assert(cgc.head == (('b'.toLong << 16) | (' '.toLong << 8) | 'a'.toLong))
+      // "x\nx\ny z": 3 lines, 2 distinct, dup chars = 1
+      val rs = rows.find(_.getAs[Double]("dp") == 0.0).get.getAs[Row]("rs")
+      assert(rs.getAs[Int]("n_lines") == 3)
+      assert(rs.getAs[Int]("n_dlines") == 2)
+      assert(rs.getAs[Long]("dup_chars") == 1L)
+
+      // the whole projection is one fused codegen span
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"hot-expression Project not inside a WholeStageCodegen span:\n$plan")
+    }
+  }
+
+  test("generated and interpreted paths agree on corpus data") {
+    // same expressions evaluated with codegen ON vs factory forced OFF
+    // (NO_CODEGEN) over real documents — value-identical results
+    val docs = graft.core.Graft.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    def run(): Array[Row] = {
+      val planes = VectorExpressions.dyadicPlanes(4, 3)
+      docs.select(
+        F.col("doc_id"),
+        RollingHash.rolling_hash(F.col("text")).as("rh"),
+        MinHashSigs.minhash_sigs(F.split(F.col("text"), " "), 4).as("mhs"),
+        SimHash32.simhash32(F.col("text")).as("sh"),
+        RepetitionStats.repetition_stats(F.col("text")).as("rs"))
+        .orderBy("doc_id").collect()
+    }
+    val gen = run()
+    val interp = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try run()
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(gen.sameElements(interp))
+  }
+}
