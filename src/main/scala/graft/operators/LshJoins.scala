@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket-bounded candidate generation for banded LSH self-joins.
+  *
+  * Every LSH family here (MinHash bands, SimHash rotation blocks,
+  * random-hyperplane bands, IVF cell pairs) finds candidates by
+  * self-joining a banded frame on its bucket key. Correct — but a single
+  * degenerate bucket of B members yields B² candidate pairs, and on
+  * boilerplate-heavy web text whole clusters of near-identical documents
+  * share every band key, so one hot bucket becomes a quadratic straggler
+  * task. Production LSH bounds this; so do we:
+  *
+  *   - buckets with at most `maxBucket` members emit ALL within-bucket
+  *     pairs (the exact LSH semantics — untouched at every test scale
+  *     factor, so oracles stay exact);
+  *   - buckets past the threshold degrade to STAR pairs: every member is
+  *     paired with the bucket's minimum-id anchor only. O(B) pairs
+  *     instead of O(B²), every member still reachable — the
+  *     connected-components and drop-list consumers still see the whole
+  *     cluster as one component via the anchor; only marginal
+  *     member-to-member pairs (which the verify step must re-find through
+  *     another band) are traded;
+  *   - nothing is capped silently: the observed metrics `hot_buckets`,
+  *     `hot_members` and `largest_bucket` (Dataset.observe — a zero-cost
+  *     CollectMetrics node, readable via `queryExecution.observedMetrics`
+  *     or a QueryExecutionListener) report exactly what degraded.
+  *
+  * The input frame must be SLIM — bucket key columns plus the id only.
+  * Payloads (shingle sets, vectors, signatures) are re-attached by the
+  * caller per verified candidate, so the band shuffle never carries an
+  * array column on either side.
+  */
+object LshJoins {
+
+  /** Default hot-bucket threshold. At 4096 a bucket only degrades when
+    * ≥4097 rows share one band key — a cluster of thousands of
+    * near-identical documents, exactly the case where all-pairs
+    * verification is pointless and star connectivity suffices.
+    */
+  val DefaultMaxBucket = 4096
+
+  /** Candidate pairs `(bucketCols…, outA, outB)` with `outA < outB` from
+    * a slim banded frame `(bucketCols…, idCol)`. One keyed shuffle on the
+    * bucket key (the window and the self-join share it); hot buckets
+    * degrade to star pairs as documented above. Callers dedup across
+    * buckets (`.select(outA, outB).distinct()`) and re-attach payloads.
+    *
+    * `tag` names the observed metrics and must be unique within any one
+    * query composing several capped joins.
+    */
+  def cappedBandPairs(
+      banded: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      outA: String,
+      outB: String,
+      maxBucket: Int = DefaultMaxBucket,
+      tag: String = "lsh_cap"): DataFrame = {
+    val bucket = bucketCols.map(col)
+    val wAll = Window.partitionBy(bucket: _*)
+    // first over the id-ordered unbounded-preceding frame = min id = anchor
+    val wAnchor = Window
+      .partitionBy(bucket: _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = banded
+      .withColumn("__bsz", count(lit(1)).over(wAll))
+      .withColumn("__anchor", first(col(idCol)).over(wAnchor))
+      .observe(
+        tag,
+        sum(when(col("__bsz") > maxBucket && col(idCol) === col("__anchor"), 1L)
+          .otherwise(0L)).as("hot_buckets"),
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("hot_members"),
+        max(col("__bsz")).as("largest_bucket"))
+    val small = annotated
+      .filter(col("__bsz") <= maxBucket)
+      .select(bucket :+ col(idCol): _*)
+    val smallPairs = small
+      .toDF(bucketCols :+ outA: _*)
+      .join(small.toDF(bucketCols :+ outB: _*), bucketCols)
+      .filter(col(outA) < col(outB))
+      .select(bucket :+ col(outA) :+ col(outB): _*)
+    val starPairs = annotated
+      .filter(col("__bsz") > maxBucket && col(idCol) =!= col("__anchor"))
+      .select(bucket :+ col("__anchor").as(outA) :+ col(idCol).as(outB): _*)
+    smallPairs.unionByName(starPairs)
+  }
+}

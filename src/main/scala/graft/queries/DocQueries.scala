@@ -236,10 +236,9 @@ object DocQueries {
     "dedup_containment" -> ((s, dir) => containmentPairs(docs(s, dir), 0.8)),
 
     // MinHash + LSH: 16 signatures, 4 bands × 4 rows; candidates share a
-    // band key (equality shuffle join), then exact Jaccard verification.
-    // Shingle sets RIDE THROUGH the band join (4 band rows per doc), so the
-    // md5-shingling pipeline runs once and the verify step needs no
-    // re-join back to the corpus — one self-join total, no recomputation.
+    // band key (slim-key equality join, hot buckets capped — see
+    // [[minhashLshPairs]]), then exact Jaccard verification on shingle
+    // sets re-attached per distinct candidate.
     "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))),
 
     // The signature-only variant: candidate pairs ranked by the MinHash
@@ -250,30 +249,34 @@ object DocQueries {
     // precision path.
     "dedup_minhash_estimate" -> { (s, dir) =>
       import graft.functions.MinHashSigs.minhash_sigs
+      // the signature frame feeds band build + both estimate joins;
+      // materialize the (tokenize → shingle → minhash) pipeline once
       val sig = shingled(docs(s, dir))
         .withColumn("mhs", minhash_sigs(col("shd"), NumHashes))
         .select(col("doc_id") +:
           (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+        .localCheckpoint()
       val bandStructs = (0 until Bands).map { bnd =>
         val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
         struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
       }
-      val bands = sig.select(
-        col("doc_id") +: explode(array(bandStructs: _*)).as("bs") +:
-          (0 until NumHashes).map(i => col(s"mh$i")): _*)
-        .select(col("doc_id") +: col("bs.band").as("band") +:
-          col("bs.bkey").as("bkey") +: (0 until NumHashes).map(i => col(s"mh$i")): _*)
-      val a = bands.select(col("band") +: col("bkey") +:
-        col("doc_id").as("doc_a") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
-      val b = bands.select(col("band") +: col("bkey") +:
-        col("doc_id").as("doc_b") +: (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val cand = graft.operators.LshJoins
+        .cappedBandPairs(bands, Seq("band", "bkey"), "doc_id",
+          "doc_a", "doc_b", tag = "minhash_est_cap")
+        .select("doc_a", "doc_b")
+        .distinct() // a pair can collide in several bands; estimate ONCE
+      cand
+        .join(sig.select(col("doc_id").as("doc_a") +:
+          (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b") +:
+          (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
             .as("jac_est"))
         .filter(col("jac_est") >= 0.5)
-        .distinct()
     },
 
     // Per-source corpus MinHash profiles + pairwise similarity: the
@@ -745,13 +748,13 @@ object DocQueries {
     * joinable (doc_id, pos, fp) fingerprint table.
     */
   def winnowFingerprints(d: DataFrame, k: Int = 3, win: Int = 4): DataFrame = {
-    import graft.functions.RollingHash.rolling_hash
+    import graft.functions.TokenHashes.token_hashes
     import graft.functions.WindowPolyHash.window_poly_hash
     val base = d
       .withColumn("tk", toks)
       .filter(size(col("tk")) >= k + win - 1)
       .select(col("doc_id"),
-        window_poly_hash(transform(col("tk"), t => rolling_hash(t)), k).as("gh"))
+        window_poly_hash(token_hashes(col("tk")), k).as("gh"))
     base
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("gh")) - win), j => {
@@ -855,16 +858,25 @@ object DocQueries {
 
   /** MinHash + LSH verified near-dup pairs `(doc_a, doc_b, jac)` — the
     * REUSABLE pair frame: 16 signatures in 4 bands × 4 rows; candidates
-    * share a band key (equality shuffle join), then exact Jaccard
-    * verification. Shingle sets RIDE THROUGH the band join (4 band rows
-    * per doc), so the md5-shingling pipeline runs once and the verify
-    * step needs no re-join back to the corpus — one self-join total.
-    * A real pipeline computes this once and feeds clusters / drop-list /
-    * survivor selection from the same frame (`.persist()` at the call
-    * site); the oracle harness runs each dependent query self-contained.
+    * share a band key, then exact Jaccard verification. The band
+    * self-join runs on SLIM keys only (`band, bkey, doc_id`) through
+    * [[graft.operators.LshJoins.cappedBandPairs]], so no shingle array
+    * crosses the band shuffle and a degenerate hot bucket degrades to
+    * linear star pairs instead of going quadratic (observed metric
+    * `minhash_lsh_cap`). Shingle sets are re-attached per DISTINCT
+    * candidate for the verify step — candidates ≪ corpus×bands, so two
+    * keyed joins against the checkpointed shingle frame beat replicating
+    * KB-sized arrays through every band row. A real pipeline computes
+    * this once and feeds clusters / drop-list / survivor selection from
+    * the same frame (`.persist()` at the call site); the oracle harness
+    * runs each dependent query self-contained.
     */
-  def minhashLshPairs(d: DataFrame): DataFrame = {
-    val sh = shingled(d)
+  def minhashLshPairs(
+      d: DataFrame,
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+    // the shingle frame feeds THREE branches (signature pass + both
+    // verify joins); materialize once, same pattern as containmentPairs
+    val sh = shingled(d).localCheckpoint()
     // all 16 signatures in ONE native pass over the shingle set
     // ([[graft.functions.MinHashSigs]] — same md5+affine arithmetic as
     // the interpreted TextFunctions.minhash formulation it replaces)
@@ -872,24 +884,27 @@ object DocQueries {
       .withColumn("mhs",
         graft.functions.MinHashSigs.minhash_sigs(col("shd"), NumHashes))
       .select(
-        col("doc_id") +: col("shd") +:
+        col("doc_id") +:
           (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*
       )
     val bandStructs = (0 until Bands).map { bnd =>
       val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
       struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"), col("shd"),
-      explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("shd"),
-        col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    bands.as("x")
-      .join(bands.as("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        jaccard(col("x.shd"), col("y.shd")).as("jac"))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val cand = graft.operators.LshJoins
+      .cappedBandPairs(bands, Seq("band", "bkey"), "doc_id",
+        "doc_a", "doc_b", maxBucket, "minhash_lsh_cap")
+      .select("doc_a", "doc_b")
+      .distinct() // a pair can collide in several bands; verify ONCE
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= 0.4)
-      .distinct() // a pair can collide in several bands
   }
 
   /** Drop-list from a verified pair frame + per-doc quality: for every
@@ -1037,13 +1052,13 @@ object DocQueries {
     */
   def substringSpans(d: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.RollingHash.rolling_hash
+    import graft.functions.TokenHashes.token_hashes
     import graft.functions.WindowPolyHash.window_poly_hash
     val base = d
       .withColumn("tk", toks)
       .filter(size(col("tk")) >= w)
       .select(col("doc_id"), col("tk"),
-        window_poly_hash(transform(col("tk"), t => rolling_hash(t)), w).as("gh"))
+        window_poly_hash(token_hashes(col("tk")), w).as("gh"))
     val pos = base.select(col("doc_id"),
       posexplode(col("gh")).as(Seq("p0", "gram")))
     val dup = pos.groupBy("gram")
@@ -1081,32 +1096,40 @@ object DocQueries {
     * (documented, inherent to 4 tables): diff bits straddling opposite
     * windows (e.g. bits {0,8,16,24}) can still evade all four blocks; the
     * full ≤6-bit guarantee would need all C(4,2) clean-block-pair tables.
-    * Candidates dedup before the exact hamming verify.
+    * Candidates dedup before the exact hamming verify. The block
+    * self-join runs on slim keys (`rot, blk, doc_id`) through
+    * [[graft.operators.LshJoins.cappedBandPairs]] — a degenerate block
+    * (a corpus of near-identical pages collapsing to one SimHash)
+    * degrades to linear star pairs instead of B² (observed metric
+    * `simhash_cap`); hashes re-attach per distinct candidate.
     */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(
+      sh: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+    val shc = sh.localCheckpoint() // feeds block build + both verify joins
     val rotBlocks = (0 until 4).map { r =>
       val rot = 8 * r
       struct(lit(r).as("rot"),
         expr(s"((shiftleft(simhash, $rot) % 4294967296) + " +
           s"shiftright(simhash, ${32 - rot})) >> 16").as("blk"))
     }
-    val blocks = sh
-      .select(col("doc_id"), col("simhash"),
-        explode(array(rotBlocks: _*)).as("rb"))
-      .select(col("doc_id"), col("simhash"),
-        col("rb.rot").as("rot"), col("rb.blk").as("blk"))
-    val a = blocks.select(col("rot"), col("blk"),
-      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val b = blocks.select(col("rot"), col("blk"),
-      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("rot", "blk"))
-      .filter(col("doc_a") < col("doc_b"))
+    val blocks = shc
+      .select(col("doc_id"), explode(array(rotBlocks: _*)).as("rb"))
+      .select(col("doc_id"), col("rb.rot").as("rot"), col("rb.blk").as("blk"))
+    val cand = graft.operators.LshJoins
+      .cappedBandPairs(blocks, Seq("rot", "blk"), "doc_id",
+        "doc_a", "doc_b", maxBucket, "simhash_cap")
+      .select("doc_a", "doc_b")
+      .distinct() // a pair may collide in several rotations; verify ONCE
+    cand
+      .join(shc.select(col("doc_id").as("doc_a"), col("simhash").as("h_a")), "doc_a")
+      .join(shc.select(col("doc_id").as("doc_b"), col("simhash").as("h_b")), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide in several rotations
   }
 
   /** dedup_substring_spans as reusable CTEs ending in

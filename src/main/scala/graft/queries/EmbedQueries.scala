@@ -34,6 +34,27 @@ object EmbedQueries {
 
   private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
+  /** Within-cell verified pairs `(label, vec_a, vec_b, cosine)` over a
+    * `withNorm`-shaped frame: candidates only inside the same coarse
+    * cell, generated on SLIM keys (`label, vec_id`) through
+    * [[graft.operators.LshJoins.cappedBandPairs]] so no vector crosses
+    * the cell shuffle and one overfull cell degrades to linear star
+    * pairs instead of B² — then vectors re-attach per candidate for the
+    * exact cosine. Callers filter on their own threshold.
+    */
+  private def cellPairs(
+      e: DataFrame, tag: String,
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame =
+    graft.operators.LshJoins
+      .cappedBandPairs(e.select(col("label"), col("vec_id")), Seq("label"),
+        "vec_id", "vec_a", "vec_b", maxBucket, tag)
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+
   private val NumQueries = 20
   private val K          = 5
 
@@ -78,15 +99,7 @@ object EmbedQueries {
     // coarse cell (label), exact cosine verification — the embedding-space
     // analog of LSH-blocked dedup.
     "embed_neardup_cosine" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("label"), col("vec_a"), col("vec_b"),
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      cellPairs(withNorm(emb(s, dir)), "neardup_cell_cap")
         .filter(col("cosine") >= 0.5)
     },
 
@@ -177,14 +190,8 @@ object EmbedQueries {
     // so the pair join is cell-keyed, and the CC engine is the same
     // large-star/small-star used for text clusters.
     "semdedup_drop" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.5)
+      val pairs = cellPairs(withNorm(emb(s, dir)), "semdedup_cell_cap")
+        .filter(col("cosine") >= 0.5)
         .select("vec_a", "vec_b")
       graft.operators.ConnectedComponents.labels(pairs)._1
         .filter(col("id") =!= col("label"))
@@ -684,27 +691,33 @@ object EmbedQueries {
     * cosine verification after. The reusable pair frame for
     * clusters/drop-lists in embedding space.
     */
-  def rpLshPairs(e: DataFrame): DataFrame = {
+  def rpLshPairs(
+      e: DataFrame,
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
     import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
     val planes = dyadicPlanes(16, 64)
-    val sig = e.withColumn("sig", rp_signature(col("v"), planes))
-    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-      shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits")))
-    val banded = sig
-      .select(col("vec_id"), col("v"), col("nrm"),
-        explode(array(bandCols: _*)).as("rb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("rb.band").as("band"), col("rb.bits").as("bits"))
-    val a = banded.select(col("band"), col("bits"),
-      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = banded.select(col("band"), col("bits"),
-      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("band", "bits"))
-      .filter(col("vec_a") < col("vec_b"))
+    // SLIM banded frame — the vectors stay out of the band shuffle; a
+    // degenerate band (e.g. a near-constant embedding cluster) degrades
+    // to linear star pairs (observed metric `rp_lsh_cap`) instead of B².
+    val banded = e
+      .withColumn("sig", rp_signature(col("v"), planes))
+      .select(col("vec_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits"))): _*)).as("rb"))
+      .select(col("vec_id"), col("rb.band").as("band"), col("rb.bits").as("bits"))
+    val cand = graft.operators.LshJoins
+      .cappedBandPairs(banded, Seq("band", "bits"), "vec_id",
+        "vec_a", "vec_b", maxBucket, "rp_lsh_cap")
+      .select("vec_a", "vec_b")
+      .distinct() // a pair can collide in several bands; verify ONCE
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.3)
-      .distinct() // a pair can collide in several bands
   }
 
   /** PQ structures as reusable CTEs ending in `codes(vec_id, m, code)`
