@@ -53,7 +53,9 @@ object IncrementalDedup {
     *
     * The one non-idempotent residue: a crash after the index append
     * leaves duplicate `(fp, batch_key)` rows once replayed, which are
-    * semantically inert for the anti-join (dedup is set membership).
+    * semantically inert for the anti-join (dedup is set membership) —
+    * [[compact]] reclaims them offline so the index stays bounded by its
+    * live fingerprint set.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -86,12 +88,8 @@ object IncrementalDedup {
     val admitted = novel.localCheckpoint(true)
     writeOut(admitted.drop("fp"))
     if (!spark.catalog.tableExists(indexTable)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        java.net.URI.create(location(spark, indexTable)).getPath))
-      spark.sql(
-        s"""CREATE TABLE `$indexTable` (fp STRING, batch_key STRING) USING parquet
-           |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
-           |LOCATION '${location(spark, indexTable)}'""".stripMargin)
+      java.nio.file.Files.createDirectories(dirPath(spark, indexTable))
+      spark.sql(createDdl(spark, indexTable, buckets))
     }
     admitted.select(col("fp"), lit(batchKey).as("batch_key"))
       .write.mode(SaveMode.Append)
@@ -100,25 +98,88 @@ object IncrementalDedup {
     admitted.drop("fp")
   }
 
+  /** Keep-first index compaction: collapse to ONE row per fingerprint,
+    * removing the inert `(fp, batch_key)` residue that crash-replays and
+    * checkpoint-recreated runs append over time — without it a
+    * long-running intake's index grows past its live fingerprint set.
+    * The survivor keeps the smallest batch_key (NULL reads as "", so
+    * legacy rows lose ties deterministically); membership — the only
+    * thing the anti-join consults — is unchanged.
+    *
+    * Run this OFFLINE, between ingests (the VACUUM discipline): a batch
+    * that crashed mid-append and is replayed AFTER its residue was
+    * compacted away under another run's key would see its docs as
+    * already-indexed and re-admit nothing — exactly the cross-run
+    * re-admission rule, but decided by the compactor instead of the
+    * exclusion filter.
+    *
+    * The compacted set is staged as a sibling bucketed table, then
+    * swapped in with a directory rename (at cluster scale the same move
+    * via `FileSystem.rename`), so the bucket layout — and the
+    * no-Exchange anti-join it guarantees — survives compaction.
+    * Returns the number of residue rows removed.
+    */
+  def compact(spark: SparkSession, indexTable: String, buckets: Int = 16): Long = {
+    ensureRegistered(spark, indexTable, buckets)
+    if (!spark.catalog.tableExists(indexTable)) return 0L
+    val before  = spark.table(indexTable).count()
+    val staging = indexTable + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    deleteDir(spark, staging)
+    spark.table(indexTable)
+      .groupBy("fp")
+      .agg(min(coalesce(col("batch_key"), lit(""))).as("batch_key"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .option("path", location(spark, staging))
+      .format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$indexTable`") // external: catalog entry only
+    spark.sql(s"DROP TABLE `$staging`")
+    deleteDir(spark, indexTable)
+    java.nio.file.Files.move(dirPath(spark, staging), dirPath(spark, indexTable))
+    spark.sql(createDdl(spark, indexTable, buckets))
+    before - spark.table(indexTable).count()
+  }
+
   /** The index's stable on-disk home under the warehouse dir. */
   private def location(spark: SparkSession, table: String): String =
     java.nio.file.Paths.get(
       java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
       .resolve(table).toUri.toString
 
+  private def dirPath(spark: SparkSession, table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(java.net.URI.create(location(spark, table)).getPath)
+
+  private def deleteDir(spark: SparkSession, table: String): Unit = {
+    val loc = dirPath(spark, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def createDdl(spark: SparkSession, table: String, buckets: Int): String =
+    s"""CREATE TABLE `$table` (fp STRING, batch_key STRING) USING parquet
+       |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+       |LOCATION '${location(spark, table)}'""".stripMargin
+
   /** Re-attach an index whose files survived a catalog restart: if the
     * table is unknown to (this session's) catalog but its location holds
     * data, register it as the same external bucketed table rather than
-    * letting a fresh create clobber the accumulated fingerprints.
+    * letting a fresh create clobber the accumulated fingerprints. A
+    * surviving catalog entry with the pre-batch_key 1-column schema is
+    * upgraded in place (schema-only ALTER; legacy rows read batch_key =
+    * NULL, which the null-safe exclusion keeps gating) — without this,
+    * the 2-column append would fail at runtime against a legacy entry.
     */
   private def ensureRegistered(spark: SparkSession, table: String, buckets: Int): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val loc = java.nio.file.Paths.get(java.net.URI.create(location(spark, table)).getPath)
+      val loc = dirPath(spark, table)
       if (java.nio.file.Files.exists(loc) &&
         java.nio.file.Files.list(loc).findFirst().isPresent)
-        spark.sql(
-          s"""CREATE TABLE `$table` (fp STRING, batch_key STRING) USING parquet
-             |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
-             |LOCATION '${location(spark, table)}'""".stripMargin)
+        spark.sql(createDdl(spark, table, buckets))
+    } else if (!spark.table(table).columns.contains("batch_key")) {
+      spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (batch_key STRING)")
     }
 }

@@ -89,6 +89,75 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.toList == List(Set.empty[Long], Set.empty[Long]))
   }
 
+  test("compaction removes replay residue exactly; admission unchanged") {
+    // state after the replay test: 6 distinct fingerprints, but runA#7's
+    // crash-replay left doc 30's fingerprint in the index twice
+    val before = spark.table(table).count()
+    val live   = spark.table(table).select("fp").distinct().count()
+    assert(before == live + 1, s"expected exactly one residue row, " +
+      s"got total=$before distinct=$live")
+    val removed = IncrementalDedup.compact(spark, table)
+    assert(removed == 1L)
+    // index is now exactly the live fingerprint set, one row each
+    assert(spark.table(table).count() == live)
+    assert(spark.table(table).select("fp").distinct().count() == live)
+    // membership is unchanged: every previously seen doc still gates,
+    // novel docs still enter
+    val probe = Seq(
+      (40L, "pi rho sigma"),     // indexed by runA#7 before compaction
+      (41L, "alpha beta gamma"), // indexed by batch 1
+      (42L, "phi chi psi")       // novel
+    ).toDF("doc_id", "text")
+    val admitted = IncrementalDedup.ingest(probe, table)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(42L))
+    // the compacted index kept its bucket layout: the anti-join's index
+    // side still reads bucket-aligned files with no Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b = Seq((50L, "omega alpha")).toDF("doc_id", "text")
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      val plan = b.join(spark.table(table), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      val indexSide = plan.linesIterator.dropWhile(l => !l.contains(table)).toSeq
+      assert(indexSide.nonEmpty && !indexSide.exists(_.contains("Exchange hashpartitioning")),
+        s"compacted index side re-shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("a legacy 1-column index entry is upgraded in place") {
+    val legacy = "graft_inc_dedup_legacy"
+    val loc = java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .resolve(legacy)
+    spark.sql(s"DROP TABLE IF EXISTS `$legacy`")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // a pre-batch_key index: catalog entry and data both 1-column
+    spark.sql(
+      s"""CREATE TABLE `$legacy` (fp STRING) USING parquet
+         |CLUSTERED BY (fp) SORTED BY (fp) INTO 16 BUCKETS
+         |LOCATION '${loc.toUri}'""".stripMargin)
+    Seq("alpha beta gamma").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .write.mode("append").bucketBy(16, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(legacy)
+    // the 2-column append used to fail against the legacy entry; now the
+    // schema upgrades in place and the legacy row keeps gating
+    val batch = Seq((60L, "alpha beta gamma"), (61L, "mu nu xi")).toDF("doc_id", "text")
+    val admitted = IncrementalDedup.ingest(batch, legacy)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(61L))
+    assert(spark.table(legacy).columns.toSeq == Seq("fp", "batch_key"))
+    // legacy rows read batch_key = NULL and still count as members
+    assert(spark.table(legacy).where(col("batch_key").isNull).count() == 1L)
+    spark.sql(s"DROP TABLE `$legacy`")
+  }
+
   test("the accumulated index side of the anti-join has no Exchange") {
     // force the sort-merge path (at real scale the index outgrows any
     // broadcast threshold; locally everything would broadcast)
