@@ -70,8 +70,24 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    // the stdout line rides a log capture that has truncated its tail in
+    // past rounds; ALSO write the complete per-query artifact (medians +
+    // every raw sample) to a committed file so round-over-round
+    // comparisons always cover the whole suite
+    if (only.isEmpty) {
+      val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench_results/bench_full.json"))
+      if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+      val perQuery = names.map(_._1).zipWithIndex.map { case (name, i) =>
+        val raw = samples.map(s => f"${s(i)}%.3f").mkString("[", ",", "]")
+        s""""$name":{"median":${f"${results(i)._2}%.3f"},"samples":$raw}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(outPath,
+        f"""{"total_sec":$total%.3f,"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
+    }
     spark.stop()
   }
 }

@@ -147,24 +147,34 @@ object Service {
       reporters)
     // metric lifecycle: (re-)register only when the active job or its
     // stream count changes; a NEW job first deregisters the old job's
-    // names so its suppliers stop reporting the dead job's frozen values
+    // names so its suppliers stop reporting the dead job's frozen values,
+    // and a job FINISHING with no successor (currentJob → None, the
+    // master back at Idle) deregisters the same way — otherwise the dead
+    // job's frozen counters would push to Carbon/log forever
     var regJob: graft.streaming.StreamingJob = null
     var regNames: Seq[String]                = Nil
     var regStreams                           = -1
+    def deregister(): Unit = {
+      regNames.foreach(registrar.removeMetric)
+      regNames = Nil
+      regJob = null
+      regStreams = -1
+    }
     var ticks  = 0L
     while (!shouldStop() && (cfg.maxTicks == 0L || ticks < cfg.maxTicks)) {
       loop.tick(clock())
-      master.currentJob.foreach { j =>
-        val live = j.liveStreamCount
-        if (!(j eq regJob) || live != regStreams) {
-          if (!(j eq regJob)) {
-            regNames.foreach(registrar.removeMetric)
-            regNames = Nil
-            regJob = j
+      master.currentJob match {
+        case Some(j) =>
+          val live = j.liveStreamCount
+          if (!(j eq regJob) || live != regStreams) {
+            if (!(j eq regJob)) {
+              deregister()
+              regJob = j
+            }
+            regNames = (regNames ++ MetricsReporter.registerJob(j, registrar)).distinct
+            regStreams = live
           }
-          regNames = (regNames ++ MetricsReporter.registerJob(j, registrar)).distinct
-          regStreams = live
-        }
+        case None => if (regJob != null) deregister()
       }
       reporters.foreach(_.tick(clock()))
       ticks += 1

@@ -82,8 +82,12 @@ object MetricsReporter {
     * reference `CarbonConnection` reconnect posture, `Reporter.cpp:7-21`)
     * instead of throwing through the service loop and killing the active
     * write job. A failed send drops the line and marks the connection
-    * down. Last-colon parse admits IPv6 hosts; a malformed address fails
-    * fast at construction.
+    * down. Every failure path CLOSES the socket it abandons — healthy()
+    * redials each round during an outage, and a long outage must not
+    * bleed file descriptors out of the long-running service (the
+    * reference reuses one asio connection for the same reason).
+    * Last-colon parse admits IPv6 hosts; a malformed address fails fast
+    * at construction.
     */
   final class ReconnectingCarbonTransport(hostPort: String, connectTimeoutMs: Int = 5000)
       extends CarbonTransport {
@@ -92,19 +96,38 @@ object MetricsReporter {
       s"carbon address '$hostPort' is not host:port")
     private val host = hostPort.substring(0, splitAt)
     private val port = hostPort.substring(splitAt + 1).toInt
-    private var out: java.io.Writer = null
-    private def connect(): Unit =
+    private var sock: java.net.Socket = null
+    private var out: java.io.Writer   = null
+    private def closeQuietly(): Unit = {
+      if (out != null) try out.close() catch { case _: Exception => () }
+      if (sock != null) try sock.close() catch { case _: Exception => () }
+      out = null
+      sock = null
+    }
+    private def connect(): Unit = {
+      closeQuietly() // never abandon a previous half-open connection
+      val s = new java.net.Socket()
       try {
-        val sock = new java.net.Socket()
-        sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        sock = s
         out = new java.io.OutputStreamWriter(
-          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
-      } catch { case _: Exception => out = null }
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+      } catch {
+        case _: Exception =>
+          try s.close() catch { case _: Exception => () } // a failed dial still holds an fd
+          out = null
+          sock = null
+      }
+    }
     override def healthy: Boolean = synchronized { if (out == null) connect(); out != null }
+    /** Current connection state WITHOUT the redial side effect of
+      * [[healthy]] (observability + tests).
+      */
+    def isConnected: Boolean = synchronized(out != null)
     def send(line: String): Unit = synchronized {
       if (out != null)
         try { out.write(line); out.flush() }
-        catch { case _: java.io.IOException => out = null }
+        catch { case _: java.io.IOException => closeQuietly() }
     }
   }
 

@@ -369,21 +369,15 @@ object AnalyticsQueries {
     },
 
     // HyperLogLog++ sketch distinct — the sketch path for cardinalities at
-    // 100 TB where exact distinct shuffles every key. No SQL oracle
-    // (sketch internals differ per engine ⇒ rows-only check); accuracy
-    // bounds vs exact are asserted in SaltingSpec.
-    "approx_distinct_users" -> ((s, dir) =>
-      Graft.events(s, dir)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          count(lit(1)).as("n"))),
-
-    // The estimator-measurement pattern (embed_ivf_recall,
+    // 100 TB where exact distinct shuffles every key — via the
+    // estimator-measurement pattern (embed_ivf_recall,
     // dedup_estimate_vs_exact): the HLL sketch value has no cross-engine
     // oracle, but |approx − exact| / exact against the configured rsd's
     // 3σ bound IS oracle-checkable — the sketch is hash-based, not
-    // randomized, so the boolean is stable for a given dataset. Turns
-    // approx_distinct_users' grey no-oracle row into a checked invariant.
+    // randomized, so the boolean is stable for a given dataset. (A bare
+    // sketch-value query existed through r4 as a permanently grey
+    // no-oracle row; this checked invariant supersedes it. Accuracy vs
+    // exact is also asserted in SaltingSpec.)
     "approx_distinct_error" -> ((s, dir) =>
       Graft.events(s, dir)
         .groupBy("event_type")

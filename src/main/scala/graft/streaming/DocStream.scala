@@ -50,7 +50,11 @@ object DocStream {
     * rejected against the whole-history fingerprint index
     * (restart-durable, bucketed, Exchange-free on the index side).
     * Admitted docs land under `outPath/batch_id=<id>/` (read the root
-    * as one partitioned parquet dataset). Effectively-once: each batch's
+    * as one PARTITIONED parquet dataset — consumers that previously read
+    * `outPath` as a flat non-partitioned directory must switch to
+    * partition discovery, and an `outPath` holding flat files from a
+    * pre-batch-subdirectory run should start a fresh root rather than
+    * mixing the two layouts). Effectively-once: each batch's
     * output is an OVERWRITE of its own batch-keyed directory, written
     * BEFORE the index append, and the anti-join excludes index rows
     * stamped with the replaying batch's id — so a crash at any point

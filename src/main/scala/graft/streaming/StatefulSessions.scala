@@ -26,6 +26,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulSessions {
 
+  /** Session confs for running stateful queries on the RocksDB state
+    * store — at production key cardinality the default provider keeps
+    * every key's ledger on the executor heap; RocksDB moves state
+    * off-heap with changelog checkpointing so a 100 TB-scale key space
+    * neither pressures the heap nor re-uploads full snapshots per batch.
+    * Apply BEFORE starting the query:
+    * `StatefulSessions.RocksDbStateStore.foreach((spark.conf.set _).tupled)`.
+    * (A session-wide conf, not per-query — which is why it ships as data
+    * rather than being hard-set inside [[sessions]].)
+    */
+  val RocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
 
   case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long)
@@ -112,20 +127,33 @@ object StatefulSessions {
         // watermark) match the batch fold: an event can extend an island
         // DOWNWARD (start lowered), bridge two islands into one, or open
         // its own island between them.
-        val evs = it.map(_.ts_ms).toArray.sorted.map(t => OpenSession(t, t, 1L))
-        val prior = state.getOption.map(_.islands).getOrElse(Seq.empty)
-        val items =
-          (prior ++ evs).sortBy(iv => (iv.start_ms, iv.last_ms))
-        var merged = List.empty[OpenSession]
-        items.foreach { iv =>
-          merged match {
-            case h :: t if iv.start_ms - h.last_ms <= gapMs =>
-              merged = OpenSession(h.start_ms, math.max(h.last_ms, iv.last_ms),
-                h.n_events + iv.n_events) :: t
-            case _ => merged = iv :: merged
-          }
+        //
+        // Hot-path shape: timestamps sort as a primitive array (no
+        // per-event OpenSession boxing), and because the held ledger is
+        // ALREADY start-ordered (settle stores the ascending merge
+        // output), islands and events combine with one linear two-pointer
+        // merge instead of re-sorting the union every batch.
+        val ts = it.map(_.ts_ms).toArray
+        java.util.Arrays.sort(ts)
+        val prior =
+          state.getOption.map(_.islands.toArray).getOrElse(Array.empty[OpenSession])
+        val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+        def push(start: Long, last: Long, n: Long): Unit = {
+          val k = out.length - 1
+          if (k >= 0 && start - out(k).last_ms <= gapMs) {
+            val h = out(k)
+            out(k) = OpenSession(h.start_ms, math.max(h.last_ms, last), h.n_events + n)
+          } else out += OpenSession(start, last, n)
         }
-        val sessions = merged.reverse // ascending by start
+        var i = 0
+        var j = 0
+        while (i < prior.length || j < ts.length) {
+          if (j >= ts.length ||
+            (i < prior.length && prior(i).start_ms <= ts(j))) {
+            val p = prior(i); push(p.start_ms, p.last_ms, p.n_events); i += 1
+          } else { push(ts(j), ts(j), 1L); j += 1 }
+        }
+        val sessions = out.toSeq // ascending by start
         if (streaming) settle(user, sessions, state)
         else {
           // batch mode: end-of-input IS the watermark at +∞ — close all

@@ -107,6 +107,55 @@ class ServiceSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$outRoot/svcfile/manifest.json")))
   }
 
+  test("a finished job's counters stop reporting once the master is idle") {
+    val outRoot = Files.createTempDirectory("graft-service").toString
+    val tr      = new MemTransport
+    val jobId   = UUID.randomUUID().toString
+    tr.pool += encodeRunStart(RunStart(10000, 15000, "run-dereg", "inst",
+      template, jobId, "svc-dereg", "svcfile", ""))
+    // stop-now lands right after acceptance; the master returns to Idle
+    // and currentJob → None a couple of ticks in
+    tr.commands += encodeRunStop(RunStop(0L, "run-dereg", jobId, "svc-dereg",
+      UUID.randomUUID().toString))
+
+    val lines = mutable.ArrayBuffer.empty[String]
+    val prevT = Service.transportFactory
+    val prevC = Service.carbonSenderFactory
+    Service.transportFactory = _ => tr
+    Service.carbonSenderFactory = _ =>
+      new graft.commands.MetricsReporter.CarbonTransport {
+        def send(line: String): Unit = lines += line
+      }
+    try {
+      // ~1 s per clock call → many carbon rounds across 40 ticks, nearly
+      // all of them AFTER the job finished
+      var now = 0L
+      val cfg = Service.parseArgs(Seq(
+        "--brokers", "b:9092",
+        "--command-status-topic", "cst",
+        "--job-pool-topic", "jp",
+        "--hdf-output-prefix", outRoot,
+        "--grafana-carbon-address", "carbon.example.org:2003",
+        "--service-name", "svc-dereg",
+        "--poll-interval", "0ms",
+        "--max-ticks", "40")).toOption.get
+      Service.run(spark, cfg, tr, clock = () => { now += 1000; now })
+    } finally {
+      Service.transportFactory = prevT
+      Service.carbonSenderFactory = prevC
+    }
+    assert(tr.out.map(_._1).contains("wrdn"), "job never finished")
+    // the job's counters reported while it was alive...
+    def ts(l: String) = l.trim.split(' ').last.toLong
+    val streamRounds = lines.filter(_.contains(".entry.speed."))
+      .map(ts).distinct.sorted
+    assert(streamRounds.nonEmpty, s"no stream counter lines at all: $lines")
+    // ...but deregistration on idle stops them: without it every later
+    // round (~12+ across 40 ticks) would keep pushing the frozen values
+    assert(streamRounds.size <= 3,
+      s"dead job's counters kept reporting: rounds at $streamRounds")
+  }
+
   test("--grafana-carbon-address wires a 10s carbon reporter through the loop") {
     val outRoot = Files.createTempDirectory("graft-service").toString
     val tr      = new MemTransport

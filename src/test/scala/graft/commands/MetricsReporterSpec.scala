@@ -102,6 +102,48 @@ class MetricsReporterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new ReconnectingCarbonTransport("host:"))
   }
 
+  test("send failure closes the dead connection and the next round redials") {
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    server.setSoTimeout(10000)
+    try {
+      val t = new ReconnectingCarbonTransport(
+        s"127.0.0.1:${server.getLocalPort}", connectTimeoutMs = 2000)
+      assert(t.healthy)
+      val s1 = server.accept()
+      t.send("a 1 0\n")
+      val in1 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s1.getInputStream))
+      assert(in1.readLine() == "a 1 0")
+      // server kills the connection: writes start failing once the RST
+      // lands; the transport must CLOSE its side, not just null the writer
+      s1.close()
+      var i = 0
+      while (i < 100 && t.isConnected) { t.send(s"b $i 0\n"); Thread.sleep(5); i += 1 }
+      assert(!t.isConnected, "broken connection never detected")
+      // next health probe redials and the new connection carries lines
+      assert(t.healthy)
+      val s2 = server.accept()
+      t.send("c 1 0\n")
+      val in2 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s2.getInputStream))
+      assert(in2.readLine() == "c 1 0")
+      s2.close()
+    } finally server.close()
+  }
+
+  test("a prolonged outage does not leak file descriptors across retries") {
+    def openFds: Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get("/proc/self/fd")).count()
+    val t = new ReconnectingCarbonTransport("127.0.0.1:1", connectTimeoutMs = 100)
+    assert(!t.healthy) // warm the failure path (lazy classloading etc.)
+    val before = openFds
+    // each healthy() probe during an outage dials (and must close) a socket
+    (1 to 50).foreach { _ => t.healthy; t.send("x 1 0\n") }
+    val after = openFds
+    assert(after <= before + 2, s"fd leak during outage: $before -> $after")
+  }
+
   test("duplicate registration is rejected; removal frees the name") {
     val rep = new Reporter(new CarbonSink(_ => ()), 1000)
     val m   = Metric("x", "d")(() => 0L)

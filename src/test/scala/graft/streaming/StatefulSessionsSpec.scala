@@ -118,6 +118,41 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the RocksDB state store option runs the same fold to the same result") {
+    val prev = StatefulSessions.RocksDbStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StatefulSessions.RocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val stream = MemoryStream[SessionEvent](spark)
+    val query = StatefulSessions
+      .sessions(stream.toDS(), GapMs)
+      .writeStream.format("memory").queryName("rocksdb_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0L), ev(1, 10000L), ev(1, 20000L), ev(2, 5000L))
+      query.processAllAvailable()
+      stream.addData(ev(1, 120000L))
+      query.processAllAvailable()
+      stream.addData(ev(2, 121000L))
+      query.processAllAvailable()
+      val closed = spark.table("rocksdb_sessions").as[ClosedSession]
+        .collect().sortBy(c => (c.user_id, c.session_start_ms)).toSeq
+      assert(closed == Seq(cs(1, 0L, 20000L, 3L), cs(2, 5000L, 5000L, 1L)))
+      // the query genuinely ran on RocksDB, not a silent fallback: the
+      // provider exports rocksdb* custom state metrics
+      import scala.jdk.CollectionConverters._
+      val stateMetrics = query.lastProgress.stateOperators
+        .flatMap(_.customMetrics.keySet().asScala)
+      assert(stateMetrics.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state metrics in ${stateMetrics.toSeq}")
+    } finally {
+      query.stop()
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("streaming: events older than the watermark are dropped, not merged") {
     val stream = MemoryStream[SessionEvent](spark)
     val query = StatefulSessions
