@@ -66,12 +66,17 @@ object Bench {
     val results = names.map(_._1).zipWithIndex.map { case (name, i) =>
       name -> median(samples.map(_(i)))
     }
+    // locale-invariant decimals: the f"" interpolator honors the JVM
+    // default locale, and a comma-decimal locale would render the JSON
+    // (stdout line AND committed artifact) unparseable
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
     println(line)
     // the stdout line rides a log capture that has truncated its tail in
     // past rounds; ALSO write the complete per-query artifact (medians +
@@ -82,11 +87,11 @@ object Bench {
         "SPARK_GRAFT_BENCH_OUT", "bench_results/bench_full.json"))
       if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
       val perQuery = names.map(_._1).zipWithIndex.map { case (name, i) =>
-        val raw = samples.map(s => f"${s(i)}%.3f").mkString("[", ",", "]")
-        s""""$name":{"median":${f"${results(i)._2}%.3f"},"samples":$raw}"""
+        val raw = samples.map(s => num(s(i))).mkString("[", ",", "]")
+        s""""$name":{"median":${num(results(i)._2)},"samples":$raw}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(outPath,
-        f"""{"total_sec":$total%.3f,"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
+        s"""{"total_sec":${num(total)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
     }
     spark.stop()
   }

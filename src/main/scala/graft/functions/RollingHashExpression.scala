@@ -74,13 +74,29 @@ object RollingMod {
     new GenericArrayData(out)
   }
 
-  /** [[TokenHashes]] eval body. */
+  /** [[TokenHashes]] eval body. Null elements hash to null (the contract
+    * of the `transform(tk, t => rolling_hash(t))` form this replaces);
+    * the null-free fast path stays a primitive long array.
+    */
   def tokenHashesEval(arr: ArrayData): ArrayData = {
-    val n   = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = hashBytes(arr.getUTF8String(i).getBytes); i += 1 }
-    new GenericArrayData(out)
+    val n       = arr.numElements()
+    var hasNull = false
+    var i       = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = hashBytes(arr.getUTF8String(i).getBytes); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null else hashBytes(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   /** [[CharGramCodes]] eval body. */
@@ -128,7 +144,12 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   */
 case class TokenHashes(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements pass through as null hashes — mirror the input's
+  // nullability so a null-free tokenizer output keeps the tight schema
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _                => ArrayType(LongType, containsNull = true)
+  }
 
   override def nullSafeEval(input: Any): Any =
     RollingMod.tokenHashesEval(input.asInstanceOf[ArrayData])

@@ -114,9 +114,20 @@ object IncrementalDedup {
     * exclusion filter.
     *
     * The compacted set is staged as a sibling bucketed table, then
-    * swapped in with a directory rename (at cluster scale the same move
+    * swapped in with directory renames (at cluster scale the same moves
     * via `FileSystem.rename`), so the bucket layout — and the
     * no-Exchange anti-join it guarantees — survives compaction.
+    *
+    * Crash-safe swap: the live directory is RENAMED ASIDE (not deleted)
+    * before the staging directory takes its place, and only then is the
+    * retired copy removed — at no instant does the index exist solely as
+    * a half-deleted tree. A crash between the two renames leaves the old
+    * index intact under `<table>__retiring`, which [[ensureRegistered]]
+    * restores on the next touch; a crash after both renames leaves the
+    * compacted index live and only the retired copy to sweep. Either way
+    * no fingerprint is ever lost — the failure the naive
+    * delete-then-move ordering invites (index gone, next ingest
+    * re-admits the whole history).
     * Returns the number of residue rows removed.
     */
   def compact(spark: SparkSession, indexTable: String, buckets: Int = 16): Long = {
@@ -125,7 +136,7 @@ object IncrementalDedup {
     val before  = spark.table(indexTable).count()
     val staging = indexTable + "__compacting"
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
-    deleteDir(spark, staging)
+    deleteDir(dirPath(spark, staging))
     spark.table(indexTable)
       .groupBy("fp")
       .agg(min(coalesce(col("batch_key"), lit(""))).as("batch_key"))
@@ -135,8 +146,10 @@ object IncrementalDedup {
       .format("parquet").saveAsTable(staging)
     spark.sql(s"DROP TABLE `$indexTable`") // external: catalog entry only
     spark.sql(s"DROP TABLE `$staging`")
-    deleteDir(spark, indexTable)
+    val retiring = dirPath(spark, indexTable + "__retiring")
+    java.nio.file.Files.move(dirPath(spark, indexTable), retiring)
     java.nio.file.Files.move(dirPath(spark, staging), dirPath(spark, indexTable))
+    deleteDir(retiring) // the old copy is discarded only after the swap
     spark.sql(createDdl(spark, indexTable, buckets))
     before - spark.table(indexTable).count()
   }
@@ -150,12 +163,35 @@ object IncrementalDedup {
   private def dirPath(spark: SparkSession, table: String): java.nio.file.Path =
     java.nio.file.Paths.get(java.net.URI.create(location(spark, table)).getPath)
 
-  private def deleteDir(spark: SparkSession, table: String): Unit = {
-    val loc = dirPath(spark, table)
+  private def deleteDir(loc: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(loc) // close: walk holds open dir fds
+      val all  = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  private def dirNonEmpty(loc: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(loc) && {
+      val ls = java.nio.file.Files.list(loc) // close: list holds an open dir fd
+      try ls.findFirst().isPresent finally ls.close()
+    }
+
+  /** Finish or roll back a [[compact]] swap the JVM died inside: a
+    * surviving `<table>__retiring` directory means the old index was
+    * renamed aside — restore it if the live directory never materialized
+    * (crash between the renames), otherwise just sweep the retired copy
+    * (crash after the swap). Both directions preserve membership; a
+    * stale `__compacting` staging dir is inert and re-cleared by the
+    * next compact.
+    */
+  private def recoverSwap(spark: SparkSession, table: String): Unit = {
+    val retiring = dirPath(spark, table + "__retiring")
+    if (java.nio.file.Files.exists(retiring)) {
+      val live = dirPath(spark, table)
+      if (!java.nio.file.Files.exists(live))
+        java.nio.file.Files.move(retiring, live)
+      else deleteDir(retiring)
     }
   }
 
@@ -173,13 +209,13 @@ object IncrementalDedup {
     * NULL, which the null-safe exclusion keeps gating) — without this,
     * the 2-column append would fail at runtime against a legacy entry.
     */
-  private def ensureRegistered(spark: SparkSession, table: String, buckets: Int): Unit =
+  private def ensureRegistered(spark: SparkSession, table: String, buckets: Int): Unit = {
+    recoverSwap(spark, table)
     if (!spark.catalog.tableExists(table)) {
-      val loc = dirPath(spark, table)
-      if (java.nio.file.Files.exists(loc) &&
-        java.nio.file.Files.list(loc).findFirst().isPresent)
+      if (dirNonEmpty(dirPath(spark, table)))
         spark.sql(createDdl(spark, table, buckets))
     } else if (!spark.table(table).columns.contains("batch_key")) {
       spark.sql(s"ALTER TABLE `$table` ADD COLUMNS (batch_key STRING)")
     }
+  }
 }

@@ -61,15 +61,13 @@ object LshJoins {
       maxBucket: Int = DefaultMaxBucket,
       tag: String = "lsh_cap"): DataFrame = {
     val bucket = bucketCols.map(col)
+    // both the size and the min-id anchor come from the SAME unordered
+    // partition window — an ordered window here would sort every band
+    // partition just to read off its minimum
     val wAll = Window.partitionBy(bucket: _*)
-    // first over the id-ordered unbounded-preceding frame = min id = anchor
-    val wAnchor = Window
-      .partitionBy(bucket: _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val annotated = banded
       .withColumn("__bsz", count(lit(1)).over(wAll))
-      .withColumn("__anchor", first(col(idCol)).over(wAnchor))
+      .withColumn("__anchor", min(col(idCol)).over(wAll))
       .observe(
         tag,
         sum(when(col("__bsz") > maxBucket && col(idCol) === col("__anchor"), 1L)

@@ -44,16 +44,21 @@ object EmbedQueries {
     */
   private def cellPairs(
       e: DataFrame, tag: String,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame =
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+    // three consumers below (band build + both re-attach joins): without
+    // this the parquet scan + widening + l2_norm pipeline re-runs per
+    // branch (the same shape DocQueries.shingled checkpoints)
+    val ec = e.localCheckpoint(true)
     graft.operators.LshJoins
-      .cappedBandPairs(e.select(col("label"), col("vec_id")), Seq("label"),
+      .cappedBandPairs(ec.select(col("label"), col("vec_id")), Seq("label"),
         "vec_id", "vec_a", "vec_b", maxBucket, tag)
-      .join(e.select(col("vec_id").as("vec_a"),
+      .join(ec.select(col("vec_id").as("vec_a"),
         col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"),
+      .join(ec.select(col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+  }
 
   private val NumQueries = 20
   private val K          = 5
@@ -696,10 +701,13 @@ object EmbedQueries {
       maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
     import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
     val planes = dyadicPlanes(16, 64)
+    // three consumers (signature pass + both re-attach joins) — run the
+    // scan + widening + l2_norm pipeline once
+    val ec = e.localCheckpoint(true)
     // SLIM banded frame — the vectors stay out of the band shuffle; a
     // degenerate band (e.g. a near-constant embedding cluster) degrades
     // to linear star pairs (observed metric `rp_lsh_cap`) instead of B².
-    val banded = e
+    val banded = ec
       .withColumn("sig", rp_signature(col("v"), planes))
       .select(col("vec_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -711,9 +719,9 @@ object EmbedQueries {
       .select("vec_a", "vec_b")
       .distinct() // a pair can collide in several bands; verify ONCE
     cand
-      .join(e.select(col("vec_id").as("vec_a"),
+      .join(ec.select(col("vec_id").as("vec_a"),
         col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"),
+      .join(ec.select(col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))

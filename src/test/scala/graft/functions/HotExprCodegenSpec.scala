@@ -83,6 +83,23 @@ class HotExprCodegenSpec extends SparkSpec {
     }
   }
 
+  test("token_hashes passes null elements through as null hashes") {
+    // the transform(tk, t => rolling_hash(t)) contract this expression
+    // replaced: a null element yields a null hash, not an NPE'd task
+    val out = spark.range(1)
+      .select(TokenHashes.token_hashes(
+        F.array(F.lit("a"), F.lit(null).cast("string"), F.lit("b"))).as("h"))
+      .collect().head.getSeq[Any](0)
+    assert(out.length == 3 && out(1) == null)
+    assert(out(0) == RollingMod.hashBytes("a".getBytes("UTF-8")))
+    assert(out(2) == RollingMod.hashBytes("b".getBytes("UTF-8")))
+    // a provably null-free input (array of non-nullable literals) keeps
+    // the tight containsNull=false schema; nullable inputs widen it
+    val tight = spark.range(1)
+      .select(TokenHashes.token_hashes(F.array(F.lit("a"), F.lit("b"))).as("h"))
+    assert(!tight.schema("h").dataType.asInstanceOf[ArrayType].containsNull)
+  }
+
   test("generated and interpreted paths agree on corpus data") {
     // same expressions evaluated with codegen ON vs factory forced OFF
     // (NO_CODEGEN) over real documents — value-identical results

@@ -13,17 +13,33 @@ class IncrementalDedupSpec extends SparkSpec {
 
   private val table = "graft_inc_dedup_idx"
 
-  test("batches admit only never-seen documents; index accumulates") {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // clear any files from a previous JVM so the suite starts clean
-    val loc = java.nio.file.Paths.get(
+  private def loc(name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
       java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      .resolve(table)
-    if (java.nio.file.Files.exists(loc)) {
+      .resolve(name)
+
+  private def clearDir(name: String): Unit = {
+    val p = loc(name)
+    if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(p)
+      val all  = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  /** Drop the catalog entry and every on-disk trace (incl. swap debris)
+    * so each test builds its own fixture.
+    */
+  private def reset(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    clearDir(name)
+    clearDir(name + "__compacting")
+    clearDir(name + "__retiring")
+  }
+
+  test("batches admit only never-seen documents; index accumulates") {
+    reset(table) // clear any files from a previous JVM so the suite starts clean
 
     val b1 = Seq(
       (1L, "alpha beta gamma"),
@@ -90,17 +106,27 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("compaction removes replay residue exactly; admission unchanged") {
-    // state after the replay test: 6 distinct fingerprints, but runA#7's
-    // crash-replay left doc 30's fingerprint in the index twice
-    val before = spark.table(table).count()
-    val live   = spark.table(table).select("fp").distinct().count()
-    assert(before == live + 1, s"expected exactly one residue row, " +
-      s"got total=$before distinct=$live")
-    val removed = IncrementalDedup.compact(spark, table)
+    // self-contained fixture (no dependence on sibling tests' leftover
+    // state): one normal batch, then a crash-replayed stream batch whose
+    // second append leaves exactly one residue row for doc 30
+    val t = "graft_inc_dedup_compact"
+    reset(t)
+    IncrementalDedup.ingest(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text"), t)
+    val replayed = Seq((30L, "pi rho sigma"), (31L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(replayed, t, "runA#7", _ => ())
+    IncrementalDedup.ingestBatch(replayed, t, "runA#7", _ => ()) // crash replay
+    val before = spark.table(t).count()
+    val live   = spark.table(t).select("fp").distinct().count()
+    assert(live == 3L && before == live + 1, s"fixture: expected one " +
+      s"residue row over 3 fingerprints, got total=$before distinct=$live")
+    val removed = IncrementalDedup.compact(spark, t)
     assert(removed == 1L)
     // index is now exactly the live fingerprint set, one row each
-    assert(spark.table(table).count() == live)
-    assert(spark.table(table).select("fp").distinct().count() == live)
+    assert(spark.table(t).count() == live)
+    assert(spark.table(t).select("fp").distinct().count() == live)
     // membership is unchanged: every previously seen doc still gates,
     // novel docs still enter
     val probe = Seq(
@@ -108,7 +134,7 @@ class IncrementalDedupSpec extends SparkSpec {
       (41L, "alpha beta gamma"), // indexed by batch 1
       (42L, "phi chi psi")       // novel
     ).toDF("doc_id", "text")
-    val admitted = IncrementalDedup.ingest(probe, table)
+    val admitted = IncrementalDedup.ingest(probe, t)
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(42L))
     // the compacted index kept its bucket layout: the anti-join's index
@@ -118,30 +144,53 @@ class IncrementalDedupSpec extends SparkSpec {
     try {
       val b = Seq((50L, "omega alpha")).toDF("doc_id", "text")
         .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-      val plan = b.join(spark.table(table), Seq("fp"), "left_anti")
+      val plan = b.join(spark.table(t), Seq("fp"), "left_anti")
         .queryExecution.executedPlan.toString
-      val indexSide = plan.linesIterator.dropWhile(l => !l.contains(table)).toSeq
+      val indexSide = plan.linesIterator.dropWhile(l => !l.contains(t)).toSeq
       assert(indexSide.nonEmpty && !indexSide.exists(_.contains("Exchange hashpartitioning")),
         s"compacted index side re-shuffled:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a crash inside the compaction swap never loses the index") {
+    val t = "graft_inc_dedup_crash"
+    reset(t)
+    IncrementalDedup.ingest(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text"), t)
+    // crash model A: compact died BETWEEN the two renames — catalog entry
+    // dropped, live dir renamed aside, staging never promoted
+    spark.sql(s"DROP TABLE `$t`")
+    java.nio.file.Files.move(loc(t), loc(t + "__retiring"))
+    // the next touch restores the retired copy: seen docs still gate
+    val a = IncrementalDedup.ingest(
+      Seq((3L, "alpha beta gamma"), (4L, "kappa lambda mu"))
+        .toDF("doc_id", "text"), t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == Set(4L), "retired index copy was not restored")
+    assert(!java.nio.file.Files.exists(loc(t + "__retiring")))
+    // crash model B: compact died AFTER the swap — live index is the
+    // compacted copy, the retired tree is still waiting for its sweep
+    java.nio.file.Files.createDirectories(loc(t + "__retiring"))
+    java.nio.file.Files.writeString(
+      loc(t + "__retiring").resolve("stale.parquet"), "x")
+    val b = IncrementalDedup.ingest(
+      Seq((5L, "kappa lambda mu"), (6L, "nu xi omicron"))
+        .toDF("doc_id", "text"), t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == Set(6L)) // membership intact (live copy authoritative)
+    assert(!java.nio.file.Files.exists(loc(t + "__retiring")),
+      "post-swap retired copy was not swept")
+  }
+
   test("a legacy 1-column index entry is upgraded in place") {
     val legacy = "graft_inc_dedup_legacy"
-    val loc = java.nio.file.Paths.get(
-      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      .resolve(legacy)
-    spark.sql(s"DROP TABLE IF EXISTS `$legacy`")
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    reset(legacy)
     // a pre-batch_key index: catalog entry and data both 1-column
     spark.sql(
       s"""CREATE TABLE `$legacy` (fp STRING) USING parquet
          |CLUSTERED BY (fp) SORTED BY (fp) INTO 16 BUCKETS
-         |LOCATION '${loc.toUri}'""".stripMargin)
+         |LOCATION '${loc(legacy).toUri}'""".stripMargin)
     Seq("alpha beta gamma").toDF("text")
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .write.mode("append").bucketBy(16, "fp").sortBy("fp")
