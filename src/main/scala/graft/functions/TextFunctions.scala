@@ -92,6 +92,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** JVM-side twin of [[fingerprint]] for keyed-state operators that
+    * group on the fingerprint OUTSIDE a Column expression
+    * ([[graft.streaming.TtlDedup]]). Must stay canonicalization-identical
+    * to the column form — equality is spec-pinned on corpus data.
+    */
+  def fingerprintOf(text: String): String = {
+    val canon = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Unsigned-64 comparison via the sign-flip trick — the uint64 columns
     * (ev44 reference_time, tdct timestamps) live in signed longs with bit
     * patterns preserved (SURVEY §7.4 #5); ordering them as unsigned means
