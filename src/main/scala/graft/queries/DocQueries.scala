@@ -712,6 +712,45 @@ object DocQueries {
         .filter(col("cnt") >= 50)
     },
 
+    // Count-min-sketch heavy hitters — completes the sketch family (HLL
+    // cardinality → approx_distinct_error, Bloom membership →
+    // decontaminate_bloom_check, CMS frequency → here): at 100 TB the
+    // exact gram-count table shuffles every distinct gram, while the CMS
+    // folds the whole corpus into ONE fixed-size mergeable sketch
+    // (count_min_sketch agg — size set by eps/confidence, not
+    // cardinality). Verified with the estimator-bound pattern: CMS never
+    // undercounts, and for a fixed seed its overcount bound ⌈eps·N⌉ is a
+    // deterministic, oracle-checkable boolean per top-k gram (exact
+    // counts = the measurement side; top-k totally ordered by
+    // (n DESC, g2 ASC) so the LIMIT is stable cross-engine).
+    "ngram_heavy_hitters_sketch" -> { (s, dir) =>
+      val grams = docs(s, dir).withColumn("tk", toks)
+        .filter(size(col("tk")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("tk")) - lit(1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("g2"))
+        .localCheckpoint(true) // three consumers: N, sketch, exact counts
+      val eps   = 0.0002
+      val total = grams.count()
+      // 1-row fixed-size binary — the bloom-sketch collect pattern
+      val cmsBytes = grams
+        .agg(count_min_sketch(col("g2"), lit(eps), lit(0.99), lit(42)).as("cms"))
+        .head.getAs[Array[Byte]]("cms")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(cmsBytes))
+      val bound = math.ceil(eps * total).toLong
+      val top = grams.groupBy("g2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g2").asc)
+        .limit(20) // TakeOrdered — bounded at any corpus size
+        .collect() // 20 rows; probed against the driver-side sketch
+      import s.implicits._
+      top.toSeq.map { r =>
+        val g   = r.getString(0)
+        val n   = r.getLong(1)
+        val est = cms.estimateCount(g)
+        (g, n, est >= n && est <= n + bound)
+      }.toDF("g2", "n", "within_bound")
+    },
+
     // Model-based quality filter (the fastText/DCLM-shaped step): a
     // logistic scorer over interpretable per-doc features with LITERAL
     // weights (stands in for offline-trained coefficients; at scale the
@@ -1745,6 +1784,14 @@ object DocQueries {
         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
         |       (round(-slog / n_grams, 6) <= 5.36) AS keep
         |FROM sc""".stripMargin,
+    "ngram_heavy_hitters_sketch" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS g2
+        |      FROM t WHERE len(tk) >= 2),
+        |c AS (SELECT g2, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY g2)
+        |SELECT g2, n, TRUE AS within_bound FROM c
+        |ORDER BY n DESC, g2 LIMIT 20""".stripMargin,
     "ngram_counts" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (
