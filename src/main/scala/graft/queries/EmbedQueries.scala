@@ -357,6 +357,45 @@ object EmbedQueries {
         "cosine", K, extra = Seq("cell"))
         // original column order — IvfIndexSpec compares positionally
         .select("query_id", "cell", "neighbor_id", "cosine", "rank")
+    },
+
+    // Cluster-balanced corpus sampling — the data-mixing draw over
+    // SEMANTIC cells instead of metadata strata (sample_stratified's
+    // source column): every vector is assigned to its nearest label
+    // centroid (same rounded-cosine cell rule as embed_ivf_knn, so the
+    // oracle reuses that CTE), then each cell contributes a fixed budget
+    // in deterministic md5 order — the curriculum/mixing step that keeps
+    // a dominant cluster from swamping the sample. Assignment is ONE
+    // partially-aggregated slim shuffle (TopKStructs k=1 — no per-vector
+    // rank window over the crossJoin), the draw one keyed window.
+    "embed_cluster_sample" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(avg("e").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("c_label"), transform(col("pc"), _.getField("c")).as("cv"))
+        .withColumn("cn", l2_norm(col("cv")))
+      val scored = e
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id").as("query_id"), col("c_label").as("neighbor_id"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
+      val assigned = topKPerQuery(scored, "ccos", 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").cast("int").as("cell"))
+      // bounded draw: O(budget) per cell through partial/shuffle/merge
+      // (the TopKStructs shape) — a rank window here would sort every
+      // cell's ENTIRE membership to keep 10 rows
+      import graft.functions.TopKStructs.top_k_structs
+      assigned
+        .groupBy("cell")
+        .agg(top_k_structs(
+          struct(md5(col("vec_id").cast("string")).as("ord"), col("vec_id")), 10)
+          .as("__top"))
+        .select(col("cell"), posexplode(col("__top")))
+        .select(col("col.vec_id").as("vec_id"), col("cell"),
+          (col("pos") + 1).cast("long").as("pick"))
     }
   )
 
@@ -542,6 +581,31 @@ object EmbedQueries {
     // identical oracle to embed_ivf_knn
     "embed_ivf_knn_bucketed" -> SqlIvfKnn,
     "embed_ivf_knn" -> SqlIvfKnn,
+    "embed_cluster_sample" ->
+      s"""WITH $SqlNorm,
+         |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
+         |       FROM (SELECT label, unnest(embedding) AS e,
+         |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |             FROM embeddings)
+         |       GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cb GROUP BY label),
+         |cn AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, cn.c_label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, cn.cv) / (n.nrm * cn.cn), 6) DESC,
+         |                      cn.c_label) AS crank
+         |    FROM n, cn)
+         |  WHERE crank = 1),
+         |s AS (SELECT vec_id, CAST(cell AS INT) AS cell,
+         |        row_number() OVER (PARTITION BY cell
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+         |      FROM assign)
+         |SELECT vec_id, cell, CAST(pick AS BIGINT) AS pick FROM s
+         |WHERE pick <= 10""".stripMargin,
     "semdedup_drop" ->
       s"""WITH RECURSIVE $SqlNorm,
          |pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
