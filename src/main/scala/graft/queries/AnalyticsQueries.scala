@@ -435,6 +435,39 @@ object AnalyticsQueries {
           round(element_at(col("ps"), 2), 6).as("p90"),
           round(element_at(col("ps"), 3), 6).as("p99"))),
 
+    // Quantile-sketch percentiles with an oracle-checked rank bound —
+    // the fourth member of the sketch family (HLL cardinality, Bloom
+    // membership, CMS frequency, quantile summary): exact percentile
+    // materializes every group's full value multiset, while
+    // percentile_approx folds it into a fixed-size mergeable summary
+    // whose guarantee |rank(x) − q·N| ≤ N/accuracy is checkable without
+    // a cross-engine sketch oracle. The estimate itself can depend on
+    // partition merge order, but the BOUND holds on every merge order,
+    // so the emitted booleans are stable — the same
+    // estimator-measurement pattern as approx_distinct_error. Rank is
+    // measured both sides of ties (count ≤ and count <) so duplicated
+    // values can't fake a violation.
+    "value_percentiles_sketch" -> { (s, dir) =>
+      val acc = 1000
+      val ev  = Graft.events(s, dir).select(col("event_type"), col("value"))
+      val approx = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+        .select(col("event_type"),
+          element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
+      def ok(a: Column, q: Double, n: Column): Column = {
+        val slack = n.cast("double") / acc + lit(1.0)
+        val le = sum(when(col("value") <= a, 1L).otherwise(0L)).cast("double")
+        val lt = sum(when(col("value") < a, 1L).otherwise(0L)).cast("double")
+        (le >= n.cast("double") * q - slack) && (lt <= n.cast("double") * q + slack)
+      }
+      val n = count(lit(1))
+      ev.join(broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(n.as("n"), ok(col("a50"), 0.5, n).as("p50_rank_ok"),
+          ok(col("a90"), 0.9, n).as("p90_rank_ok"))
+    },
+
     // Per-segment top-3 customers by exact order total: broadcast dim
     // join + the bounded TopKStructs aggregate (at most 2k rows per
     // segment cross the shuffle; the window form sorts every segment's
@@ -1190,6 +1223,10 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "value_percentiles_sketch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "top_spenders_by_segment" ->
       """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank, c_custkey,
