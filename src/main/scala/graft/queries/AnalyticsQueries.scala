@@ -453,7 +453,7 @@ object AnalyticsQueries {
       val approx = ev.groupBy("event_type")
         .agg(percentile_approx(col("value"),
           array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
-        .select(col("event_type"),
+        .select(col("event_type").as("et"),
           element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
       def ok(a: Column, q: Double, n: Column): Column = {
         val slack = n.cast("double") / acc + lit(1.0)
@@ -461,8 +461,12 @@ object AnalyticsQueries {
         val lt = sum(when(col("value") < a, 1L).otherwise(0L)).cast("double")
         (le >= n.cast("double") * q - slack) && (lt <= n.cast("double") * q + slack)
       }
-      val n = count(lit(1))
-      ev.join(broadcast(approx), "event_type")
+      // n counts only the non-null values the sketch saw (count(*) would
+      // inflate the demanded rank past what any correct sketch can meet);
+      // null-safe join key so a NULL event_type group survives to match
+      // the oracle's GROUP BY
+      val n = count(col("value"))
+      ev.join(broadcast(approx), col("event_type") <=> col("et"))
         .groupBy("event_type")
         .agg(n.as("n"), ok(col("a50"), 0.5, n).as("p50_rank_ok"),
           ok(col("a90"), 0.9, n).as("p90_rank_ok"))
@@ -1225,7 +1229,7 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
     "value_percentiles_sketch" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n,
         |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "top_spenders_by_segment" ->

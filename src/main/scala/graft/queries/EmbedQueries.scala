@@ -369,7 +369,9 @@ object EmbedQueries {
     // partially-aggregated slim shuffle (TopKStructs k=1 — no per-vector
     // rank window over the crossJoin), the draw one keyed window.
     "embed_cluster_sample" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
+      // two consumers (centroid build + the scored cross join) — run the
+      // scan + widening + l2_norm pipeline once
+      val e = withNorm(emb(s, dir)).localCheckpoint(true)
       val cents = e
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "e")))
         .groupBy("label", "pos")

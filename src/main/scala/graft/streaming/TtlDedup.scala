@@ -84,7 +84,12 @@ object TtlDedup {
 
   /** Executor-side canonical fingerprint for the keyed grouping — the
     * JVM twin of the `fingerprint` column expression, so TTL-admitted
-    * sets compose with the batch/index dedup layers.
+    * sets compose with the batch/index dedup layers. A null text keys to
+    * the empty sentinel (never a real md5 hex), grouping all null-text
+    * docs into one TTL window — the `dropDuplicates`-style null rule,
+    * and crucially NOT an executor NPE that would crash-loop the
+    * streaming query on one malformed upstream row.
     */
-  def fpOf(text: String): String = TextFunctions.fingerprintOf(text)
+  def fpOf(text: String): String =
+    if (text == null) "" else TextFunctions.fingerprintOf(text)
 }

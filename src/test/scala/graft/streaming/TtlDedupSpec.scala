@@ -97,4 +97,46 @@ class TtlDedupSpec extends SparkSpec {
     // whitespace + case canonicalization agree too
     assert(TtlDedup.fpOf(" Alpha\t beta\n GAMMA ") == TtlDedup.fpOf("alpha beta gamma"))
   }
+
+  test("fingerprint parity holds on control chars and non-ASCII text") {
+    // adversarial canonicalization corners of crawled text: control
+    // chars \s+ leaves alone but String.trim would strip (the 0x20-only
+    // trim rule), unicode case mapping, CR/FF whitespace, emptiness
+    val adversarial = Seq(
+      "alpha beta",       // leading control char — NOT trimmed
+      "alpha beta",       // trailing bell
+      "   mixed  ", // control chars inside 0x20 padding
+      "ÄÖÜ Straße ẞ",           // unicode lowercase incl. sharp-s forms
+      "ΑΛΦΑ Βήτα",              // Greek case mapping
+      "alpha\r\nbeta\fgamma",   // CR/LF/FF all \s
+      " ",
+      "")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val colSide = adversarial.toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    adversarial.zip(colSide).foreach { case (text, fp) =>
+      assert(TtlDedup.fpOf(text) == fp,
+        s"fingerprint divergence on: ${text.map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
+  test("a null text keys to the sentinel instead of crash-looping the query") {
+    assert(TtlDedup.fpOf(null) == "")
+    withRocksDb {
+      val stream = MemoryStream[Doc](spark)
+      val query = TtlDedup.admitted(stream.toDS(), Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("ttl_dedup_null")
+        .outputMode("append").start()
+      try {
+        stream.addData(Doc(1L, null), Doc(2L, "alpha"), Doc(3L, null))
+        query.processAllAvailable() // would crash here on an executor NPE
+        val got = spark.table("ttl_dedup_null").as[Doc].collect().map(_.doc_id).toSet
+        // null-text docs share one TTL window (keep-first), like
+        // dropDuplicates' null rule
+        assert(got == Set(1L, 2L))
+      } finally query.stop()
+    }
+  }
 }
