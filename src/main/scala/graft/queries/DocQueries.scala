@@ -636,6 +636,50 @@ object DocQueries {
               lit(1.0))) <= 0.01).as("fp_bounded"))
     },
 
+    // Per-document contamination SEVERITY — the graded companion to the
+    // boolean drop in `decontaminate`: the fraction of a doc's distinct
+    // 8-grams that appear in the benchmark set. A release pipeline drops
+    // on a threshold and audits the gray zone by hand, so the report
+    // carries the raw counts, the fraction, and the would-drop flag at
+    // 5%. Same shape as `decontaminate` at scale: bench grams broadcast,
+    // then ONE keyed agg on doc_id — no self-join, nothing quadratic.
+    "decontaminate_overlap" -> { (s, dir) =>
+      val grams = docs(s, dir)
+        .withColumn("tk", toks)
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
+      val bench = grams.filter(col("doc_id") < 10).select("g8").distinct()
+      val frac = col("n_contaminated").cast("double") / col("n_grams").cast("double")
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g8"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          frac.as("overlap_frac"), (frac >= 0.05).as("flag_drop"))
+    },
+
+    // Data-mixing weights — the planning step BEFORE `sample_upsample`:
+    // from each source's observed token share, the sampling weight that
+    // moves the mixture toward a uniform per-source target, capped (5x)
+    // so a tiny source cannot explode into unbounded epochs. The only
+    // corpus-sized work is the first keyed agg (map-side combined); the
+    // per-source frame and the 1-row total are both broadcast-sized at
+    // any corpus scale — source cardinality doesn't grow with tokens.
+    "source_mixture_weights" -> { (s, dir) =>
+      val per = docs(s, dir)
+        .select(col("source"), size(toks).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("source_tokens"))
+      val tot = per.agg(sum("source_tokens").cast("double").as("total_tokens"),
+        count(lit(1)).cast("double").as("n_sources"))
+      val share = col("source_tokens").cast("double") / col("total_tokens")
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("source_tokens"),
+          share.as("token_share"),
+          least(lit(5.0), (lit(1.0) / col("n_sources")) / share).as("weight"))
+    },
+
     // Domain-mix upsampling — the fractional-epoch step of a data-mixing
     // recipe (e.g. wiki×2.3, web×0.5): every doc gets floor(w) copies plus
     // one more for a deterministic md5-bucket fraction of docs. Weights in
@@ -1717,6 +1761,35 @@ object DocQueries {
         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g8) WHERE g.doc_id >= 10)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "decontaminate_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(generate_series(1, len(tk) - 7),
+        |                       i -> array_to_string(list_slice(tk, i, i + 7), ' ')))) AS g8
+        |      FROM tok WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 10),
+        |per AS (SELECT g.doc_id,
+        |          CAST(count(*) AS BIGINT) AS n_grams,
+        |          CAST(sum(CASE WHEN b.g8 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_contaminated
+        |        FROM g LEFT JOIN bench b ON g.g8 = b.g8
+        |        WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_contaminated,
+        |  CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+        |  CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.05 AS flag_drop
+        |FROM per""".stripMargin,
+    "source_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(source_tokens) AS DOUBLE) AS total_tokens,
+        |               CAST(count(*) AS DOUBLE) AS n_sources FROM per)
+        |SELECT source, n_docs, source_tokens,
+        |  CAST(source_tokens AS DOUBLE) / total_tokens AS token_share,
+        |  least(5.0, (1.0 / n_sources) / (CAST(source_tokens AS DOUBLE) / total_tokens))
+        |    AS weight
+        |FROM per, tot""".stripMargin,
     "sample_upsample" ->
       """WITH d AS (
         |  SELECT doc_id, source,
