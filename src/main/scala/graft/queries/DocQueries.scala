@@ -817,6 +817,22 @@ object DocQueries {
       d.select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("clf_score"))
         .withColumn("keep", col("clf_score") >= 0.5)
+    },
+
+    // BPE vocabulary induction, iteration-0 statistics: the weighted
+    // adjacent-symbol-pair counts over the word-frequency table that the
+    // first merge of Sennrich et al.'s algorithm argmaxes over. The corpus
+    // is touched once (word counts); the pair aggregation runs on the
+    // vocabulary-sized table. Top-20 by count with a lexicographic
+    // tie-break — the same determinism rule BpeVocab.learn uses. The full
+    // iterative learner (graft.operators.BpeVocab.learn) is model-checked
+    // in BpeVocabSpec; this query pins its heaviest building block to the
+    // oracle.
+    "bpe_pair_counts" -> { (s, dir) =>
+      import graft.operators.BpeVocab
+      BpeVocab.initialPairCounts(BpeVocab.wordFrequencies(docs(s, dir)))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(20)
     }
   )
 
@@ -1891,6 +1907,22 @@ object DocQueries {
       s"""SELECT doc_id, round(1.0 / (1.0 + exp(-($z))), 6) AS clf_score,
          |  (round(1.0 / (1.0 + exp(-($z))), 6) >= 0.5) AS keep
          |FROM (SELECT doc_id, text, $SqlToks AS tk FROM documents)""".stripMargin
-    }
+    },
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |       FROM w WHERE len(word) > 0 GROUP BY 1),
+        |s AS (SELECT list_append(
+        |        list_transform(generate_series(1, length(word)), i -> word[i]),
+        |        '</w>') AS syms, freq
+        |      FROM wf),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+        |               i -> syms[i])) AS lhs,
+        |             unnest(list_transform(generate_series(1, len(syms) - 1),
+        |               i -> syms[i + 1])) AS rhs,
+        |             freq
+        |      FROM s WHERE len(syms) >= 2)
+        |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin
   )
 }
