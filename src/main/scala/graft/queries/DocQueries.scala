@@ -833,8 +833,102 @@ object DocQueries {
       BpeVocab.initialPairCounts(BpeVocab.wordFrequencies(docs(s, dir)))
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(20)
-    }
+    },
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how much its hashed-n-gram profile looks like a target
+    // corpus (here: the `src0` docs — the "wiki-like" seed of a mixing
+    // recipe). See [[dsirWeights]] for the shuffle/broadcast shape.
+    "dsir_importance_weights" -> ((s, dir) => dsirWeights(docs(s, dir))),
+
+    // Gumbel top-k resampling over the DSIR weights — the selection step
+    // of the paper: adding iid Gumbel noise to log-weights and taking the
+    // top k draws exactly from the softmax of the weights WITHOUT ever
+    // normalizing them. Noise comes from an md5 uniform per doc, so the
+    // "random" sample is reproducible across engines and retries.
+    "dsir_resample" -> ((s, dir) => dsirResample(docs(s, dir), 50))
   )
+
+  /** Hashed-feature width and target source for the DSIR family. 4096
+    * buckets keeps the bucket statistics table broadcast-sized (two longs
+    * per bucket) at ANY corpus scale — the paper uses 10k for full
+    * CommonCrawl; the arithmetic is bucket-count-agnostic.
+    */
+  private val DsirBuckets = 4096L
+  private val DsirTarget  = "src0"
+
+  /** Hashed bag-of-n-grams features (unigrams + bigrams → md5 buckets),
+    * the DSIR feature map. Per-row explode only; the one heavy shuffle is
+    * the (doc_id, bucket) count agg, map-side combined.
+    */
+  private def dsirBucketCounts(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("source"), toks.as("tk"))
+      .filter(size(col("tk")) >= 1)
+    base
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tk"), shingles(col("tk"), 2))).as("g"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): fit bag-of-hashed-n-gram
+    * models on the target corpus (`source = src0`) and on the raw rest,
+    * then score each raw doc with log w(x) = Σ_features c_f ·
+    * (log p_target(f) − log q_raw(f)) under add-one smoothing.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the per-doc bucket counts);
+    * both bag models collapse to a ≤4096-row bucket table that
+    * BROADCASTS back — the per-doc scoring join never shuffles the
+    * corpus again. Per-bucket log-ratios are rounded to 6 dp and summed
+    * as exact DECIMALs so the per-doc fold is order-independent
+    * (bit-stable across partitionings and engines — same discipline as
+    * [[lmScore]]).
+    */
+  def dsirWeights(d: DataFrame): DataFrame = {
+    // the count frame feeds the bucket-model agg AND the scoring join;
+    // materialize once (same pattern as containmentPairs)
+    val perDoc = dsirBucketCounts(d).localCheckpoint()
+    val isTgt  = col("source") === DsirTarget
+    val bucket = perDoc.groupBy("b").agg(
+      sum(when(isTgt, col("c")).otherwise(0L)).as("tc"),
+      sum(when(!isTgt, col("c")).otherwise(0L)).as("rc"))
+    val tots = bucket.agg(
+      sum("tc").cast("double").as("tt"), sum("rc").cast("double").as("rt"))
+    val lr = bucket.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(
+          log((col("tc") + 1).cast("double") / (col("tt") + DsirBuckets))
+            - log((col("rc") + 1).cast("double") / (col("rt") + DsirBuckets)),
+          6).cast("decimal(22,6)").as("lr"))
+    perDoc.filter(!isTgt)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), sum(col("lr") * col("c")).as("slr"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("slr").cast("double"), 6).as("logw"))
+  }
+
+  /** Gumbel top-k selection over [[dsirWeights]]: g = log w + Gumbel(0,1)
+    * noise; the k largest g are an EXACT sample-without-replacement from
+    * softmax(log w) (the Gumbel-max trick), so selection pressure follows
+    * the importance weights without a normalization pass over the corpus.
+    * Noise is a deterministic md5 uniform per doc_id — reproducible
+    * across engines, retries, and partitionings; `orderBy(...).limit(k)`
+    * is Spark's distributed TakeOrdered, never a single-partition sort.
+    */
+  def dsirResample(d: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#dsir"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    dsirWeights(d)
+      .withColumn("g", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("g").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("logw"), col("g"))
+  }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * local algorithm): token `k`-gram hashes from the one-pass
@@ -1923,6 +2017,46 @@ object DocQueries {
         |             freq
         |      FROM s WHERE len(syms) >= 2)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
-        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "dsir_importance_weights" ->
+      s"""WITH $DsirSqlCtes
+         |SELECT doc_id, n_feats, logw FROM w""".stripMargin,
+    "dsir_resample" ->
+      s"""WITH $DsirSqlCtes
+         |SELECT doc_id, logw,
+         |  round(logw - ln(-ln(
+         |    (CAST(CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#dsir')), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
+         |    / 4294967296.0)), 6) AS g
+         |FROM w
+         |ORDER BY g DESC, doc_id LIMIT 50""".stripMargin
   )
+
+  /** DSIR oracle CTE chain, ending in `w(doc_id, n_feats, logw)` — the
+    * DuckDB twin of [[dsirWeights]]: same hashed unigram+bigram buckets
+    * (md5 first 8 hex → mod 4096), same add-one smoothing, same
+    * round-6 DECIMAL log-ratio fold so the per-doc sum is
+    * order-independent in both engines.
+    */
+  private lazy val DsirSqlCtes: String =
+    s"""t AS (SELECT doc_id, source, $SqlToks AS tk FROM documents),
+       |g AS (SELECT doc_id, source,
+       |        unnest(list_concat(tk,
+       |          list_transform(generate_series(1, len(tk) - 1),
+       |            i -> array_to_string(list_slice(tk, i, i + 1), ' ')))) AS g
+       |      FROM t WHERE len(tk) >= 1),
+       |pc AS (SELECT doc_id, source,
+       |         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % $DsirBuckets AS BIGINT) AS b,
+       |         CAST(count(*) AS BIGINT) AS c
+       |       FROM g GROUP BY 1, 2, 3),
+       |bk AS (SELECT b,
+       |         sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END) AS tc,
+       |         sum(CASE WHEN source <> '$DsirTarget' THEN c ELSE 0 END) AS rc
+       |       FROM pc GROUP BY b),
+       |st AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt, CAST(sum(rc) AS DOUBLE) AS rt FROM bk),
+       |lr AS (SELECT b, CAST(round(ln(CAST(tc + 1 AS DOUBLE) / (tt + $DsirBuckets))
+       |                  - ln(CAST(rc + 1 AS DOUBLE) / (rt + $DsirBuckets)), 6) AS DECIMAL(22,6)) AS lr
+       |       FROM bk, st),
+       |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |        round(CAST(sum(lr * c) AS DOUBLE), 6) AS logw
+       |      FROM pc JOIN lr USING (b) WHERE source <> '$DsirTarget' GROUP BY doc_id)""".stripMargin
 }
