@@ -62,6 +62,7 @@ object EmbedQueries {
 
   private val NumQueries = 20
   private val K          = 5
+  private val MrlDim     = 32 // Matryoshka truncation: first half of 64 dims
 
   /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
     * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
@@ -398,6 +399,37 @@ object EmbedQueries {
         .select(col("cell"), posexplode(col("__top")))
         .select(col("col.vec_id").as("vec_id"), col("cell"),
           (col("pos") + 1).cast("long").as("pick"))
+    },
+
+    // Matryoshka truncation search (Kusupati et al. 2022, MRL): rank with
+    // only the FIRST MrlDim of 64 dims — the nested-representation serving
+    // trade (2× less scan bandwidth per vector, re-rankable later with the
+    // tail dims). Same broadcast-queries + one-corpus-pass shape as
+    // embed_knn_brute; the slice happens before the norm so only the
+    // short vector rides the scan.
+    "embed_matryoshka_knn" -> { (s, dir) =>
+      val t = emb(s, dir).select(col("vec_id"),
+          transform(slice(col("embedding"), 1, MrlDim), _.cast("double")).as("tv"))
+        .withColumn("tn", l2_norm(col("tv")))
+      val q = t.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("tv").as("qv"), col("tn").as("qn"))
+      val scored = t.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("tv")) / (col("qn") * col("tn")), 6).as("mcos"))
+      topKPerQuery(scored, "mcos", K)
+    },
+
+    // recall@k of the truncated-dimension ranking vs full-dim exact — what
+    // dropping the tail 32 dims costs, per query (the sq8_recall pattern).
+    "embed_matryoshka_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val m = queries("embed_matryoshka_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(m, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
     }
   )
 
@@ -730,6 +762,42 @@ object EmbedQueries {
          |             AS DOUBLE) / $K, 6) AS recall_at_k
          |FROM brute b LEFT JOIN sq s
          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
+    "embed_matryoshka_knn" ->
+      s"""WITH $SqlNorm,
+         |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
+         |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
+         |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |      FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, mcos, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY mcos DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= $K""".stripMargin,
+    "embed_matryoshka_recall" ->
+      s"""WITH $SqlNorm,
+         |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |       FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= $K),
+         |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
+         |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
+         |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |mr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mcos DESC, neighbor_id) AS rnk
+         |    FROM mp) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  round(CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM brute b LEFT JOIN mr m
+         |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
          |GROUP BY b.query_id""".stripMargin
   )
 
