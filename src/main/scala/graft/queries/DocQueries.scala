@@ -847,7 +847,17 @@ object DocQueries {
     // top k draws exactly from the softmax of the weights WITHOUT ever
     // normalizing them. Noise comes from an md5 uniform per doc, so the
     // "random" sample is reproducible across engines and retries.
-    "dsir_resample" -> ((s, dir) => dsirResample(docs(s, dir), 50))
+    "dsir_resample" -> ((s, dir) => dsirResample(docs(s, dir), 50)),
+
+    // Pairwise source-corpus overlap via HLL sketches (DataSketches set
+    // operations): |A ∩ B| over distinct 5-gram shingles estimated by
+    // inclusion-exclusion on mergeable per-source sketches, audited
+    // against the exact keyed-join overlap. The scale story is the
+    // estimate path: per-source state is one ≤16 KiB sketch at ANY corpus
+    // size and the 190 pair combinations never touch the corpus again,
+    // where the exact join reshuffles every distinct gram. See
+    // [[sourceOverlapSketch]].
+    "source_overlap_sketch" -> ((s, dir) => sourceOverlapSketch(docs(s, dir)))
   )
 
   /** Hashed-feature width and target source for the DSIR family. 4096
@@ -928,6 +938,43 @@ object DocQueries {
       .orderBy(col("g").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw"), col("g"))
+  }
+
+  /** Exact + sketched pairwise source overlap over distinct 5-gram
+    * shingles. One corpus shuffle builds the distinct (source, gram)
+    * frame (checkpointed — it feeds the sketch agg and both sides of the
+    * exact join); the HLL-4 sketches (lgK=14, ~0.8% rel. std. err.)
+    * reduce per source and combine by inclusion-exclusion, so the
+    * estimate is reproducible (DataSketches HLL is deterministic) and
+    * `within_bound` asserts it lands within an additive ~6σ envelope
+    * (5% of n_a+n_b) of the exact count — the approx_distinct_error
+    * estimator-measurement pattern.
+    */
+  def sourceOverlapSketch(d: DataFrame): DataFrame = {
+    val grams = d.withColumn("tk", toks)
+      .filter(size(col("tk")) >= 5)
+      .select(col("source"), explode(shingles(col("tk"), 5)).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val sk = grams.groupBy("source")
+      .agg(hll_sketch_agg(col("g"), 14).as("sk"), count(lit(1)).as("n"))
+    val est = sk.select(col("source").as("src_a"), col("sk").as("ska"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("src_b"), col("sk").as("skb"), col("n").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - hll_sketch_estimate(hll_union(col("ska"), col("skb")))).as("est"))
+    val exact = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("exact_overlap"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        (abs(col("est").cast("double") - coalesce(col("exact_overlap"), lit(0L)).cast("double"))
+          <= lit(0.05) * (col("n_a") + col("n_b")).cast("double")).as("within_bound"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
@@ -2018,6 +2065,23 @@ object DocQueries {
         |      FROM s WHERE len(syms) >= 2)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "source_overlap_sketch" ->
+      s"""WITH t AS (SELECT source, $SqlToks AS tk FROM documents),
+         |gr AS (SELECT DISTINCT source,
+         |         unnest(list_transform(generate_series(1, len(tk) - 4),
+         |           i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+         |       FROM t WHERE len(tk) >= 5),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY source),
+         |ov AS (SELECT x.source AS src_a, y.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS exact_overlap
+         |       FROM gr x JOIN gr y ON x.g = y.g AND x.source < y.source
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+         |      FROM n a JOIN n b ON a.source < b.source)
+         |SELECT p.src_a, p.src_b, n_a, n_b,
+         |  CAST(coalesce(exact_overlap, 0) AS BIGINT) AS exact_overlap,
+         |  TRUE AS within_bound
+         |FROM p LEFT JOIN ov ON p.src_a = ov.src_a AND p.src_b = ov.src_b""".stripMargin,
     "dsir_importance_weights" ->
       s"""WITH $DsirSqlCtes
          |SELECT doc_id, n_feats, logw FROM w""".stripMargin,
