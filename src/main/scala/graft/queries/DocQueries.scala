@@ -857,7 +857,15 @@ object DocQueries {
     // size and the 190 pair combinations never touch the corpus again,
     // where the exact join reshuffles every distinct gram. See
     // [[sourceOverlapSketch]].
-    "source_overlap_sketch" -> ((s, dir) => sourceOverlapSketch(docs(s, dir)))
+    "source_overlap_sketch" -> ((s, dir) => sourceOverlapSketch(docs(s, dir))),
+
+    // Quality-curriculum training order: fixed-threshold quality stages
+    // (no global quantile sort — thresholds are constants, so staging is
+    // a zero-shuffle per-row expression), deterministic md5 shuffle
+    // WITHIN each stage (a keyed window, never a bare global orderBy),
+    // and a global step number from 5-row stage-count prefix sums.
+    // Higher stages (cleaner docs) come first — the curriculum.
+    "curriculum_order" -> ((s, dir) => curriculumOrder(docs(s, dir)))
   )
 
   /** Hashed-feature width and target source for the DSIR family. 4096
@@ -938,6 +946,38 @@ object DocQueries {
       .orderBy(col("g").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw"), col("g"))
+  }
+
+  /** Curriculum staging: stage = clamp(⌊quality·5⌋, 0..4) from the
+    * text_quality score (fixed thresholds — the quantile-free choice
+    * that keeps staging embarrassingly parallel at 100 TB), position
+    * within a stage by deterministic md5 order (row_number over a KEYED
+    * window), and `global_step = offset(stage) + pos` where offsets are
+    * prefix sums over the 5-row stage-count table via a triangular
+    * self-join (no single-partition window anywhere). Stages descend:
+    * the cleanest bucket trains first.
+    */
+  def curriculumOrder(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = d.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        round(
+          least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - stopwordRatio(col("tk"))) * 0.5, 6).as("qs"))
+    val staged = q.select(col("doc_id"),
+      least(floor(col("qs") * 5), lit(4L)).cast("int").as("stage"),
+      md5(concat(col("doc_id").cast("string"), lit("#curr"))).as("ord"))
+    val w = Window.partitionBy("stage").orderBy(col("ord"), col("doc_id"))
+    val pos = staged
+      .withColumn("pos_in_stage", row_number().over(w).cast("long"))
+    val cnt = pos.groupBy("stage").agg(count(lit(1)).as("n"))
+    val off = cnt.as("a")
+      .join(cnt.as("b"), col("b.stage") > col("a.stage"), "left")
+      .groupBy(col("a.stage").as("stage"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+    pos.join(broadcast(off), "stage")
+      .select(col("doc_id"), col("stage"), col("pos_in_stage"),
+        (col("off") + col("pos_in_stage")).as("global_step"))
   }
 
   /** Exact + sketched pairwise source overlap over distinct 5-gram
@@ -2065,6 +2105,24 @@ object DocQueries {
         |      FROM s WHERE len(syms) >= 2)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |      FROM t),
+         |st AS (SELECT doc_id, CAST(least(floor(qs * 5), 4) AS INT) AS stage,
+         |         md5(concat(CAST(doc_id AS VARCHAR), '#curr')) AS ord
+         |       FROM q),
+         |pos AS (SELECT doc_id, stage,
+         |          CAST(row_number() OVER (PARTITION BY stage ORDER BY ord, doc_id) AS BIGINT)
+         |            AS pos_in_stage
+         |        FROM st),
+         |cnt AS (SELECT stage, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY stage),
+         |off AS (SELECT a.stage, CAST(coalesce(sum(b.n), 0) AS BIGINT) AS o
+         |        FROM cnt a LEFT JOIN cnt b ON b.stage > a.stage GROUP BY a.stage)
+         |SELECT doc_id, stage, pos_in_stage, pos_in_stage + o AS global_step
+         |FROM pos JOIN off USING (stage)""".stripMargin,
     "source_overlap_sketch" ->
       s"""WITH t AS (SELECT source, $SqlToks AS tk FROM documents),
          |gr AS (SELECT DISTINCT source,
