@@ -63,6 +63,7 @@ object EmbedQueries {
   private val NumQueries = 20
   private val K          = 5
   private val MrlDim     = 32 // Matryoshka truncation: first half of 64 dims
+  private val RerankPool = 20 // two-stage retrieval: shortlist size per query
 
   /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
     * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
@@ -427,6 +428,50 @@ object EmbedQueries {
       val m = queries("embed_matryoshka_knn")(s, dir)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(m, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
+    },
+
+    // Two-stage retrieval: shortlist RerankPool candidates per query with
+    // the cheap truncated-dim scan, then re-rank ONLY the shortlist with
+    // full-dimension cosine — the production serving composition (the
+    // corpus pass touches 32 dims; all 64 are fetched for 4k rows/query
+    // at most, never for the corpus). Both stages are bounded TopKStructs
+    // aggregates; the full vectors re-attach to the shortlist through one
+    // keyed join on slim (query_id, neighbor_id) candidates.
+    "embed_mrl_rerank_knn" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir)).localCheckpoint(true)
+      val t = e.select(col("vec_id"), slice(col("v"), 1, MrlDim).as("tv"))
+        .withColumn("tn", l2_norm(col("tv")))
+      val q = t.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("tv").as("qv"), col("tn").as("qn"))
+      val shortlist = topKPerQuery(
+        t.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dot(col("qv"), col("tv")) / (col("qn") * col("tn")), 6).as("mcos")),
+        "mcos", RerankPool)
+        .select(col("query_id"), col("neighbor_id"))
+      val qf = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("nrm").as("fqn"))
+      val rescored = shortlist
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("nrm").as("nn")), "neighbor_id")
+        .join(broadcast(qf), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("fqv"), col("nv")) / (col("fqn") * col("nn")), 6).as("cosine"))
+      topKPerQuery(rescored, "cosine", K)
+    },
+
+    // recall@k of the two-stage ranking vs single-stage full-dim exact:
+    // what the shortlist bound costs after re-ranking (it can only miss a
+    // true neighbor the truncated stage dropped from the pool).
+    "embed_mrl_rerank_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = queries("embed_mrl_rerank_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(rr, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
           .as("recall_at_k"))
@@ -798,6 +843,58 @@ object EmbedQueries {
          |             AS DOUBLE) / $K, 6) AS recall_at_k
          |FROM brute b LEFT JOIN mr m
          |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
+    "embed_mrl_rerank_knn" ->
+      s"""WITH $SqlNorm,
+         |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
+         |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
+         |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mcos DESC, neighbor_id) AS rnk
+         |    FROM mp) WHERE rnk <= $RerankPool),
+         |rs AS (SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |       FROM sl s JOIN n q ON q.vec_id = s.query_id
+         |                 JOIN n b ON b.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM rs)
+         |WHERE rnk <= $K""".stripMargin,
+    "embed_mrl_rerank_recall" ->
+      s"""WITH $SqlNorm,
+         |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |       FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bp) WHERE rnk <= $K),
+         |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
+         |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
+         |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mcos DESC, neighbor_id) AS rnk
+         |    FROM mp) WHERE rnk <= $RerankPool),
+         |rs AS (SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS fcos
+         |       FROM sl s JOIN n q ON q.vec_id = s.query_id
+         |                 JOIN n b ON b.vec_id = s.neighbor_id),
+         |rr AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY fcos DESC, neighbor_id) AS rnk
+         |    FROM rs) WHERE rnk <= $K)
+         |SELECT b.query_id,
+         |  round(CAST(sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / $K, 6) AS recall_at_k
+         |FROM brute b LEFT JOIN rr r
+         |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
          |GROUP BY b.query_id""".stripMargin
   )
 

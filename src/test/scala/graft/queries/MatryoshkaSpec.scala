@@ -44,6 +44,35 @@ class MatryoshkaSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embed_mrl_rerank_knn equals shortlist-then-full-rank on the model") {
+    val norms  = vecs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+    val shortV = vecs.map { case (id, v) => id -> v.take(32) }
+    val shortN = shortV.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+    def cos(a: Long, b: Long, vs: Map[Long, Array[Double]], ns: Map[Long, Double]) =
+      round6(vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum / (ns(a) * ns(b)))
+    val expected = (0L until 20L).map { q =>
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(q, id, shortV, shortN)))
+        .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+      q -> pool.map(id => (id, cos(q, id, vecs, norms)))
+        .sortBy { case (id, c) => (-c, id) }.take(K).map(_._1)
+    }.toMap
+    val got = graft.SparkEntry.queries("embed_mrl_rerank_knn")(spark, Sf)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got == expected)
+  }
+
+  test("re-ranking never loses recall vs the truncated-only ranking") {
+    val mrl = graft.SparkEntry.queries("embed_matryoshka_recall")(spark, Sf)
+      .as[(Long, Double)].collect().toMap
+    val rr = graft.SparkEntry.queries("embed_mrl_rerank_recall")(spark, Sf)
+      .as[(Long, Double)].collect().toMap
+    assert(rr.keySet == mrl.keySet)
+    rr.foreach { case (q, r) => assert(r >= mrl(q), s"query $q recall regressed") }
+  }
+
   test("embed_matryoshka_recall equals the model rankings' overlap") {
     val full  = topK(vecs)
     val short = topK(vecs.map { case (id, v) => id -> v.take(32) })
