@@ -865,7 +865,15 @@ object DocQueries {
     // WITHIN each stage (a keyed window, never a bare global orderBy),
     // and a global step number from 5-row stage-count prefix sums.
     // Higher stages (cleaner docs) come first — the curriculum.
-    "curriculum_order" -> ((s, dir) => curriculumOrder(docs(s, dir)))
+    "curriculum_order" -> ((s, dir) => curriculumOrder(docs(s, dir))),
+
+    // Stupid Backoff word-bigram LM (Brants et al. 2007 — the web-scale
+    // LM scoring scheme: no normalization, fixed 0.4 backoff penalty).
+    // Counts train on even-numbered sources; odd-numbered sources score
+    // against them HELD-OUT, so unseen bigrams genuinely take the
+    // backoff path (scoring a corpus with its own counts never would).
+    // See [[backoffLm]] for the all-keyed-join scale shape.
+    "text_backoff_lm" -> ((s, dir) => backoffLm(docs(s, dir)))
   )
 
   /** Hashed-feature width and target source for the DSIR family. 4096
@@ -946,6 +954,51 @@ object DocQueries {
       .orderBy(col("g").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw"), col("g"))
+  }
+
+  /** Stupid Backoff bigram score per held-out doc: S(w2|w1) =
+    * C(w1w2)/C(w1) when the bigram was seen in training, else
+    * 0.4·(C(w2)+1)/(N+V) (add-one on the unigram backoff so a fully
+    * unseen word scores finite). Per-bigram logs round to 6 dp and fold
+    * as DECIMALs — order-independent across partitionings and engines.
+    *
+    * Scale shape: count tables are vocab-sized, so every attach is a
+    * KEYED join on gram keys (never a broadcast assumption); the
+    * one-row (N, V) total broadcasts. Three keyed shuffles over the
+    * held-out bigrams, map-side-combined count aggs on the train side.
+    */
+  def backoffLm(d: DataFrame): DataFrame = {
+    val base = d
+      .withColumn("tk", toks)
+      .withColumn("sn", substring(col("source"), 4, 10).cast("int"))
+    val train = base.filter(col("sn") % 2 === 0)
+    def bigrams(f: DataFrame, keep: Column*): DataFrame =
+      f.filter(size(col("tk")) >= 2)
+        .select(keep :+ explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("bg"): _*)
+        .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    val uni = train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("v"))
+    val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigrams(base.filter(col("sn") % 2 === 1), col("doc_id"))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cb").isNotNull,
+          round(log(col("cb").cast("double") / col("cu1")), 6))
+          .otherwise(round(log(lit(0.4) * (coalesce(col("cu2"), lit(0L)) + 1)
+            .cast("double") / (col("n_total") + col("v"))), 6)).as("ls"),
+        col("cb").isNull.cast("long").as("bo"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bo").as("n_backoff"),
+        round(sum(col("ls").cast("decimal(22,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logscore"))
   }
 
   /** Curriculum staging: stage = clamp(⌊quality·5⌋, 0..4) from the
@@ -2105,6 +2158,37 @@ object DocQueries {
         |      FROM s WHERE len(syms) >= 2)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "text_backoff_lm" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk,
+         |             CAST(substr(source, 4) AS INT) AS sn FROM documents),
+         |tr AS (SELECT tk FROM t WHERE sn % 2 = 0),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_total,
+         |               CAST(count(*) AS DOUBLE) AS v FROM uni),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM (
+         |         SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+         |                unnest(list_slice(tk, 2, len(tk))) AS w2
+         |         FROM tr WHERE len(tk) >= 2) GROUP BY w1, w2),
+         |te AS (SELECT doc_id,
+         |         unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+         |         unnest(list_slice(tk, 2, len(tk))) AS w2
+         |       FROM t WHERE sn % 2 = 1 AND len(tk) >= 2),
+         |sc AS (SELECT doc_id,
+         |         CASE WHEN cb IS NOT NULL
+         |              THEN round(ln(CAST(cb AS DOUBLE) / cu1), 6)
+         |              ELSE round(ln(0.4 * (coalesce(cu2, 0) + 1) / (n_total + v)), 6)
+         |         END AS ls,
+         |         CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS bo
+         |       FROM te
+         |       LEFT JOIN bi USING (w1, w2)
+         |       LEFT JOIN (SELECT w AS w1, cu AS cu1 FROM uni) USING (w1)
+         |       LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) USING (w2), tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+         |  round(CAST(sum(CAST(ls AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
+         |    AS avg_logscore
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "curriculum_order" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |q AS (SELECT doc_id,
