@@ -867,6 +867,43 @@ object DocQueries {
     // Higher stages (cleaner docs) come first — the curriculum.
     "curriculum_order" -> ((s, dir) => curriculumOrder(docs(s, dir))),
 
+    // Full iterative BPE induction (extends bpe_pair_counts, which checks
+    // only iteration 0): BpeMerges sequential rounds over the VOCAB-sized
+    // word-frequency table — pair-count agg, 1-row argmax, per-row fuse —
+    // the corpus itself is touched exactly once. The DuckDB oracle
+    // replays every round via a delimited-string replace chain (greedy
+    // leftmost fuse ≡ SQL replace over per-symbol delimiters).
+    "bpe_learn_merges" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.BpeVocab
+      BpeVocab.learn(BpeVocab.wordFrequencies(docs(s, dir)), BpeMerges)
+        .map(m => (m.rank, m.left, m.right, m.freq))
+        .toDF("rank", "lhs", "rhs", "cnt")
+    },
+
+    // Document-level BPE fertility under the learned merges. 100 TB
+    // shape: each distinct WORD is encoded once (the rank-priority
+    // encoder runs over the vocab table, never the corpus), then symbol
+    // counts re-attach to documents through one keyed join. Oracle
+    // equivalence: applying merges in rank order with full greedy fusing
+    // equals the priority encoder, because a merge can only create pairs
+    // whose rank is higher than its own.
+    "bpe_encode_stats" -> { (s, dir) =>
+      import graft.operators.BpeVocab
+      val d  = docs(s, dir)
+      val wf = BpeVocab.wordFrequencies(d).localCheckpoint()
+      val ranks = BpeVocab.learn(wf, BpeMerges)
+        .map(m => (m.left, m.right) -> m.rank).toMap
+      val nSyms = udf((w: String) => BpeVocab.encodeWord(ranks, w).size.toLong)
+      val wsyms = wf.select(col("word"), nSyms(col("word")).as("n_syms"))
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(wsyms, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"),
+          round(sum("n_syms").cast("double") / count(lit(1)), 6).as("fertility"))
+    },
+
     // Stupid Backoff word-bigram LM (Brants et al. 2007 — the web-scale
     // LM scoring scheme: no normalization, fixed 0.4 backoff penalty).
     // Counts train on even-numbered sources; odd-numbered sources score
@@ -875,6 +912,11 @@ object DocQueries {
     // See [[backoffLm]] for the all-keyed-join scale shape.
     "text_backoff_lm" -> ((s, dir) => backoffLm(docs(s, dir)))
   )
+
+  /** Number of BPE merges the oracle-checked induction learns (each merge
+    * is one unrolled round in the generated DuckDB chain).
+    */
+  private val BpeMerges = 6
 
   /** Hashed-feature width and target source for the DSIR family. 4096
     * buckets keeps the bucket statistics table broadcast-sized (two longs
@@ -2158,6 +2200,25 @@ object DocQueries {
         |      FROM s WHERE len(syms) >= 2)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "bpe_learn_merges" ->
+      s"""WITH $SqlBpeChain
+         |SELECT * FROM (
+         |  ${(1 to BpeMerges).map(i =>
+               s"SELECT CAST(${i - 1} AS INT) AS rank, lhs, rhs, cnt FROM m$i")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY rank""".stripMargin,
+    "bpe_encode_stats" ->
+      s"""WITH $SqlBpeChain,
+         |ws AS (SELECT word,
+         |         CAST(len(string_split(substr(sy, 2, length(sy) - 2),
+         |                               chr(1) || chr(1))) AS BIGINT) AS n_syms
+         |       FROM s$BpeMerges),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |dk AS (SELECT doc_id, word FROM dw WHERE len(word) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM dk JOIN ws USING (word) GROUP BY doc_id""".stripMargin,
     "text_backoff_lm" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk,
          |             CAST(substr(source, 4) AS INT) AS sn FROM documents),
@@ -2236,6 +2297,45 @@ object DocQueries {
          |FROM w
          |ORDER BY g DESC, doc_id LIMIT 50""".stripMargin
   )
+
+  /** Generated BPE oracle chain: one CTE trio per merge round. Symbol
+    * sequences are delimited strings `␁s1␁␁s2␁…` (chr(1) never occurs in
+    * corpus words), so the training fuse — leftmost non-overlapping,
+    * all occurrences — is exactly SQL `replace` of `␁l␁␁r␁` with
+    * `␁lr␁`: replace scans left-to-right and resumes after each
+    * insertion, and per-symbol delimiters mean matches can never share
+    * characters. Ends in `s$BpeMerges(word, sy, freq)` plus `m1..mN`
+    * one-row winner tables.
+    */
+  private lazy val SqlBpeChain: String = {
+    val D  = "chr(1)"
+    val sb = new StringBuilder
+    sb ++= s"""wb AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+              |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wb
+              |       WHERE len(word) > 0 GROUP BY 1),
+              |s0 AS (SELECT word, $D || array_to_string(
+              |         list_append(list_transform(generate_series(1, length(word)),
+              |                                    i -> word[i]), '</w>'),
+              |         $D || $D) || $D AS sy, freq FROM wf)""".stripMargin
+    for (i <- 1 to BpeMerges) {
+      val p = i - 1
+      sb ++= s""",
+                |pc$i AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                |  SELECT freq,
+                |    unnest(list_slice(sl, 1, len(sl) - 1)) AS lhs,
+                |    unnest(list_slice(sl, 2, len(sl))) AS rhs
+                |  FROM (SELECT freq, string_split(substr(sy, 2, length(sy) - 2),
+                |                                  $D || $D) AS sl FROM s$p)
+                |  WHERE len(sl) >= 2) GROUP BY 1, 2),
+                |m$i AS (SELECT lhs, rhs, cnt FROM pc$i
+                |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+                |s$i AS (SELECT word,
+                |  replace(sy, (SELECT $D || lhs || $D || $D || rhs || $D FROM m$i),
+                |              (SELECT $D || lhs || rhs || $D FROM m$i)) AS sy,
+                |  freq FROM s$p)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** DSIR oracle CTE chain, ending in `w(doc_id, n_feats, logw)` — the
     * DuckDB twin of [[dsirWeights]]: same hashed unigram+bigram buckets

@@ -89,6 +89,22 @@ class BpeVocabSpec extends SparkSpec {
     assert(out(2).isNullAt(2))
   }
 
+  test("priority encoding equals rank-order sequential fusing on corpus words") {
+    // the property the bpe_encode_stats oracle relies on: applying merges
+    // in rank order with full greedy fusing equals the priority encoder,
+    // because a merge only creates pairs of strictly higher rank
+    import spark.implicits._
+    val wf = BpeVocab.wordFrequencies(
+      graft.core.Graft.documents(spark, "/root/testdata/sf0.001"))
+    val merges = BpeVocab.learn(wf, 6)
+    val ranks  = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    wf.select("word").as[String].collect().foreach { w =>
+      var syms = w.map(_.toString).toVector :+ BpeVocab.EndMarker
+      merges.foreach(m => syms = fuse(syms, m.left, m.right))
+      assert(BpeVocab.encodeWord(ranks, w) == syms, s"word $w")
+    }
+  }
+
   test("wordFrequencies counts the corpus once") {
     import spark.implicits._
     val docs = Seq("low low  lower", "newest").toDF("text")
