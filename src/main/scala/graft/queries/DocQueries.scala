@@ -904,6 +904,30 @@ object DocQueries {
           round(sum("n_syms").cast("double") / count(lit(1)), 6).as("fertility"))
     },
 
+    // What near-dup dedup is worth, per source: doc and char counts with
+    // the minhash drop list applied — the ops-facing savings report a
+    // 100 TB dedup run ends with. One left join of the (small) drop list
+    // onto the corpus, one keyed agg.
+    "dedup_savings_report" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val drop = dropList(
+        minhashLshPairs(d),
+        queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score")))
+        .select(col("doc_id"), lit(1L).as("dropped"))
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(drop, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("dropped").isNotNull, col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          col("chars_total"), col("chars_dropped"),
+          round(col("chars_dropped").cast("double") / col("chars_total"), 6)
+            .as("savings_ratio"))
+    },
+
     // Stupid Backoff word-bigram LM (Brants et al. 2007 — the web-scale
     // LM scoring scheme: no normalization, fixed 0.4 backoff penalty).
     // Counts train on even-numbered sources; odd-numbered sources score
@@ -2219,6 +2243,29 @@ object DocQueries {
          |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
          |  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS fertility
          |FROM dk JOIN ws USING (word) GROUP BY doc_id""".stripMargin,
+    "dedup_savings_report" ->
+      s"""WITH $SqlLshCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents)),
+         |dr AS (SELECT DISTINCT
+         |         CASE WHEN qa.qs > qb.qs THEN doc_b
+         |              WHEN qb.qs > qa.qs THEN doc_a
+         |              ELSE doc_b END AS doc_id
+         |       FROM pairs JOIN q qa ON qa.doc_id = doc_a
+         |                  JOIN q qb ON qb.doc_id = doc_b)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS chars_dropped,
+         |  round(CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN n_chars ELSE 0 END)
+         |             AS DOUBLE) / sum(n_chars), 6) AS savings_ratio
+         |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+         |GROUP BY source""".stripMargin,
     "text_backoff_lm" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk,
          |             CAST(substr(source, 4) AS INT) AS sn FROM documents),

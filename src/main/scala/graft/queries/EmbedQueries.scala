@@ -463,6 +463,31 @@ object EmbedQueries {
       topKPerQuery(rescored, "cosine", K)
     },
 
+    // Index-health audit for the IVF cell layout: per-cell population and
+    // cohesion (mean/min rounded cosine to the cell centroid). Centroids
+    // broadcast (k×d doubles); the corpus is scored in one pass; the
+    // per-cell mean folds round-6 decimals so it is order-independent.
+    // The operational readout that says when cells need re-clustering.
+    "embed_cluster_quality" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cl"), transform(col("pc"), _.getField("c")).as("cv"))
+        .withColumn("cn", l2_norm(col("cv")))
+      e.join(broadcast(cents), col("label") === col("cl"))
+        .select(col("label"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("cos").cast("decimal(22,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_cos"),
+          min("cos").as("min_cos"))
+    },
+
     // recall@k of the two-stage ranking vs single-stage full-dim exact:
     // what the shortlist bound costs after re-ranking (it can only miss a
     // true neighbor the truncated stage dropped from the pool).
@@ -844,6 +869,23 @@ object EmbedQueries {
          |FROM brute b LEFT JOIN mr m
          |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
+    "embed_cluster_quality" ->
+      s"""WITH $SqlNorm,
+         |cl AS (SELECT label, pos, avg(x) AS c
+         |       FROM (SELECT label, unnest(v) AS x,
+         |                    unnest(generate_series(0, len(v) - 1)) AS pos
+         |             FROM e)
+         |       GROUP BY label, pos),
+         |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
+         |cn2 AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |sc AS (SELECT n.label AS label,
+         |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS cos
+         |       FROM n JOIN cn2 c ON c.label = n.label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_cos,
+         |  min(cos) AS min_cos
+         |FROM sc GROUP BY label""".stripMargin,
     "embed_mrl_rerank_knn" ->
       s"""WITH $SqlNorm,
          |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
