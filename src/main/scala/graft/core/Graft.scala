@@ -43,7 +43,37 @@ object Graft {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** The events table with `ts` normalized to the engine's i64 ns-since-epoch
+    * contract (the reference's timestamp model,
+    * `/root/reference/src/Stream/SourceFilter.cpp:68-71`), regardless of the
+    * physical parquet type the driver generated it with:
+    *
+    *  - `LongType`: already ns (TIMESTAMP(NANOS) read via
+    *    `spark.sql.legacy.parquet.nanosAsLong`) — pass through untouched so
+    *    the column stays a bare attribute and every predicate on it pushes
+    *    down to the scan.
+    *  - `TimestampType` / `TimestampNTZType` (µs precision): project
+    *    `unix_micros(cast(ts as timestamp)) * 1000L` back to ns.
+    *
+    * Downstream code (StreamQueries/AnalyticsQueries, ~30 call sites) always
+    * sees a Long of ns, both data vintages. All other columns are passed
+    * through by name, so nested-schema pruning and pushdown on
+    * `event_type`/`user_id` are unaffected.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => raw
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts: cannot normalize physical type $other to the i64-ns contract " +
+            "(expected LongType ns, TimestampType, or TimestampNTZType) — driver testdata drift?")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
