@@ -38,6 +38,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Schema-drift canary (see Graft.schemaCanary): fail fast with a
+    // readable message on testdata drift instead of -1.000 sentinels.
+    graft.core.Graft.schemaCanary(spark, sfDir).foreach(System.err.println)
+
     // JVM/session warmup so the first measured query doesn't absorb
     // startup (codegen compiler, parquet footer reads, executor spin-up)
     Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
@@ -60,6 +64,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // One UNTIMED pass of every query before the timed samples: the first
+    // execution of a plan pays whole-stage-codegen javac/JIT compilation
+    // (observed 27s-vs-4s first-sample skew on heavy queries under driver
+    // load), which is startup cost, not plan cost. Median-of-3 already
+    // discards one outlier; the warm-up keeps JIT out of ALL samples so
+    // first/median ratios stay comparable. Disable via
+    // SPARK_GRAFT_BENCH_WARMUP=0 when iterating.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      names.foreach { case (name, fn) => runOne(name, fn) }
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) => runOne(name, fn) }
     }

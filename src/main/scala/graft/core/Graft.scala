@@ -74,6 +74,36 @@ object Graft {
             "(expected LongType ns, TimestampType, or TimestampNTZType) — driver testdata drift?")
     }
   }
+  /** Schema-drift canary: one readable line per driver table with its
+    * physical parquet schema, plus a forced [[events]] normalization so an
+    * un-normalizable `ts` vintage fails FAST with observed-vs-expected types
+    * instead of erroring 30 queries deep. Round 5 lost the whole
+    * stream-kernel suite to a silent driver-side regeneration of
+    * `events.parquet` (TIMESTAMP(NANOS) → timestamp[us]); this makes the
+    * next drift one line in the log. Tables missing from `dir` are
+    * reported, not fatal (the driver controls the testdata set).
+    */
+  def schemaCanary(spark: SparkSession, dir: String): Seq[String] = {
+    val tables = Seq("events", "documents", "embeddings", "lineitem", "orders",
+      "customer", "nation", "region", "supplier", "part")
+    tables.map { t =>
+      try {
+        val physical = table(spark, dir, t).schema
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+        val normalized =
+          if (t == "events") {
+            val tsType = events(spark, dir).schema // throws on un-normalizable ts
+              .find(_.name == "ts").map(_.dataType.simpleString).getOrElse("<absent>")
+            s" | normalized ts:$tsType"
+          } else ""
+        s"[schema] $t: $physical$normalized"
+      } catch {
+        case e: IllegalStateException => throw e // events drift: fail fast
+        case e: Throwable => s"[schema] $t: UNREADABLE (${e.getMessage})"
+      }
+    }
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
