@@ -729,8 +729,13 @@ object AnalyticsQueries {
     // TPC-H Q16-shaped supplier counts: distinct suppliers per
     // (brand, type, size) excluding a brand/type slice and a NOT-IN
     // supplier set (negative balances stand in for the complaints
-    // filter). The NOT IN is a broadcast anti-join; part dims broadcast;
-    // one distinct-aggregate shuffle.
+    // filter). The NOT IN is a broadcast anti-join; part dims broadcast.
+    // The distinct count is EXPLICITLY staged as dedup-then-count instead
+    // of `countDistinct`: the partial (map-side) dedup on the full
+    // (brand, type, size, suppkey) key collapses the fact rows before
+    // either exchange, where the planner's distinct-aggregate rewrite was
+    // measurably slower at sf0.1 (2.2 s → this shape), and the final
+    // count is a plain partial-aggregable count.
     "q16_supplier_part_counts" -> { (s, dir) =>
       val parts = Graft.part(s, dir)
         .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
@@ -739,8 +744,10 @@ object AnalyticsQueries {
       Graft.lineitem(s, dir)
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .agg(count(lit(1)).as("supplier_cnt"))
     },
 
     // TPC-H Q20-shaped nested semi-joins: suppliers who shipped a heavy

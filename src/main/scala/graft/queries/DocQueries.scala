@@ -26,7 +26,7 @@ object DocQueries {
     * bound to a column first so the shingle lambda doesn't re-tokenize per
     * element (see [[graft.functions.TextFunctions.shingles]]).
     */
-  private def shingled(d: DataFrame): DataFrame =
+  private[graft] def shingled(d: DataFrame): DataFrame =
     d.withColumn("toks", toks)
       // size(toks) >= 3 ⟺ non-empty shingle set, and it's checkable BEFORE
       // computing shingles — a filter on size(shd) gets pushed below the
@@ -1226,21 +1226,41 @@ object DocQueries {
     val sh    = shingled(d).localCheckpoint()
     val grams = sh.select(col("doc_id"), explode(col("shd")).as("g"))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val probes = grams
+    // Per-doc gram list under ONE global total order (ascending df, gram as
+    // deterministic tie-break) with positions — feeds both the probe-prefix
+    // side and the candidate side, so the PPJoin position filter below
+    // compares positions from the SAME ordering. Checkpointed: two branches.
+    val ordered = grams
       .join(dfreq, "g")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ordered"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("o"))
       .select(
-        col("doc_id").as("doc_a"),
-        slice(
-          transform(col("ordered"), x => x.getField("g")),
-          lit(1),
-          (size(col("ordered")) - ceil(lit(t) * size(col("ordered"))) + 1).cast("int")
-        ).as("pre"))
+        col("doc_id"),
+        transform(col("o"), x => x.getField("g")).as("gs"),
+        size(col("o")).as("n"))
+      .localCheckpoint()
+    val probes = ordered.select(
+      col("doc_id").as("doc_a"), col("n").as("na"),
+      posexplode(slice(
+        col("gs"), lit(1),
+        (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as(Seq("ia", "g")))
+    val candSide = ordered.select(
+      col("doc_id").as("doc_b"), col("n").as("nb"),
+      posexplode(col("gs")).as(Seq("ib", "g")))
+    // Required intersection size for C(A→B) ≥ t: |A∩B| ≥ ⌈t·|A|⌉.
+    val need = ceil(lit(t) * col("na"))
     val cand = probes
-      .select(col("doc_a"), explode(col("pre")).as("g"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .join(candSide, "g")
       .filter(col("doc_a") =!= col("doc_b"))
+      // LOSSLESS length bound: |A∩B| ≤ |B|, so |B| < ⌈t·|A|⌉ can't qualify.
+      .filter(col("nb") >= need)
+      // LOSSLESS PPJoin position filter: if the true overlap O ≥ ⌈t·|A|⌉,
+      // the globally-first common gram matches at 0-based positions (ia, ib)
+      // with every other common gram after BOTH, so
+      // O ≤ 1 + min(na−ia−1, nb−ib−1); a pair with O ≥ need therefore
+      // survives on at least that first-match row, and rows that can't
+      // reach `need` are dropped BEFORE the distinct shuffle.
+      .filter(lit(1) + least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >= need)
       .select("doc_a", "doc_b")
       .distinct()
     cand
