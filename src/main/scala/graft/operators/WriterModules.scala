@@ -179,6 +179,18 @@ object WriterModules {
       */
     private[graft] var lastCueCandidates: Int = 0
     private[graft] var lastCueFallbacks: Int  = 0
+    /** Scale guard on the cue chain's driver-side candidate collect: the
+      * candidate superset is ≈ batchEvents/interval rows, so a pathological
+      * config (`cue_interval=1` on a huge stream — the reference default is
+      * 10⁸ events, `src/WriterModule/ev44/ev44_Writer.h:48`) would collect
+      * O(rows) onto the driver. The EFFECTIVE interval is raised just enough
+      * to bound candidates at [[MaxCueCandidates]] (~24 MB of collected
+      * anchors); cues stay exact under the effective interval, only their
+      * density is clamped. [[lastCueInterval]] records the value used so the
+      * clamp is observable, never silent.
+      */
+    private[graft] var MaxCueCandidates: Long  = 1L << 20 // var: test hook only
+    private[graft] var lastCueInterval: Long   = 0L
     override def acceptRepeats = true
     override def emitBuffered  = false
     override def nxClass       = "NXevent_data"
@@ -228,7 +240,6 @@ object WriterModules {
       // monotone); when the proof fails — the superset missed the true
       // first crossing — that single link is fetched with one filtered
       // limit(1) job, so exactness never depends on the heuristic.
-      val interval = cfg.long("cue_interval").getOrElse(100000000L)
       val L0 = cur.lastCue
       val proj = nonEmpty.select(
         col("row"),
@@ -240,6 +251,15 @@ object WriterModules {
         case r if r.isNullAt(0) => Long.MinValue
         case r                  => r.getLong(0)
       }
+      // effective interval ≥ requested, raised so the candidate collect
+      // stays ≤ MaxCueCandidates rows (see the guard's doc on the object)
+      val requested   = cfg.long("cue_interval").getOrElse(100000000L).max(1L)
+      val batchEvents = if (maxEa == Long.MinValue) 0L else (maxEa - cur.eventsWritten).max(0L)
+      val floor =
+        if (batchEvents > 0) (batchEvents + Ev44.MaxCueCandidates - 1) / Ev44.MaxCueCandidates
+        else 1L
+      val interval = requested.max(floor)
+      Ev44.lastCueInterval = interval
       val cand = proj.filter(
         expr(s"(ea - 1 - ${L0}L) div ${interval}L") >
           expr(s"(ea_prev - 1 - ${L0}L) div ${interval}L"))

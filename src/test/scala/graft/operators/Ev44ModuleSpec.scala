@@ -169,4 +169,37 @@ class Ev44ModuleSpec extends SparkSpec {
     assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(8L))
     assert(cue.map(_.getAs[Long]("cue_timestamp_zero")).toSeq == Seq(2001L))
   }
+
+  test("cue_interval=1 on a large batch collects bounded candidates (scale guard)") {
+    // 200 messages × 5 events with cue_interval=1 would make EVERY message
+    // a candidate (O(rows) driver collect at stream scale). With the guard
+    // clamped to 16 candidates, the effective interval rises to
+    // ceil(1000/16)=63, the collect stays ≤ 16 rows, and the clamp is
+    // visible in lastCueInterval — never silent.
+    val saved = Ev44.MaxCueCandidates
+    try {
+      Ev44.MaxCueCandidates = 16
+      val df = (0 until 200).map(i =>
+        msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 5).toSeq)).toDF()
+      val cue = Ev44.tables(df, cfg(1))("cue").orderBy("cue_index").collect()
+      assert(Ev44.lastCueInterval == 63L, s"effective interval ${Ev44.lastCueInterval}")
+      assert(Ev44.lastCueCandidates <= 16, s"collected ${Ev44.lastCueCandidates}")
+      // cues remain exact under the effective interval: greedy chain with
+      // step 63 over 5-event messages fires at 64, 129, … (next multiple-
+      // crossing message end − 1), strictly increasing and ≤ 1000
+      val idx = cue.map(_.getAs[Long]("cue_index")).toSeq
+      assert(idx.nonEmpty && idx == idx.sorted && idx.forall(_ < 1000))
+      // greedy anchors drift off the clamped grid, so per-link fallback
+      // jobs may fire — bounded by the number of cues, never by rows
+      assert(Ev44.lastCueFallbacks <= idx.size)
+    } finally Ev44.MaxCueCandidates = saved
+  }
+
+  test("sane intervals are untouched by the scale guard") {
+    val df = (0 until 5).map(i =>
+      msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
+    val cue = Ev44.tables(df, cfg(5))("cue").orderBy("cue_index").collect()
+    assert(Ev44.lastCueInterval == 5L)
+    assert(cue.map(_.getAs[Long]("cue_index")).toSeq == Seq(7L, 15L))
+  }
 }
