@@ -74,6 +74,73 @@ object DocQueries {
           concat_ws(" ", col("ck")).as("chunk_text"))
     },
 
+    // Cross-doc duplicate n-gram fraction (the per-doc dedup *statistic*
+    // reported by large corpus pipelines: share of a doc's 5-gram
+    // OCCURRENCES whose gram appears in at least one OTHER document).
+    // Two gram-keyed shuffles (distinct doc-gram → doc frequency, then an
+    // occurrence join) + one doc-keyed agg — linear in corpus grams,
+    // never a pair space.
+    "dedup_dup_ngram_fraction" -> { (s, dir) =>
+      val n = 5
+      val d = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+      val grams = d.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+      val gdf = grams.distinct().groupBy("g").agg(count(lit(1)).as("gdf"))
+      grams.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+          round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_fraction"))
+    },
+
+    // Deterministic train/val/test assignment (80/10/10): salted md5 over
+    // the doc key so the split is independent of the sampling hashes,
+    // reproducible across engines/runs, and embarrassingly parallel (pure
+    // per-row projection — no shuffle at any scale).
+    "split_assign" -> { (s, dir) =>
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      docs(s, dir).select(col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    },
+
+    // Token-length distribution per source in power-of-two buckets — the
+    // corpus-audit histogram behind truncation/packing decisions. One
+    // keyed agg over (source, bucket); partial aggregation collapses the
+    // per-row stream map-side.
+    "length_histogram" -> { (s, dir) =>
+      docs(s, dir).select(col("source"), size(toks).cast("long").as("n"))
+        .filter(col("n") >= 1)
+        .withColumn("bucket_lo", pow(lit(2.0), floor(log2(col("n")))).cast("long"))
+        .groupBy("source", "bucket_lo")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+    },
+
+    // Per-source unigram KL divergence against the corpus distribution —
+    // the data-mixing drift diagnostic (which sources' token distributions
+    // deviate most from the blend). Word-keyed shuffles only; the
+    // source-total and corpus-total frames are tiny and broadcast.
+    "source_unigram_kl" -> { (s, dir) =>
+      val sc = docs(s, dir).select(col("source"), explode(toks).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = sc.groupBy("source").agg(sum("c").as("n_src"))
+      val cc = sc.groupBy("w").agg(sum("c").as("cw"))
+      val ct = cc.agg(sum("cw").as("n_all"))
+      sc.join(broadcast(st), "source")
+        .join(cc, "w")
+        .crossJoin(broadcast(ct))
+        .withColumn("p", col("c").cast("double") / col("n_src"))
+        .withColumn("q", col("cw").cast("double") / col("n_all"))
+        .groupBy("source")
+        .agg(round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_unigram"),
+          max("n_src").as("n_tokens"))
+    },
+
     "text_token_count" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1661,6 +1728,43 @@ object DocQueries {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re
          |FROM documents""".stripMargin,
+    "dedup_dup_ngram_fraction" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),
+         |        i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+         |      FROM t WHERE len(tk) >= 5),
+         |d AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM g GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+         |  round(CAST(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS dup_fraction
+         |FROM g JOIN d USING (g) GROUP BY doc_id""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS UBIGINT)::BIGINT % 100 AS bucket
+        |FROM documents)""".stripMargin,
+    "length_histogram" ->
+      s"""SELECT source, CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_lo,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+         |FROM (SELECT source, len($SqlToks) AS n FROM documents)
+         |WHERE n >= 1 GROUP BY 1, 2""".stripMargin,
+    "source_unigram_kl" ->
+      s"""WITH w AS (SELECT source, unnest($SqlToks) AS w FROM documents),
+         |sc AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+         |st AS (SELECT source, sum(c) AS n_src FROM sc GROUP BY source),
+         |cc AS (SELECT w, sum(c) AS cw FROM sc GROUP BY w),
+         |ct AS (SELECT sum(cw) AS n_all FROM cc)
+         |SELECT source,
+         |  round(sum((CAST(c AS DOUBLE) / n_src) *
+         |            ln((CAST(c AS DOUBLE) / n_src) / (CAST(cw AS DOUBLE) / n_all))), 6)
+         |    AS kl_unigram,
+         |  CAST(max(n_src) AS BIGINT) AS n_tokens
+         |FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
+         |GROUP BY source""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |  round(CAST(length(text) - len(tk) + 1 AS DOUBLE) / len(tk), 6) AS avg_token_len,

@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-6 corpus-audit/split operators, checked against independent
+  * models (not against their own implementation): cross-doc duplicate
+  * 5-gram fraction, deterministic train/val/test assignment, power-of-two
+  * length histogram, and per-source unigram KL divergence.
+  */
+class CorpusAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // --- dedup_dup_ngram_fraction ---------------------------------------
+
+  test("dup_ngram_fraction: crafted corpus — verbatim copy is fully duplicated") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s"),   // shares the full window set with doc 2
+      (2L, "a b c d e f g h", "s"),   // verbatim copy
+      (3L, "q r s t u v w x", "s")    // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("audit").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_dup_ngram_fraction")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // 8 tokens → 4 windows of 5-grams each
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 4L, 1.0)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+  }
+
+  // --- split_assign ---------------------------------------------------
+
+  test("split_assign: deterministic, exhaustive, and hash-faithful") {
+    val rows = graft.SparkEntry.queries("split_assign")(spark, Sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id     = r.getLong(0)
+      val bucket = java.lang.Long.parseLong(md5hex(s"split:$id").take(8), 16) % 100
+      assert(r.getLong(2) == bucket, s"doc $id bucket")
+      val expect = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(r.getString(3) == expect, s"doc $id split")
+    }
+    // all three splits populated at 500 docs, fractions near 80/10/10
+    val by = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(by.keySet == Set("train", "val", "test"))
+    assert(by("train") > 350 && by("val") > 20 && by("test") > 20)
+  }
+
+  test("split_assign is independent of the sampling hash (different salt)") {
+    // same doc_id must NOT land in the same bucket as sample_stratified's
+    // unsalted hash for all docs (that would couple split and sample)
+    val coupled = (0L until 500L).count { id =>
+      val split  = java.lang.Long.parseLong(md5hex(s"split:$id").take(8), 16) % 100
+      val sample = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+      split == sample
+    }
+    assert(coupled < 25, s"salted and unsalted buckets coincide for $coupled/500 docs")
+  }
+
+  // --- length_histogram -----------------------------------------------
+
+  test("length_histogram: buckets are powers of two and partition the corpus") {
+    val rows = graft.SparkEntry.queries("length_histogram")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getLong(1)
+      assert(java.lang.Long.bitCount(lo) == 1, s"bucket_lo $lo not a power of two")
+    }
+    val totalDocs = rows.map(_.getLong(2)).sum
+    val nonEmptyDocs = graft.core.Graft.documents(spark, Sf)
+      .filter(size(split(col("text"), " ")) >= 1).count()
+    assert(totalDocs == nonEmptyDocs)
+  }
+
+  // --- source_unigram_kl ----------------------------------------------
+
+  test("source_unigram_kl: non-negative, zero only for corpus-identical source") {
+    val rows = graft.SparkEntry.queries("source_unigram_kl")(spark, Sf).collect()
+    assert(rows.length == 20) // one row per source
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0, s"KL(${r.getString(0)}) negative") // Gibbs
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("source_unigram_kl: skewed crafted source has larger KL than balanced") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a b c d", "balanced")) ++
+        (1 to 10).map(i => (100L + i, "a a a a", "skewed"))
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("audit_kl").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kl = graft.SparkEntry.queries("source_unigram_kl")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl("skewed") > kl("balanced"))
+  }
+}
