@@ -797,6 +797,21 @@ object DocQueries {
     // fingerprint table.
     "text_winnow_fingerprint" -> ((s, dir) => winnowFingerprints(docs(s, dir))),
 
+    // Cross-doc winnowing matches (the MOSS use of the fingerprints): doc
+    // pairs sharing ≥ 5 distinct winnow prints — verbatim-overlap
+    // detection at fingerprint (not shingle) density. The self-join runs
+    // on the slim (fp, doc_id) frame through the same hot-bucket-capped
+    // join as every LSH family, so a boilerplate print shared by
+    // thousands of docs degrades to star pairs instead of B².
+    "winnow_matches" -> { (s, dir) =>
+      val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp").distinct()
+      graft.operators.LshJoins
+        .cappedBandPairs(fps, Seq("fp"), "doc_id", "doc_a", "doc_b", tag = "winnow_cap")
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 5)
+    },
+
     // Corpus-trained character-trigram LM score (the CCNet/KenLM-style
     // perplexity filter, self-trained): gram counts from one keyed agg
     // (vocabulary-bounded → broadcast back), per-doc mean negative log
@@ -1667,6 +1682,32 @@ object DocQueries {
 
   private val SqlStop = sqlHits(Stopwords)
 
+  /** Shared winnowing CTE chain (t → hx → g → sel): token rolling hashes,
+    * k=3 gram poly-hashes, win=4 window minima with rightmost-tie
+    * positions — `sel` yields one (doc_id, u{pos, fp}) row per window.
+    */
+  private val SqlWinnowCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 6),
+      |hx AS (SELECT doc_id, list_transform(tk, s -> CASE WHEN length(s) = 0
+      |         THEN CAST(0 AS HUGEINT)
+      |         ELSE list_reduce(
+      |           list_transform(generate_series(1, length(s)),
+      |                          i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
+      |           (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
+      |       FROM t),
+      |g AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 2),
+      |        i -> CAST(list_reduce(list_slice(hs, i, i + 2),
+      |               (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)) AS gh
+      |      FROM hx),
+      |sel AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(gh) - 4), j ->
+      |    struct_pack(
+      |      pos := CAST(j + 5 - list_position(
+      |               list_reverse(list_slice(gh, j + 1, j + 4)),
+      |               list_aggregate(list_slice(gh, j + 1, j + 4), 'min')) AS BIGINT),
+      |      fp := list_aggregate(list_slice(gh, j + 1, j + 4), 'min')))) AS u
+      |  FROM g)""".stripMargin
+
   private val SqlShingled =
     s"""t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
        |sh2 AS (
@@ -2255,27 +2296,15 @@ object DocQueries {
     // same RollingHash→WindowPolyHash arithmetic as the span CTEs, at
     // k=3; window min with rightmost tie via position-in-reversed-slice
     "text_winnow_fingerprint" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 6),
-        |hx AS (SELECT doc_id, list_transform(tk, s -> CASE WHEN length(s) = 0
-        |         THEN CAST(0 AS HUGEINT)
-        |         ELSE list_reduce(
-        |           list_transform(generate_series(1, length(s)),
-        |                          i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)),
-        |           (h, b) -> (h * 257 + b) % 2305843009213693951) END) AS hs
-        |       FROM t),
-        |g AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 2),
-        |        i -> CAST(list_reduce(list_slice(hs, i, i + 2),
-        |               (h, x) -> (h * 1000003 + x) % 2305843009213693951) AS BIGINT)) AS gh
-        |      FROM hx),
-        |sel AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(gh) - 4), j ->
-        |    struct_pack(
-        |      pos := CAST(j + 5 - list_position(
-        |               list_reverse(list_slice(gh, j + 1, j + 4)),
-        |               list_aggregate(list_slice(gh, j + 1, j + 4), 'min')) AS BIGINT),
-        |      fp := list_aggregate(list_slice(gh, j + 1, j + 4), 'min')))) AS u
-        |  FROM g)
-        |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM sel""".stripMargin,
+      s"""$SqlWinnowCte
+         |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM sel""".stripMargin,
+    "winnow_matches" ->
+      s"""$SqlWinnowCte,
+         |fps AS (SELECT DISTINCT doc_id, u.fp AS fp FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     // gram codes = big-endian packed bytes (ord ≡ byte on this ASCII
     // corpus — the text_rolling_fingerprint precedent)
     "text_lm_score" ->

@@ -82,6 +82,26 @@ class CorpusAuditSpec extends SparkSpec {
     assert(totalDocs == nonEmptyDocs)
   }
 
+  // --- winnow_matches -------------------------------------------------
+
+  test("winnow_matches: verbatim overlap is caught, disjoint docs are not") {
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail one extra words here", "s"),
+      (2L, "lead in tokens then " + shared, "s"),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("audit_win").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.SparkEntry.queries("winnow_matches")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // winnowing guarantees ≥1 shared print per ≥6-token verbatim overlap
+    // window; a 40-token overlap yields far more than the 5-print floor
+    assert(pairs.contains((1L, 2L)), s"overlap pair missing: $pairs")
+    assert(pairs((1L, 2L)) >= 5L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   // --- source_unigram_kl ----------------------------------------------
 
   test("source_unigram_kl: non-negative, zero only for corpus-identical source") {
