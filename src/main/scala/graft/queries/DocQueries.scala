@@ -308,6 +308,39 @@ object DocQueries {
     // sets re-attached per distinct candidate.
     "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))),
 
+    // Similarity histogram over ALL verified LSH candidates (no
+    // threshold): the calibration curve behind choosing a dedup cutoff —
+    // how many pairs sit in each 0.05 Jaccard bin. Integer bin indices
+    // (floor(jac·20)) keep the group key exact across engines; same plan
+    // shape as the pair query it parameterizes.
+    "dedup_similarity_histogram" -> { (s, dir) =>
+      minhashLshPairs(docs(s, dir), minJac = 0.0)
+        .withColumn("bin", floor(col("jac") * 20).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 6).as("avg_jac"))
+    },
+
+    // Quality-threshold retention sweep — the other calibration curve: at
+    // each candidate cutoff, how many documents and tokens survive. The
+    // 10-point grid explodes map-side from each row (no extra shuffle
+    // beyond the final 10-group agg).
+    "quality_threshold_sweep" -> { (s, dir) =>
+      val q = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          round(
+            least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - stopwordRatio(col("tk"))) * 0.5, 6).as("qs"))
+      q.select(col("n_tokens"), col("qs"),
+          explode(sequence(lit(0), lit(9))).as("t10"))
+        .withColumn("threshold", round(col("t10") / 10.0, 1))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("qs") >= col("threshold"), 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(when(col("qs") >= col("threshold"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .select(col("threshold"), col("n_docs_kept"), col("tokens_kept"))
+    },
+
     // The signature-only variant: candidate pairs ranked by the MinHash
     // Jaccard ESTIMATE (fraction of agreeing signatures) — no shingle
     // sets ride the join, so per-doc state is 16 longs regardless of
@@ -1374,7 +1407,8 @@ object DocQueries {
     */
   def minhashLshPairs(
       d: DataFrame,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
+      minJac: Double = 0.4): DataFrame = {
     // the shingle frame feeds THREE branches (signature pass + both
     // verify joins); materialize once, same pattern as containmentPairs
     val sh = shingled(d).localCheckpoint()
@@ -1405,7 +1439,7 @@ object DocQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= 0.4)
+      .filter(col("jac") >= minJac)
   }
 
   /** Drop-list from a verified pair frame + per-doc quality: for every
@@ -1769,6 +1803,22 @@ object DocQueries {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re
          |FROM documents""".stripMargin,
+    "dedup_similarity_histogram" ->
+      s"""WITH $SqlLshCtes
+         |SELECT CAST(floor(jac * 20) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_pairs, round(avg(jac), 6) AS avg_jac
+         |FROM verified GROUP BY 1""".stripMargin,
+    "quality_threshold_sweep" ->
+      s"""WITH q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents)),
+         |g AS (SELECT q.*, round(t.t10 / 10.0, 1) AS threshold
+         |      FROM q, generate_series(0, 9) AS t(t10))
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN qs >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(CASE WHEN qs >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM g GROUP BY threshold""".stripMargin,
     "dedup_dup_ngram_fraction" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),

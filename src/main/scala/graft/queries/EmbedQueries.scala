@@ -88,6 +88,21 @@ object EmbedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast the query vectors, one pass over
     // the corpus, bounded per-query top-k (no corpus-sized rank window).
+    // Embedding-table health audit (the pre-flight check before any ANN
+    // build): per label, vector count, zero-norm count (would divide by
+    // zero in cosine), and the norm range/mean. One keyed agg, partials
+    // collapse map-side — a single pass at any corpus size.
+    "embed_norm_stats" -> { (s, dir) =>
+      withNorm(emb(s, dir))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"),
+          round(avg("nrm"), 6).as("avg_norm"))
+    },
+
     "embed_knn_brute" -> { (s, dir) =>
       val e = withNorm(emb(s, dir))
       val q = e.filter(col("vec_id") < NumQueries)
@@ -598,6 +613,13 @@ object EmbedQueries {
          |                               ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM p)
          |WHERE rnk <= $K""".stripMargin,
+    "embed_norm_stats" ->
+      s"""WITH $SqlNorm
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+         |  round(avg(nrm), 6) AS avg_norm
+         |FROM n GROUP BY label""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH $SqlNorm,
          |p AS (

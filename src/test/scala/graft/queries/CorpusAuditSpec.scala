@@ -82,6 +82,43 @@ class CorpusAuditSpec extends SparkSpec {
     assert(totalDocs == nonEmptyDocs)
   }
 
+  // --- calibration curves + embedding audit ---------------------------
+
+  test("quality_threshold_sweep: retention is monotone and exhaustive at 0") {
+    val rows = graft.SparkEntry.queries("quality_threshold_sweep")(spark, Sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 10)
+    val docsKept = rows.map(_.getLong(1)).toSeq
+    val toksKept = rows.map(_.getLong(2)).toSeq
+    assert(docsKept == docsKept.sorted.reverse, "doc retention not monotone")
+    assert(toksKept == toksKept.sorted.reverse, "token retention not monotone")
+    assert(docsKept.head == 500L) // threshold 0.0 keeps every doc
+  }
+
+  test("dedup_similarity_histogram: bins partition the unthresholded pair set") {
+    val hist = graft.SparkEntry.queries("dedup_similarity_histogram")(spark, Sf).collect()
+    val allPairs = DocQueries
+      .minhashLshPairs(graft.core.Graft.documents(spark, Sf), minJac = 0.0).count()
+    assert(hist.map(_.getLong(1)).sum == allPairs)
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 20L)
+      val lo = r.getLong(0) / 20.0
+      assert(r.getDouble(2) >= lo - 1e-9 && r.getDouble(2) < lo + 0.05 + 1e-9,
+        s"avg_jac ${r.getDouble(2)} outside bin ${r.getLong(0)}")
+    }
+  }
+
+  test("embed_norm_stats: counts cover the table, bounds ordered") {
+    val rows = graft.SparkEntry.queries("embed_norm_stats")(spark, Sf).collect()
+    val total = graft.core.Graft.embeddings(spark, Sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "unexpected zero-norm vectors in testdata")
+      assert(r.getDouble(3) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(4),
+        s"min/avg/max out of order for label ${r.get(0)}")
+    }
+  }
+
   // --- winnow_matches -------------------------------------------------
 
   test("winnow_matches: verbatim overlap is caught, disjoint docs are not") {
