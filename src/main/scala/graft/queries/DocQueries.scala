@@ -853,6 +853,29 @@ object DocQueries {
     // determinism trick as the span hashes.
     "text_lm_score" -> ((s, dir) => lmScore(docs(s, dir), keepAtMost = 5.36)),
 
+    // Vocab-size coverage sweep — the tokenizer-design calibration curve:
+    // what fraction of corpus token OCCURRENCES the top-k most frequent
+    // words cover, at several k. One keyed word-count shuffle; the top-k
+    // extraction is a TakeOrdered bounded by the largest k (never a
+    // global sort shuffle), and the rank window runs over that k-bounded
+    // frame only.
+    "vocab_coverage_sweep" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ks = Seq(100, 300, 1000, 3000, 10000)
+      val wc = docs(s, dir).select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = wc.agg(sum("cnt").as("total"))
+      val ranked = wc.orderBy(col("cnt").desc, col("w")).limit(ks.max)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      ranked.crossJoin(broadcast(total))
+        .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"),
+          col("rnk"), col("cnt"), col("total"))
+        .filter(col("rnk") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("vocab_size"),
+          round(sum("cnt").cast("double") / max("total"), 6).as("coverage"))
+    },
+
     // Corpus n-gram count table (the LM-data statistic behind vocab
     // induction / corpus browsing): token 1/2/3-grams with a frequency
     // cutoff. One explode + one partially-aggregated keyed shuffle; the
@@ -1803,6 +1826,15 @@ object DocQueries {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re
          |FROM documents""".stripMargin,
+    "vocab_coverage_sweep" ->
+      s"""WITH wc AS (SELECT w, count(*) AS cnt
+         |           FROM (SELECT unnest($SqlToks) AS w FROM documents) GROUP BY w),
+         |tot AS (SELECT sum(cnt) AS total FROM wc),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM wc),
+         |ks AS (SELECT unnest([100, 300, 1000, 3000, 10000]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS vocab_size,
+         |  round(CAST(sum(cnt) AS DOUBLE) / max(total), 6) AS coverage
+         |FROM r, ks, tot WHERE rnk <= ks.k GROUP BY 1""".stripMargin,
     "dedup_similarity_histogram" ->
       s"""WITH $SqlLshCtes
          |SELECT CAST(floor(jac * 20) AS BIGINT) AS bin,

@@ -119,6 +119,17 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("vocab_coverage_sweep: coverage is monotone in k and hits 1.0 at full vocab") {
+    val rows = graft.SparkEntry.queries("vocab_coverage_sweep")(spark, Sf)
+      .orderBy("k").collect()
+    assert(rows.length == 5)
+    val cov = rows.map(_.getDouble(2)).toSeq
+    assert(cov == cov.sorted, "coverage not monotone in k")
+    // the synthetic vocab is far smaller than k=10000: full coverage there
+    assert(math.abs(cov.last - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0), "vocab_size exceeds k"))
+  }
+
   // --- winnow_matches -------------------------------------------------
 
   test("winnow_matches: verbatim overlap is caught, disjoint docs are not") {
