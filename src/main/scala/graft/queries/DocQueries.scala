@@ -1361,34 +1361,40 @@ object DocQueries {
     // sides, two verify joins); materialize it once — uncheckpointed, each
     // branch re-runs tokenize+shingle+distinct over the corpus (measured
     // 9.4 s → 3.4 s at sf0.1). Same pattern as ConnectedComponents.
-    val sh    = shingled(d).localCheckpoint()
+    val sh = shingled(d).localCheckpoint()
+    // Candidate generation runs entirely on 64-bit gram HASHES: the string
+    // shingle never rides a shuffle or the checkpointed order arrays. A
+    // hash collision can only merge two grams' df counts / match a probe
+    // spuriously — extra CANDIDATES, which the exact set-verify below
+    // discards — so the filter chain stays lossless.
     val grams = sh.select(col("doc_id"), explode(col("shd")).as("g"))
-    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    // Per-doc gram list under ONE global total order (ascending df, gram as
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    // Per-doc gram list under ONE global total order (ascending df, hash as
     // deterministic tie-break) with positions — feeds both the probe-prefix
     // side and the candidate side, so the PPJoin position filter below
     // compares positions from the SAME ordering. Checkpointed: two branches.
     val ordered = grams
-      .join(dfreq, "g")
+      .join(dfreq, "gh")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("o"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("o"))
       .select(
         col("doc_id"),
-        transform(col("o"), x => x.getField("g")).as("gs"),
+        transform(col("o"), x => x.getField("gh")).as("gs"),
         size(col("o")).as("n"))
       .localCheckpoint()
     val probes = ordered.select(
       col("doc_id").as("doc_a"), col("n").as("na"),
       posexplode(slice(
         col("gs"), lit(1),
-        (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as(Seq("ia", "g")))
+        (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as(Seq("ia", "gh")))
     val candSide = ordered.select(
       col("doc_id").as("doc_b"), col("n").as("nb"),
-      posexplode(col("gs")).as(Seq("ib", "g")))
+      posexplode(col("gs")).as(Seq("ib", "gh")))
     // Required intersection size for C(A→B) ≥ t: |A∩B| ≥ ⌈t·|A|⌉.
     val need = ceil(lit(t) * col("na"))
     val cand = probes
-      .join(candSide, "g")
+      .join(candSide, "gh")
       .filter(col("doc_a") =!= col("doc_b"))
       // LOSSLESS length bound: |A∩B| ≤ |B|, so |B| < ⌈t·|A|⌉ can't qualify.
       .filter(col("nb") >= need)
