@@ -348,35 +348,12 @@ object DocQueries {
     // suffices at corpus scale; the exact-verify variant above is the
     // precision path.
     "dedup_minhash_estimate" -> { (s, dir) =>
-      import graft.functions.MinHashSigs.minhash_sigs
       // the signature frame feeds band build + both estimate joins;
       // materialize the (tokenize → shingle → minhash) pipeline once
-      val sig = shingled(docs(s, dir))
-        .withColumn("mhs", minhash_sigs(col("shd"), NumHashes))
-        .select(col("doc_id") +:
-          (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
-        .localCheckpoint()
-      val bandStructs = (0 until Bands).map { bnd =>
-        val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
-        struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val cand = graft.operators.LshJoins
-        .cappedBandPairs(bands, Seq("band", "bkey"), "doc_id",
-          "doc_a", "doc_b", tag = "minhash_est_cap")
-        .select("doc_a", "doc_b")
-        .distinct() // a pair can collide in several bands; estimate ONCE
-      cand
-        .join(sig.select(col("doc_id").as("doc_a") +:
-          (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b") +:
-          (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
-            .as("jac_est"))
-        .filter(col("jac_est") >= 0.5)
+      val sig = minhashSigs(shingled(docs(s, dir))).localCheckpoint()
+      val cand = minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
+        "minhash_est_cap")
+      minhashEstimateFromSigs(sig, cand)
     },
 
     // Per-source corpus MinHash profiles + pairwise similarity: the
@@ -415,9 +392,18 @@ object DocQueries {
     // synthetic corpus the two paths agree EXACTLY (the report is
     // empty, and the oracle proves both engines compute that same empty
     // set) — the operator exists for real corpora, where they won't.
+    // Estimator calibration: where the signature estimate and the exact
+    // verify disagree. The standalone paths band IDENTICAL signatures, so
+    // ONE shingle pass, ONE signature pass, and ONE capped band join feed
+    // both scorers here — half the corpus scans of composing the two
+    // standalone queries.
     "dedup_estimate_vs_exact" -> { (s, dir) =>
-      val exact = queries("dedup_minhash_lsh")(s, dir).select("doc_a", "doc_b")
-      val est   = queries("dedup_minhash_estimate")(s, dir).select("doc_a", "doc_b")
+      val sh   = shingled(docs(s, dir)).localCheckpoint()
+      val sig  = minhashSigs(sh).localCheckpoint()
+      val cand = minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
+        "est_vs_exact_cap").localCheckpoint()
+      val exact = minhashLshPairsFromShingles(sh, cand, 0.4).select("doc_a", "doc_b")
+      val est   = minhashEstimateFromSigs(sig, cand).select("doc_a", "doc_b")
       est.except(exact).withColumn("side", lit("estimate_only"))
         .unionByName(exact.except(est).withColumn("side", lit("exact_only")))
     },
@@ -1434,23 +1420,23 @@ object DocQueries {
     * the same frame (`.persist()` at the call site); the oracle harness
     * runs each dependent query self-contained.
     */
-  def minhashLshPairs(
-      d: DataFrame,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
-      minJac: Double = 0.4): DataFrame = {
-    // the shingle frame feeds THREE branches (signature pass + both
-    // verify joins); materialize once, same pattern as containmentPairs
-    val sh = shingled(d).localCheckpoint()
-    // all 16 signatures in ONE native pass over the shingle set
-    // ([[graft.functions.MinHashSigs]] — same md5+affine arithmetic as
-    // the interpreted TextFunctions.minhash formulation it replaces)
-    val sig = sh
-      .withColumn("mhs",
+  /** All 16 MinHash signatures from a shingle frame in ONE native pass
+    * ([[graft.functions.MinHashSigs]] — same md5+affine arithmetic as the
+    * interpreted TextFunctions.minhash formulation it replaces).
+    */
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh.withColumn("mhs",
         graft.functions.MinHashSigs.minhash_sigs(col("shd"), NumHashes))
       .select(
         col("doc_id") +:
           (0 until NumHashes).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*
       )
+
+  /** Distinct banded candidate pairs from a signature frame (a pair can
+    * collide in several bands; downstream scores ONCE). Hot buckets
+    * degrade through [[graft.operators.LshJoins.cappedBandPairs]].
+    */
+  private def minhashBandCands(sig: DataFrame, maxBucket: Int, tag: String): DataFrame = {
     val bandStructs = (0 until Bands).map { bnd =>
       val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
       struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
@@ -1458,17 +1444,50 @@ object DocQueries {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    val cand = graft.operators.LshJoins
+    graft.operators.LshJoins
       .cappedBandPairs(bands, Seq("band", "bkey"), "doc_id",
-        "doc_a", "doc_b", maxBucket, "minhash_lsh_cap")
+        "doc_a", "doc_b", maxBucket, tag)
       .select("doc_a", "doc_b")
-      .distinct() // a pair can collide in several bands; verify ONCE
+      .distinct()
+  }
+
+  /** Exact Jaccard over banded candidates from a PRE-CHECKPOINTED shingle
+    * frame — the composition surface ([[minhashLshPairs]] wraps it; the
+    * estimate-vs-exact audit shares one shingle/signature/candidate pass
+    * across both scorers through it).
+    */
+  private def minhashLshPairsFromShingles(
+      sh: DataFrame,
+      cand: DataFrame,
+      minJac: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shd").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shd").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= minJac)
+
+  /** Signature-agreement estimate over banded candidates. */
+  private def minhashEstimateFromSigs(sig: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(sig.select(col("doc_id").as("doc_a") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardEstimate((0 until NumHashes).map(i => (col(s"a$i"), col(s"b$i"))))
+          .as("jac_est"))
+      .filter(col("jac_est") >= 0.5)
+
+  def minhashLshPairs(
+      d: DataFrame,
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
+      minJac: Double = 0.4): DataFrame = {
+    // the shingle frame feeds THREE branches (signature pass + both
+    // verify joins); materialize once, same pattern as containmentPairs
+    val sh   = shingled(d).localCheckpoint()
+    val cand = minhashBandCands(minhashSigs(sh), maxBucket, "minhash_lsh_cap")
+    minhashLshPairsFromShingles(sh, cand, minJac)
   }
 
   /** Drop-list from a verified pair frame + per-doc quality: for every
