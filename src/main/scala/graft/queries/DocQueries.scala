@@ -109,6 +109,41 @@ object DocQueries {
           .as("split"))
     },
 
+    // Split leakage audit — composes [[split_assign]] with the n-gram
+    // machinery: for each held-out split, how many of its distinct
+    // 5-grams also appear in train (the self-contamination check run
+    // before training; same shape as benchmark decontamination but
+    // between your own splits). One gram-keyed semi join; gram sets
+    // never leave their keyed shuffles.
+    "split_ngram_leakage" -> { (s, dir) =>
+      val n = 5
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val g = docs(s, dir)
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+          toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("split"),
+          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+        .distinct()
+      val train  = g.filter(col("split") === "train").select("g")
+      val held   = g.filter(col("split") =!= "train")
+      val totals = held.groupBy("split").agg(count(lit(1)).as("n_grams"))
+      val seen = held.join(train, Seq("g"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("seen"))
+      // LEFT join + coalesce: a split with ZERO leaked grams must still
+      // report its row (the semi-join yields nothing for it)
+      totals.join(seen, Seq("split"), "left")
+        .select(col("split"), col("n_grams"),
+          coalesce(col("seen"), lit(0L)).as("n_seen_in_train"),
+          round(coalesce(col("seen"), lit(0L)).cast("double") / col("n_grams"), 6)
+            .as("leak_fraction"))
+    },
+
     // Token-length distribution per source in power-of-two buckets — the
     // corpus-audit histogram behind truncation/packing decisions. One
     // keyed agg over (source, bucket); partial aggregation collapses the
@@ -1895,6 +1930,24 @@ object DocQueries {
         |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
         |    AS UBIGINT)::BIGINT % 100 AS bucket
         |FROM documents)""".stripMargin,
+    "split_ngram_leakage" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |    tk
+         |  FROM (SELECT doc_id, $SqlToks AS tk,
+         |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS UBIGINT)::BIGINT % 100 AS b
+         |  FROM documents) WHERE len(tk) >= 5),
+         |g AS (SELECT DISTINCT split, unnest(list_transform(generate_series(1, len(tk) - 4),
+         |        i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+         |      FROM d),
+         |tr AS (SELECT g FROM g WHERE split = 'train')
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN g IN (SELECT g FROM tr) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_seen_in_train,
+         |  round(CAST(sum(CASE WHEN g IN (SELECT g FROM tr) THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS leak_fraction
+         |FROM g WHERE split <> 'train' GROUP BY split""".stripMargin,
     "length_histogram" ->
       s"""SELECT source, CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_lo,
          |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens

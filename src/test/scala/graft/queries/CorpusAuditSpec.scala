@@ -67,6 +67,32 @@ class CorpusAuditSpec extends SparkSpec {
     assert(coupled < 25, s"salted and unsalted buckets coincide for $coupled/500 docs")
   }
 
+  test("split_ngram_leakage: full-corpus duplicates leak, unique docs don't") {
+    // find one doc_id for each split under the salted hash, give the val
+    // doc text copied from the train doc (full leak) and the test doc
+    // disjoint text (zero leak)
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(s"split:$id").take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val ids     = (0L until 200L)
+    val trainId = ids.find(splitOf(_) == "train").get
+    val valId   = ids.find(splitOf(_) == "val").get
+    val testId  = ids.find(splitOf(_) == "test").get
+    val shared  = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (trainId, shared, "s"),
+      (valId, shared, "s"),                                  // verbatim from train
+      (testId, (50 to 70).map(i => s"q$i").mkString(" "), "s") // disjoint
+    ).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("audit_leak").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("split_ngram_leakage")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("val") == ((16L, 16L, 1.0)), s"val row: ${out.get("val")}")
+    assert(out("test") == ((17L, 0L, 0.0)), s"test row: ${out.get("test")}")
+  }
+
   // --- length_histogram -----------------------------------------------
 
   test("length_histogram: buckets are powers of two and partition the corpus") {
