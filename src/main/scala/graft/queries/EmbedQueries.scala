@@ -483,6 +483,27 @@ object EmbedQueries {
     // broadcast (k×d doubles); the corpus is scored in one pass; the
     // per-cell mean folds round-6 decimals so it is order-independent.
     // The operational readout that says when cells need re-clustering.
+    // Semantic outlier DROP-LIST (the row-level actionable companion of
+    // the aggregate cluster-quality audit): vectors whose cosine to their
+    // own label centroid falls below 0.5 — corrupt or mislabeled
+    // embeddings a pipeline filters before ANN builds. Broadcast
+    // centroids, one corpus pass.
+    "embed_ood_outliers" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cl"), transform(col("pc"), _.getField("c")).as("cv"))
+        .withColumn("cn", l2_norm(col("cv")))
+      e.join(broadcast(cents), col("label") === col("cl"))
+        .select(col("vec_id"), col("label"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cos_centroid"))
+        .filter(col("cos_centroid") < 0.5)
+    },
+
     "embed_cluster_quality" -> { (s, dir) =>
       val e = withNorm(emb(s, dir))
       val cents = e
@@ -891,6 +912,19 @@ object EmbedQueries {
          |FROM brute b LEFT JOIN mr m
          |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
+    "embed_ood_outliers" ->
+      s"""WITH $SqlNorm,
+         |cl AS (SELECT label, pos, avg(x) AS c
+         |       FROM (SELECT label, unnest(v) AS x,
+         |                    unnest(generate_series(0, len(v) - 1)) AS pos
+         |             FROM e)
+         |       GROUP BY label, pos),
+         |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
+         |cn2 AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents)
+         |SELECT n.vec_id, n.label,
+         |  round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS cos_centroid
+         |FROM n JOIN cn2 c ON c.label = n.label
+         |WHERE round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) < 0.5""".stripMargin,
     "embed_cluster_quality" ->
       s"""WITH $SqlNorm,
          |cl AS (SELECT label, pos, avg(x) AS c

@@ -134,6 +134,13 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("embed_ood_outliers: exactly the below-threshold rows, none fabricated") {
+    val out = graft.SparkEntry.queries("embed_ood_outliers")(spark, Sf).collect()
+    out.foreach(r => assert(r.getDouble(2) < 0.5, s"vec ${r.getLong(0)} not an outlier"))
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "duplicate vec rows")
+    assert(out.length <= graft.core.Graft.embeddings(spark, Sf).count())
+  }
+
   test("embed_norm_stats: counts cover the table, bounds ordered") {
     val rows = graft.SparkEntry.queries("embed_norm_stats")(spark, Sf).collect()
     val total = graft.core.Graft.embeddings(spark, Sf).count()
