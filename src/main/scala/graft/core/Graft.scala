@@ -52,8 +52,15 @@ object Graft {
     *    `spark.sql.legacy.parquet.nanosAsLong`) — pass through untouched so
     *    the column stays a bare attribute and every predicate on it pushes
     *    down to the scan.
-    *  - `TimestampType` / `TimestampNTZType` (µs precision): project
-    *    `unix_micros(cast(ts as timestamp)) * 1000L` back to ns.
+    *  - `TimestampType` (µs instant): `unix_micros(ts) * 1000L` — instant
+    *    semantics, session-timezone-independent.
+    *  - `TimestampNTZType` (µs wall clock — what pyarrow `timestamp[us]`
+    *    without a zone reads as): the wall clock IS the UTC instant the
+    *    driver wrote, so micros are extracted with PURE LOCAL arithmetic
+    *    (`timestampdiff` against the NTZ epoch). Casting NTZ→Timestamp
+    *    first would re-interpret the wall clock in
+    *    `spark.sql.session.timeZone` and silently shift every ts by the
+    *    zone offset on any session not pinned to UTC.
     *
     * Downstream code (StreamQueries/AnalyticsQueries, ~30 call sites) always
     * sees a Long of ns, both data vintages. All other columns are passed
@@ -61,13 +68,16 @@ object Graft {
     * `event_type`/`user_id` are unaffected.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
     raw.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => raw
-      case Some(TimestampType) | Some(TimestampNTZType) =>
-        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(TimestampType) =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
       case Some(other) =>
         throw new IllegalStateException(
           s"events.ts: cannot normalize physical type $other to the i64-ns contract " +
@@ -76,12 +86,17 @@ object Graft {
   }
   /** Schema-drift canary: one readable line per driver table with its
     * physical parquet schema, plus a forced [[events]] normalization so an
-    * un-normalizable `ts` vintage fails FAST with observed-vs-expected types
-    * instead of erroring 30 queries deep. Round 5 lost the whole
-    * stream-kernel suite to a silent driver-side regeneration of
-    * `events.parquet` (TIMESTAMP(NANOS) → timestamp[us]); this makes the
-    * next drift one line in the log. Tables missing from `dir` are
-    * reported, not fatal (the driver controls the testdata set).
+    * un-normalizable `ts` vintage surfaces as a LOUD `DRIFT ERROR` line
+    * up front instead of 30 opaque query errors deep in the run. Round 5
+    * lost the whole stream-kernel suite to a silent driver-side
+    * regeneration of `events.parquet` (TIMESTAMP(NANOS) → timestamp[us]);
+    * this makes the next drift one readable line in the log.
+    *
+    * The canary NEVER throws: killing Verify/Bench here would turn an
+    * events-only drift into total loss of the round's artifacts (every
+    * non-events query still works, and the events queries record their
+    * individual errors in verify_errors.json). Missing tables are
+    * likewise reported, not fatal — the driver controls the testdata set.
     */
   def schemaCanary(spark: SparkSession, dir: String): Seq[String] = {
     val tables = Seq("events", "documents", "embeddings", "lineitem", "orders",
@@ -92,13 +107,16 @@ object Graft {
           .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
         val normalized =
           if (t == "events") {
-            val tsType = events(spark, dir).schema // throws on un-normalizable ts
-              .find(_.name == "ts").map(_.dataType.simpleString).getOrElse("<absent>")
-            s" | normalized ts:$tsType"
+            try {
+              val tsType = events(spark, dir).schema
+                .find(_.name == "ts").map(_.dataType.simpleString).getOrElse("<absent>")
+              s" | normalized ts:$tsType"
+            } catch {
+              case e: IllegalStateException => s" | DRIFT ERROR: ${e.getMessage}"
+            }
           } else ""
         s"[schema] $t: $physical$normalized"
       } catch {
-        case e: IllegalStateException => throw e // events drift: fail fast
         case e: Throwable => s"[schema] $t: UNREADABLE (${e.getMessage})"
       }
     }

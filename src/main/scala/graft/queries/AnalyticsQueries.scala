@@ -744,6 +744,8 @@ object AnalyticsQueries {
       Graft.lineitem(s, dir)
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        // countDistinct ignored NULL suppkeys; the explicit staging must too
+        .filter(col("l_suppkey").isNotNull)
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type", "p_size")

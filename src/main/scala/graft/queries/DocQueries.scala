@@ -22,11 +22,21 @@ object DocQueries {
 
   private val toks: Column = tokens(col("text"))
 
+  /** Salted md5 split bucket in [0, 100) and its 80/10/10 tier — ONE
+    * definition shared by `split_assign` and `split_ngram_leakage`, so
+    * the leakage audit provably audits the split the assignment emits.
+    */
+  private def splitBucket: Column = conv(substring(
+    md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+    .cast("long") % 100
+  private def splitTier(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** doc_id + distinct 3-gram shingles, non-empty docs only. Tokens are
     * bound to a column first so the shingle lambda doesn't re-tokenize per
     * element (see [[graft.functions.TextFunctions.shingles]]).
     */
-  private[graft] def shingled(d: DataFrame): DataFrame =
+  private def shingled(d: DataFrame): DataFrame =
     d.withColumn("toks", toks)
       // size(toks) >= 3 ⟺ non-empty shingle set, and it's checkable BEFORE
       // computing shingles — a filter on size(shd) gets pushed below the
@@ -82,11 +92,16 @@ object DocQueries {
     // never a pair space.
     "dedup_dup_ngram_fraction" -> { (s, dir) =>
       val n = 5
-      val d = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      // gram arrays built once (checkpoint) — the doc-frequency branch and
+      // the occurrence join would otherwise each re-run tokenize+gram-build
+      // over the corpus (different join keys, no exchange reuse)
+      val garr = docs(s, dir).select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
-      val grams = d.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n)))).as("gs"))
+        .localCheckpoint()
+      val grams = garr.select(col("doc_id"), explode(col("gs")).as("g"))
       val gdf = grams.distinct().groupBy("g").agg(count(lit(1)).as("gdf"))
       grams.join(gdf, "g")
         .groupBy("doc_id")
@@ -101,12 +116,8 @@ object DocQueries {
     // reproducible across engines/runs, and embarrassingly parallel (pure
     // per-row projection — no shuffle at any scale).
     "split_assign" -> { (s, dir) =>
-      val bucket = conv(substring(
-        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100
-      docs(s, dir).select(col("doc_id"), col("source"), bucket.as("bucket"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-          .as("split"))
+      docs(s, dir).select(col("doc_id"), col("source"), splitBucket.as("bucket"),
+        splitTier(splitBucket).as("split"))
     },
 
     // Split leakage audit — composes [[split_assign]] with the n-gram
@@ -117,14 +128,8 @@ object DocQueries {
     // never leave their keyed shuffles.
     "split_ngram_leakage" -> { (s, dir) =>
       val n = 5
-      val bucket = conv(substring(
-        md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100
       val g = docs(s, dir)
-        .select(col("doc_id"),
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-            .as("split"),
-          toks.as("tk"))
+        .select(col("doc_id"), splitTier(splitBucket).as("split"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("split"),
           explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
@@ -856,13 +861,25 @@ object DocQueries {
     // detection at fingerprint (not shingle) density. The self-join runs
     // on the slim (fp, doc_id) frame through the same hot-bucket-capped
     // join as every LSH family, so a boilerplate print shared by
-    // thousands of docs degrades to star pairs instead of B².
+    // thousands of docs degrades to star pairs instead of B². The cap
+    // generates CANDIDATES only; shared_fps is counted EXACTLY from the
+    // two docs' full print sets per candidate, so a hot print degrades
+    // pair coverage (documented star semantics) but can never miscount a
+    // surviving pair.
     "winnow_matches" -> { (s, dir) =>
       val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp").distinct()
-      graft.operators.LshJoins
+      val sets = fps.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("fp"))).as("fset"))
+        .localCheckpoint() // feeds both re-attach joins
+      val cand = graft.operators.LshJoins
         .cappedBandPairs(fps, Seq("fp"), "doc_id", "doc_a", "doc_b", tag = "winnow_cap")
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("shared_fps"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("fset").as("fa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("fset").as("fb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("fa"), col("fb"))).cast("long").as("shared_fps"))
         .filter(col("shared_fps") >= 5)
     },
 
@@ -1384,12 +1401,15 @@ object DocQueries {
     // 9.4 s → 3.4 s at sf0.1). Same pattern as ConnectedComponents.
     val sh = shingled(d).localCheckpoint()
     // Candidate generation runs entirely on 64-bit gram HASHES: the string
-    // shingle never rides a shuffle or the checkpointed order arrays. A
-    // hash collision can only merge two grams' df counts / match a probe
-    // spuriously — extra CANDIDATES, which the exact set-verify below
-    // discards — so the filter chain stays lossless.
-    val grams = sh.select(col("doc_id"), explode(col("shd")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    // shingle never rides a shuffle or the checkpointed order arrays. The
+    // per-row array_distinct collapses any intra-doc collision BEFORE the
+    // explode (two shingles of one doc sharing a hash would otherwise
+    // inflate |A| and over-tighten ⌈t·|A|⌉ — a candidate-LOSS path); after
+    // it, a collision can only merge df counts across docs or match a
+    // probe spuriously — extra CANDIDATES, which the exact set-verify
+    // below discards — so the filter chain stays lossless.
+    val grams = sh.select(col("doc_id"),
+      explode(array_distinct(transform(col("shd"), g => xxhash64(g)))).as("gh"))
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     // Per-doc gram list under ONE global total order (ascending df, hash as
     // deterministic tie-break) with positions — feeds both the probe-prefix

@@ -86,8 +86,6 @@ object EmbedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-k: broadcast the query vectors, one pass over
-    // the corpus, bounded per-query top-k (no corpus-sized rank window).
     // Embedding-table health audit (the pre-flight check before any ANN
     // build): per label, vector count, zero-norm count (would divide by
     // zero in cosine), and the norm range/mean. One keyed agg, partials
@@ -103,6 +101,8 @@ object EmbedQueries {
           round(avg("nrm"), 6).as("avg_norm"))
     },
 
+    // Brute-force cosine top-k: broadcast the query vectors, one pass over
+    // the corpus, bounded per-query top-k (no corpus-sized rank window).
     "embed_knn_brute" -> { (s, dir) =>
       val e = withNorm(emb(s, dir))
       val q = e.filter(col("vec_id") < NumQueries)
@@ -478,11 +478,6 @@ object EmbedQueries {
       topKPerQuery(rescored, "cosine", K)
     },
 
-    // Index-health audit for the IVF cell layout: per-cell population and
-    // cohesion (mean/min rounded cosine to the cell centroid). Centroids
-    // broadcast (k×d doubles); the corpus is scored in one pass; the
-    // per-cell mean folds round-6 decimals so it is order-independent.
-    // The operational readout that says when cells need re-clustering.
     // Semantic outlier DROP-LIST (the row-level actionable companion of
     // the aggregate cluster-quality audit): vectors whose cosine to their
     // own label centroid falls below 0.5 — corrupt or mislabeled
@@ -504,6 +499,11 @@ object EmbedQueries {
         .filter(col("cos_centroid") < 0.5)
     },
 
+    // Index-health audit for the IVF cell layout: per-cell population and
+    // cohesion (mean/min rounded cosine to the cell centroid). Centroids
+    // broadcast (k×d doubles); the corpus is scored in one pass; the
+    // per-cell mean folds round-6 decimals so it is order-independent.
+    // The operational readout that says when cells need re-clustering.
     "embed_cluster_quality" -> { (s, dir) =>
       val e = withNorm(emb(s, dir))
       val cents = e

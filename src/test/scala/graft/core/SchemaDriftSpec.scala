@@ -56,6 +56,20 @@ class SchemaDriftSpec extends SparkSpec {
     assert(ts("long") == ts("micros"))
   }
 
+  test("NTZ normalization is session-timezone independent") {
+    // a harness-created session not pinned to UTC must read the SAME ns
+    // values: NTZ wall clocks are extracted with local arithmetic, never
+    // re-interpreted through spark.sql.session.timeZone
+    val dir    = fixtureDir("micros")
+    val utcTs  = Graft.events(spark, dir).select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val offUtc = spark.newSession()
+    offUtc.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val nyTs = Graft.events(offUtc, dir).select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(nyTs == utcTs, "ts shifted by session timezone on the NTZ vintage")
+  }
+
   test("canary reports every table and the normalized ts type") {
     val lines = Graft.schemaCanary(spark, fixtureDir("micros"))
     assert(lines.exists(l => l.startsWith("[schema] events:") && l.contains("normalized ts:bigint")))
