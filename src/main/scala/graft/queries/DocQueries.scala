@@ -674,6 +674,36 @@ object DocQueries {
           (col("start_tok") % cap).as("bin_offset"))
     },
 
+    // Packing-efficiency readout over [[pack_sequences]]'s concat-and-chop
+    // layout: per source, bin count and the fraction of documents that
+    // straddle a bin boundary (the attention-contamination / truncation
+    // proxy that drives cap choice). One keyed agg over the packed frame.
+    "pack_boundary_stats" -> { (s, dir) =>
+      val cap = 2048
+      queries("pack_sequences")(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(col("bin_offset") + col("n_tokens") > cap, 1L).otherwise(0L))
+            .as("spanning_docs"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          ceil(col("total_tokens") / lit(cap.toDouble)).cast("long").as("n_bins"),
+          col("spanning_docs"),
+          round(col("spanning_docs").cast("double") / col("n_docs"), 6)
+            .as("spanning_fraction"))
+    },
+
+    // Duplicate-cluster size distribution — the dedup audit headline
+    // (how much of the corpus sits in 2-clusters vs mega-clusters). Two
+    // tiny keyed aggs over the CC labels.
+    "dedup_cluster_sizes" -> { (s, dir) =>
+      queries("dedup_clusters")(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+    },
+
     // Gopher/C4-style repetition & quality filters — the standard public
     // pre-training heuristics (Rae et al. 2021 §A1.1, C4): duplicate-line
     // fractions, top-n-gram character concentration, symbol-to-word
@@ -2289,6 +2319,33 @@ object DocQueries {
         |       CAST(start_tok // 2048 AS BIGINT) AS bin_id,
         |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
         |FROM c""".stripMargin,
+    "pack_boundary_stats" ->
+      """WITH d AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |                  - n_tokens AS start_tok FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN start_tok % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS spanning_docs,
+        |  round(CAST(sum(CASE WHEN start_tok % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS spanning_fraction
+        |FROM c GROUP BY source""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $SqlLshCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
+         |edges AS (SELECT doc_a, doc_b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a),
+         |lbl AS (SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY sz""".stripMargin,
     "text_repetition_filters" ->
       """WITH b AS (
         |  SELECT doc_id, text, string_split(text, chr(10)) AS ln,

@@ -177,6 +177,56 @@ object EmbedQueries {
     // brute-force top-k — "measure, don't guess" for the pruning trade.
     // Both sides are existing verified queries; one semi-join + one small
     // aggregate on top.
+    // The ANN TUNING CURVE: mean recall@k at nProbe ∈ {1, 2, 4} from ONE
+    // pass — each query's probed-cell row fans out map-side to every
+    // probe level it belongs to (crank ≤ p), so the corpus is scored once
+    // per (query, cell), not once per probe level. The recall/latency
+    // trade this curve quantifies is THE serving decision at 100 TB.
+    "embed_ivf_recall_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val probeLevels = Seq(1, 2, 4)
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(avg("e").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("c_label"), transform(col("pc"), _.getField("c")).as("cv"))
+        .withColumn("cn", l2_norm(col("cv")))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val assignW = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("c_label"))
+      val probed = q
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("crank", row_number().over(assignW))
+        .filter(col("crank") <= probeLevels.max)
+        .select(col("query_id"), col("qv"), col("qn"), col("c_label").as("cell"),
+          explode(filter(
+            array(probeLevels.map(p => lit(p)): _*), pp => pp >= col("crank"))).as("p"))
+      val scored = probed
+        .join(e.select(col("label"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("nrm").as("nn")),
+          col("label") === col("cell") && col("neighbor_id") =!= col("query_id"))
+        .select(col("p"), col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+      val topW = Window.partitionBy("p", "query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val topk = scored.withColumn("rnk", row_number().over(topW))
+        .filter(col("rnk") <= K)
+        .select(col("p"), col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"),
+          explode(array(probeLevels.map(p => lit(p)): _*)).as("p"))
+        .join(topk, Seq("p", "query_id", "neighbor_id"), "left")
+        .groupBy("p")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("p").cast("long").as("n_probe"), col("n_hits"),
+          round(col("n_hits").cast("double") / (K * NumQueries), 6).as("mean_recall"))
+    },
+
     "embed_ivf_recall" -> { (s, dir) =>
       val brute = queries("embed_knn_brute")(s, dir)
         .select(col("query_id"), col("neighbor_id"))
@@ -680,6 +730,56 @@ object EmbedQueries {
         |             unnest(generate_series(0, len(embedding) - 1)) AS pos
         |      FROM embeddings)
         |GROUP BY label, pos""".stripMargin,
+    "embed_ivf_recall_curve" ->
+      s"""WITH $SqlNorm,
+         |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
+         |       FROM (SELECT label, unnest(embedding) AS e,
+         |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |             FROM embeddings)
+         |       GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cb GROUP BY label),
+         |cn2 AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id < $NumQueries),
+         |ranked AS (
+         |  SELECT q.query_id, q.qv, q.qn, cn2.c_label,
+         |         row_number() OVER (
+         |           PARTITION BY q.query_id
+         |           ORDER BY round(list_dot_product(q.qv, cn2.cv) / (q.qn * cn2.cn), 6) DESC,
+         |                    cn2.c_label) AS crank
+         |  FROM q, cn2),
+         |lv AS (SELECT unnest([1, 2, 4]) AS p),
+         |probed AS (SELECT lv.p, r.query_id, r.qv, r.qn, r.c_label AS cell
+         |           FROM ranked r JOIN lv ON r.crank <= lv.p),
+         |scored AS (
+         |  SELECT a.p, a.query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |  FROM probed a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id),
+         |topk AS (
+         |  SELECT p, query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY p, query_id
+         |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= $K),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p2.query_id, p2.neighbor_id,
+         |           row_number() OVER (PARTITION BY p2.query_id
+         |                              ORDER BY p2.cosine DESC, p2.neighbor_id) AS rnk
+         |    FROM (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |                 round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |          FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id) p2)
+         |  WHERE rnk <= $K)
+         |SELECT CAST(lv.p AS BIGINT) AS n_probe,
+         |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / ($K * $NumQueries), 6) AS mean_recall
+         |FROM brute b CROSS JOIN lv
+         |LEFT JOIN topk t ON t.p = lv.p AND t.query_id = b.query_id
+         |                AND t.neighbor_id = b.neighbor_id
+         |GROUP BY lv.p""".stripMargin,
     "embed_ivf_recall" ->
       s"""WITH $SqlNorm,
          |bp AS (

@@ -141,6 +141,28 @@ class CorpusAuditSpec extends SparkSpec {
     assert(out.length <= graft.core.Graft.embeddings(spark, Sf).count())
   }
 
+  test("embed_ivf_recall_curve: recall is monotone in probe count") {
+    val rows = graft.SparkEntry.queries("embed_ivf_recall_curve")(spark, Sf)
+      .orderBy("n_probe").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getDouble(2)).toSeq
+    assert(recalls == recalls.sorted, s"recall not monotone in probes: $recalls")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("pack_boundary_stats + dedup_cluster_sizes: internal consistency") {
+    val pk = graft.SparkEntry.queries("pack_boundary_stats")(spark, Sf).collect()
+    pk.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "spanning_docs exceeds n_docs")
+      assert(r.getLong(3) * 2048L >= r.getLong(2), "bins don't cover tokens")
+    }
+    val cs = graft.SparkEntry.queries("dedup_cluster_sizes")(spark, Sf).collect()
+    val labeled = graft.SparkEntry.queries("dedup_clusters")(spark, Sf).count()
+    assert(cs.map(r => r.getLong(0) * r.getLong(1)).sum == labeled,
+      "cluster size histogram does not partition the labeled docs")
+    cs.foreach(r => assert(r.getLong(0) >= 2, "singleton clusters should not appear"))
+  }
+
   test("embed_norm_stats: counts cover the table, bounds ordered") {
     val rows = graft.SparkEntry.queries("embed_norm_stats")(spark, Sf).collect()
     val total = graft.core.Graft.embeddings(spark, Sf).count()
