@@ -204,14 +204,18 @@ object EmbedQueries {
         .withColumn("crank", row_number().over(assignW))
         .filter(col("crank") <= probeLevels.max)
         .select(col("query_id"), col("qv"), col("qn"), col("c_label").as("cell"),
-          explode(filter(
-            array(probeLevels.map(p => lit(p)): _*), pp => pp >= col("crank"))).as("p"))
+          col("crank"))
+      // score each (query, cell) ONCE, then fan the cheap scored rows out
+      // to the probe levels the cell's rank belongs to
       val scored = probed
         .join(e.select(col("label"), col("vec_id").as("neighbor_id"),
           col("v").as("nv"), col("nrm").as("nn")),
           col("label") === col("cell") && col("neighbor_id") =!= col("query_id"))
-        .select(col("p"), col("query_id"), col("neighbor_id"),
+        .select(col("crank"), col("query_id"), col("neighbor_id"),
           round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          explode(filter(
+            array(probeLevels.map(p => lit(p)): _*), pp => pp >= col("crank"))).as("p"))
       val topW = Window.partitionBy("p", "query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
       val topk = scored.withColumn("rnk", row_number().over(topW))
