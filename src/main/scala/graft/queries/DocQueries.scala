@@ -897,7 +897,11 @@ object DocQueries {
     // pair coverage (documented star semantics) but can never miscount a
     // surviving pair.
     "winnow_matches" -> { (s, dir) =>
-      val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp").distinct()
+      // the winnow pipeline (tokenize → rolling hashes → window minima)
+      // feeds BOTH the band join and the per-doc set aggregation —
+      // checkpoint the slim (doc_id, fp) frame so it runs once
+      val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp")
+        .distinct().localCheckpoint()
       val sets = fps.groupBy("doc_id")
         .agg(sort_array(collect_list(col("fp"))).as("fset"))
         .localCheckpoint() // feeds both re-attach joins
