@@ -24,7 +24,10 @@ object PlanAudit {
         "sample_stratified", "dedup_minhash_lsh", "q3_shipping_priority",
         "dedup_substring_spans", "embed_rp_lsh_neardup",
         "text_lm_score", "text_winnow_fingerprint", "embed_sq8_knn",
-        "sample_upsample", "shard_plan", "semdedup_drop")
+        "sample_upsample", "shard_plan", "semdedup_drop",
+        // round-6 additions with non-trivial plans
+        "dedup_containment", "winnow_matches", "dedup_dup_ngram_fraction",
+        "vocab_coverage_sweep", "embed_ivf_recall_curve", "split_ngram_leakage")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
