@@ -948,6 +948,84 @@ object DocQueries {
           round(sum("cnt").cast("double") / max("total"), 6).as("coverage"))
     },
 
+    // CCNet-style LM-quality BUCKETS (Wenzek et al. 2020): per language,
+    // documents split into head/middle/tail terciles by the trigram-LM
+    // score — the standard quality-stratified sampling input (train
+    // mostly on head, sample middle, audit tail). Exact ntile over a
+    // TOTAL order (nll + doc_id tiebreak — the orders_value_quartiles
+    // determinism rule). The per-lang sort is the price of EXACT
+    // terciles; at 100 TB the production form broadcasts sampled
+    // percentile cutoffs instead (value_percentiles' pattern) and
+    // assigns map-side.
+    "lm_quality_buckets" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+      lmScore(d, keepAtMost = 5.36).select("doc_id", "nll")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("b3", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("b3")).as("bucket"))
+    },
+
+    // Temperature-scaled source sampling weights (the multilingual /
+    // multi-source mixing rule, mT5 §3.1: w_i ∝ n_i^τ): the up-weighting
+    // of small sources that keeps a dominant crawl from swamping the
+    // mix, at the two standard temperatures. One keyed count agg (a few
+    // rows) + a one-row totals broadcast — nothing here grows with
+    // corpus size except the first count pass.
+    "sample_temperature" -> { (s, dir) =>
+      val counts = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val sums = counts.agg(
+        sum(pow(col("n_docs"), 0.7)).as("s07"),
+        sum(pow(col("n_docs"), 0.3)).as("s03"))
+      counts.crossJoin(broadcast(sums))
+        .select(col("source"), col("n_docs"),
+          round(pow(col("n_docs"), 0.7) / col("s07"), 6).as("w_tau07"),
+          round(pow(col("n_docs"), 0.3) / col("s03"), 6).as("w_tau03"))
+    },
+
+    // Zipf-fit corpus audit: per source, the least-squares slope of
+    // log(freq) over log(rank) across the top-100 words — natural text
+    // sits near −1; synthetic/templated corpora drift off it (the
+    // corpus-forensics smoke test). Word counts are one keyed agg; the
+    // per-source top-100 is the bounded TopKStructs extraction (never a
+    // vocab-sized rank window); the regression is a 100-row-per-source
+    // aggregate of covariance moments.
+    "source_zipf_fit" -> { (s, dir) =>
+      import graft.functions.TopKStructs.top_k_structs
+      val top = docs(s, dir).select(col("source"), explode(toks).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(top_k_structs(
+          struct((-col("cnt")).as("__neg"), col("w"), col("cnt")), 100).as("__top"))
+        .select(col("source"), posexplode(col("__top")))
+        .select(col("source"), log((col("pos") + 1).cast("double")).as("lx"),
+          log(col("col.cnt").cast("double")).as("ly"))
+      val slope = covar_pop(col("ly"), col("lx")) / var_pop(col("lx"))
+      top.groupBy("source")
+        .agg(count(lit(1)).as("n_top"),
+          round(slope, 6).as("zipf_slope"),
+          round(avg(col("ly")) - slope * avg(col("lx")), 6).as("zipf_intercept"))
+    },
+
+    // Lexical-diversity audit: per source, average type-token ratio and
+    // token volume — the quick templated-text detector (TTR collapses
+    // when documents repeat a small vocabulary). Pure per-row kernels +
+    // one keyed agg.
+    "lexical_diversity" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg(col("n_types").cast("double") / col("n_tokens")), 6)
+            .as("avg_ttr"))
+    },
+
     // Corpus n-gram count table (the LM-data statistic behind vocab
     // induction / corpus browsing): token 1/2/3-grams with a frequency
     // cutoff. One explode + one partially-aggregated keyed shuffle; the
@@ -1922,6 +2000,27 @@ object DocQueries {
        |  FROM cand JOIN sh2 p ON p.doc_id = doc_a JOIN sh2 q ON q.doc_id = doc_b)""".stripMargin
   }
 
+  /** Char-trigram LM scoring CTEs (ends at `sc(doc_id, n_grams, slog)`) —
+    * shared by text_lm_score and lm_quality_buckets so the score
+    * definition can never drift between the two oracles.
+    */
+  private val SqlLmCtes =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, length(text) - 2),
+      |          i -> ord(substr(text, i, 1)) * 65536
+      |               + ord(substr(text, i + 1, 1)) * 256
+      |               + ord(substr(text, i + 2, 1)))) AS g
+      |      FROM d),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM g GROUP BY doc_id, g),
+      |c AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY g),
+      |st AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM c),
+      |sc AS (SELECT doc_id,
+      |         CAST(sum(tf) AS BIGINT) AS n_grams,
+      |         CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / denom), 6)
+      |                       AS DECIMAL(22,6)) * tf) AS DOUBLE) AS slog
+      |       FROM tf JOIN c USING (g), st GROUP BY doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk, len($SqlToks) AS n
@@ -2549,24 +2648,52 @@ object DocQueries {
     // gram codes = big-endian packed bytes (ord ≡ byte on this ASCII
     // corpus — the text_rolling_fingerprint precedent)
     "text_lm_score" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
-        |g AS (SELECT doc_id,
-        |        unnest(list_transform(generate_series(1, length(text) - 2),
-        |          i -> ord(substr(text, i, 1)) * 65536
-        |               + ord(substr(text, i + 1, 1)) * 256
-        |               + ord(substr(text, i + 2, 1)))) AS g
-        |      FROM d),
-        |tf AS (SELECT doc_id, g, count(*) AS tf FROM g GROUP BY doc_id, g),
-        |c AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY g),
-        |st AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM c),
-        |sc AS (SELECT doc_id,
-        |         CAST(sum(tf) AS BIGINT) AS n_grams,
-        |         CAST(sum(CAST(round(ln(CAST(c + 1 AS DOUBLE) / denom), 6)
-        |                       AS DECIMAL(22,6)) * tf) AS DOUBLE) AS slog
-        |       FROM tf JOIN c USING (g), st GROUP BY doc_id)
-        |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
-        |       (round(-slog / n_grams, 6) <= 5.36) AS keep
-        |FROM sc""".stripMargin,
+      s"""WITH $SqlLmCtes
+         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
+         |       (round(-slog / n_grams, 6) <= 5.36) AS keep
+         |FROM sc""".stripMargin,
+    "lm_quality_buckets" ->
+      s"""WITH $SqlLmCtes,
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |j AS (SELECT s.doc_id, d2.lang, s.nll,
+         |        ntile(3) OVER (PARTITION BY d2.lang
+         |                       ORDER BY s.nll, s.doc_id) AS b3
+         |      FROM sc2 s JOIN documents d2 USING (doc_id))
+         |SELECT doc_id, lang, nll,
+         |  CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM j""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |s AS (SELECT sum(pow(n_docs, 0.7)) AS s07,
+        |             sum(pow(n_docs, 0.3)) AS s03 FROM c)
+        |SELECT source, n_docs,
+        |       round(pow(n_docs, 0.7) / s07, 6) AS w_tau07,
+        |       round(pow(n_docs, 0.3) / s03, 6) AS w_tau03
+        |FROM c, s""".stripMargin,
+    "source_zipf_fit" ->
+      s"""WITH wc AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest($SqlToks) AS w FROM documents)
+         |  GROUP BY source, w),
+         |r AS (SELECT source, w, cnt,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY cnt DESC, w) AS rnk
+         |      FROM wc),
+         |t AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS lx,
+         |             ln(CAST(cnt AS DOUBLE)) AS ly
+         |      FROM r WHERE rnk <= 100)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+         |       round(regr_slope(ly, lx), 6) AS zipf_slope,
+         |       round(regr_intercept(ly, lx), 6) AS zipf_intercept
+         |FROM t GROUP BY source""".stripMargin,
+    "lexical_diversity" ->
+      s"""WITH d AS (SELECT source, $SqlToks AS tk FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+         |       round(avg(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6)
+         |         AS avg_ttr
+         |FROM d GROUP BY source""".stripMargin,
     "ngram_heavy_hitters_sketch" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),

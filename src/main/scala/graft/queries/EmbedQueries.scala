@@ -62,6 +62,9 @@ object EmbedQueries {
 
   private val NumQueries = 20
   private val K          = 5
+  private val GraphK     = 4    // kNN-graph degree
+  private val DecontamMod    = 50   // bench set: vec_id ≡ 0 (mod 50)
+  private val DecontamThresh = 0.45 // release flag threshold
   private val MrlDim     = 32 // Matryoshka truncation: first half of 64 dims
   private val RerankPool = 20 // two-stage retrieval: shortlist size per query
 
@@ -590,6 +593,80 @@ object EmbedQueries {
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
           .as("recall_at_k"))
+    },
+
+    // k-NN GRAPH construction (the backbone of graph-based semantic
+    // dedup / diversity sampling): every vector's top-GraphK neighbors
+    // WITHIN ITS COARSE CELL by exact cosine, plus the mutuality flag
+    // (is the edge reciprocated — mutual-kNN edges are the standard
+    // graph-clustering input). At 100 TB a kNN graph is always built
+    // cell-blocked (the all-pairs graph is quadratic); candidates come
+    // from the same slim-key capped pair machinery as every LSH family
+    // (each pair's cosine computed ONCE, then mined in both directions),
+    // and the per-vector top-k is the bounded TopKStructs shape — no
+    // cell-sized rank window. The mutuality self-join runs on the tiny
+    // (n·k)-row edge frame.
+    "embed_knn_graph" -> { (s, dir) =>
+      // each pair's cosine is computed once; the union mines it in both
+      // directions, so checkpoint the slim pair frame
+      val pairs = cellPairs(withNorm(emb(s, dir)), "knn_graph_cap")
+        .select("vec_a", "vec_b", "cosine").localCheckpoint()
+      val directed = pairs
+        .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+          col("cosine"))
+        .union(pairs.select(col("vec_b"), col("vec_a"), col("cosine")))
+      val edges = topKPerQuery(directed, "cosine", GraphK)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
+          col("cosine"), col("rank"))
+        .localCheckpoint() // feeds both sides of the mutuality join
+      edges
+        .join(edges.select(col("vec_id").as("nbr_id"), col("nbr_id").as("vec_id"),
+          lit(1L).as("__m")), Seq("vec_id", "nbr_id"), "left")
+        .select(col("vec_id"), col("nbr_id"), col("cosine"), col("rank"),
+          col("__m").isNotNull.as("mutual"))
+    },
+
+    // Embedding-space DECONTAMINATION (the semantic complement of the
+    // n-gram `decontaminate` family): a deterministic held-out benchmark
+    // set (vec_id ≡ 0 mod DecontamMod), and for every remaining corpus
+    // vector its nearest bench neighbor by exact cosine — flagged when
+    // the similarity crosses the release threshold. The bench set is
+    // tiny by construction and broadcasts; the corpus streams through
+    // ONE scored pass with a bounded top-1 (TopKStructs) — the exact
+    // shape this runs at 100 TB, where bench = the eval suites.
+    "embed_decontaminate" -> { (s, dir) =>
+      // bench + corpus split from one scan/widen/norm pass
+      val e = withNorm(emb(s, dir)).localCheckpoint(true)
+      val bench = e.filter(col("vec_id") % DecontamMod === 0)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("bv"),
+          col("nrm").as("bn"))
+      val scored = e.filter(col("vec_id") % DecontamMod =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          round(dot(col("v"), col("bv")) / (col("nrm") * col("bn")), 6)
+            .as("cosine"))
+      topKPerQuery(scored, "cosine", 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("bench_id"),
+          col("cosine"), (col("cosine") >= DecontamThresh).as("contaminated"),
+          col("rank"))
+    },
+
+    // Per-dimension variance audit (the PCA/OPQ pre-flight): mean,
+    // population variance, and share of total variance per embedding
+    // dimension — the readout that says whether Matryoshka truncation or
+    // a PQ subspace split is leaving variance on the floor. One
+    // posexplode + one 64-row keyed agg; the totals frame is one row and
+    // broadcasts back.
+    "embed_dim_variance" -> { (s, dir) =>
+      val dims = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(avg(col("x").cast("double")).as("mean"),
+          var_pop(col("x").cast("double")).as("vr"))
+      dims.crossJoin(broadcast(dims.agg(sum("vr").as("tv"))))
+        .select(col("pos").cast("long").as("pos"), round(col("mean"), 6).as("mean"),
+          round(col("vr"), 6).as("variance"),
+          round(col("vr") / col("tv"), 6).as("var_share"))
     }
   )
 
@@ -712,6 +789,46 @@ object EmbedQueries {
          |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
+    "embed_knn_graph" ->
+      s"""WITH $SqlNorm,
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND b.vec_id <> a.vec_id),
+         |g AS (
+         |  SELECT vec_id, nbr_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM p)
+         |  WHERE rnk <= $GraphK)
+         |SELECT g.vec_id, g.nbr_id, g.cosine, g.rank,
+         |       (m.vec_id IS NOT NULL) AS mutual
+         |FROM g LEFT JOIN g m ON m.vec_id = g.nbr_id AND m.nbr_id = g.vec_id""".stripMargin,
+    "embed_decontaminate" ->
+      s"""WITH $SqlNorm,
+         |b AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $DecontamMod = 0),
+         |p AS (
+         |  SELECT c.vec_id, b.vec_id AS bench_id,
+         |         round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6) AS cosine
+         |  FROM n c JOIN b ON c.vec_id % $DecontamMod <> 0)
+         |SELECT vec_id, bench_id, cosine,
+         |       (cosine >= $DecontamThresh) AS contaminated, CAST(rnk AS BIGINT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY cosine DESC, bench_id) AS rnk
+         |  FROM p)
+         |WHERE rnk <= 1""".stripMargin,
+    "embed_dim_variance" ->
+      """WITH d AS (SELECT unnest(embedding) AS x,
+        |                  unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |           FROM embeddings),
+        |v AS (SELECT pos, avg(CAST(x AS DOUBLE)) AS mean,
+        |             var_pop(CAST(x AS DOUBLE)) AS vr
+        |      FROM d GROUP BY pos),
+        |t AS (SELECT sum(vr) AS tv FROM v)
+        |SELECT CAST(pos AS BIGINT) AS pos, round(mean, 6) AS mean,
+        |       round(vr, 6) AS variance, round(vr / tv, 6) AS var_share
+        |FROM v, t""".stripMargin,
     // hyperplane components are exact dyadic rationals from integer
     // arithmetic — both engines reproduce the doubles bit-for-bit
     "embed_rp_lsh_neardup" ->
