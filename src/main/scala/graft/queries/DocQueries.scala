@@ -360,6 +360,84 @@ object DocQueries {
         .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 6).as("avg_jac"))
     },
 
+    // Dedup-threshold sweep — the downstream half of the calibration
+    // story: at each candidate Jaccard cutoff, how many verified pairs
+    // survive and how many DOCUMENTS are implicated (the corpus-loss
+    // figure a dedup rollout is judged by). One verified-pair pass
+    // (checkpointed), thresholds fan out map-side; the literal threshold
+    // spine left-joins so a cutoff with zero pairs still reports 0
+    // (the split_ngram_leakage dropped-row lesson).
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      val ths = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      val thArr = array(ths.map(lit): _*)
+      val pairs = minhashLshPairs(docs(s, dir), minJac = 0.0)
+        .localCheckpoint() // feeds the pair count AND the flagged-doc count
+      val byT = pairs
+        .select(col("doc_a"), col("doc_b"), explode(thArr).as("threshold"),
+          col("jac"))
+        .filter(col("jac") >= col("threshold"))
+      val np = byT.groupBy("threshold").agg(count(lit(1)).as("np"))
+      val nd = byT
+        .select(col("threshold"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("nd"))
+      s.range(1).select(explode(thArr).as("threshold"))
+        .join(np, Seq("threshold"), "left")
+        .join(nd, Seq("threshold"), "left")
+        .select(col("threshold"), coalesce(col("np"), lit(0L)).as("n_pairs"),
+          coalesce(col("nd"), lit(0L)).as("n_docs_flagged"))
+    },
+
+    // SimHash distance histogram — where does the hamming cutoff sit?
+    // Distribution of EXACT 32-bit hamming distances over all
+    // block-collision candidate pairs (no ≤6 verify filter): the
+    // calibration curve for dedup_simhash_pairs' threshold, same plan
+    // shape as the pair query it parameterizes.
+    "simhash_distance_histogram" -> { (s, dir) =>
+      import graft.functions.SimHash32.simhash32
+      simhashPairs(
+        docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")),
+        maxHamming = 32)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // LM score by length bin — the confound audit behind perplexity
+    // filtering (short docs score worse under any n-gram LM; filtering
+    // on raw nll silently becomes a length filter). Mean nll per
+    // power-of-two token-length bucket; the per-bin mean folds round-6
+    // decimals so it is order-independent (the mean_cos discipline).
+    "nll_by_length" -> { (s, dir) =>
+      val d = docs(s, dir)
+      lmScore(d, keepAtMost = 5.36).select(col("doc_id"), col("nll"))
+        .join(d.select(col("doc_id"), size(toks).cast("long").as("n")), "doc_id")
+        .filter(col("n") >= 1)
+        .withColumn("bucket_lo", pow(lit(2.0), floor(log2(col("n")))).cast("long"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("nll").cast("decimal(22,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_nll"))
+    },
+
+    // Heuristic-vs-LM filter agreement: per source, the Pearson
+    // correlation between the composite quality score and the trigram-LM
+    // nll — strongly negative means the cheap heuristic and the LM
+    // agree on ordering (and one of them is redundant); near zero means
+    // they filter different documents. Two per-doc scorer passes joined
+    // on doc_id, one keyed agg of covariance moments.
+    "quality_lm_correlation" -> { (s, dir) =>
+      val d = docs(s, dir)
+      lmScore(d, keepAtMost = 5.36).select(col("doc_id"), col("nll"))
+        .join(queries("text_quality")(s, dir)
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(corr(col("quality_score"), col("nll")), 6)
+            .as("quality_nll_corr"))
+    },
+
     // Quality-threshold retention sweep — the other calibration curve: at
     // each candidate cutoff, how many documents and tokens survive. The
     // 10-point grid explodes map-side from each row (no extra shuffle
@@ -2053,6 +2131,43 @@ object DocQueries {
          |SELECT CAST(floor(jac * 20) AS BIGINT) AS bin,
          |  CAST(count(*) AS BIGINT) AS n_pairs, round(avg(jac), 6) AS avg_jac
          |FROM verified GROUP BY 1""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH $SqlLshCtes,
+         |th AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS threshold),
+         |p AS (SELECT threshold, doc_a, doc_b
+         |      FROM verified, th WHERE jac >= threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM p GROUP BY 1),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT doc_id) AS BIGINT)
+         |         AS n_docs_flagged
+         |       FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc_id FROM p)
+         |       GROUP BY 1)
+         |SELECT th.threshold,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(nd.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+         |FROM th LEFT JOIN np USING (threshold)
+         |        LEFT JOIN nd USING (threshold)""".stripMargin,
+    "nll_by_length" ->
+      s"""WITH $SqlLmCtes,
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |lens AS (SELECT doc_id, len($SqlToks) AS n FROM documents),
+         |j AS (SELECT CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_lo, nll
+         |      FROM sc2 JOIN lens USING (doc_id) WHERE n >= 1)
+         |SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_nll
+         |FROM j GROUP BY bucket_lo""".stripMargin,
+    "quality_lm_correlation" ->
+      s"""WITH $SqlLmCtes,
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents))
+         |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(corr(q.qs, sc2.nll), 6) AS quality_nll_corr
+         |FROM sc2 JOIN q USING (doc_id) JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.source""".stripMargin,
     "quality_threshold_sweep" ->
       s"""WITH q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
@@ -2344,6 +2459,27 @@ object DocQueries {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
         |WHERE hamming <= 6""".stripMargin,
+    "simhash_distance_histogram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
+        |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, simhash, r.rot AS rot,
+        |    (((simhash << (8 * r.rot)) % 4294967296) + (simhash >> (32 - 8 * r.rot))) >> 16 AS blk
+        |  FROM sh, generate_series(0, 3) AS r(rot)),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |    FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id))
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cand GROUP BY hamming""".stripMargin,
     "dedup_drop_list" ->
       s"""WITH $SqlLshCtes,
          |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
