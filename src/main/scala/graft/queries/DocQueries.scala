@@ -597,6 +597,31 @@ object DocQueries {
           round(col("mean_b"), 6).as("mean_b"))
     },
 
+    // The REAL resize kernel under the oracle: the same synthesized 2×2
+    // PPM is nearest-neighbor-resampled to 3×3 by
+    // [[graft.operators.MultimodalOps.ppmResize]] (decode → integer-grid
+    // sample → re-encode), then feature-extracted; the oracle recomputes
+    // the 3×3 channel means from the floor-division sampling weights
+    // (src (0,0) sampled 4×, (0,1)/(1,0) 2×, (1,1) 1×) — so the full
+    // decode→resize→encode→decode→features chain is hash-checked.
+    "mm_ppm_resize" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      import s.implicits._
+      val assets = docs(s, dir)
+        .filter(length(col("text")) >= 12)
+        .select(col("doc_id"), encode(substring(col("text"), 1, 12), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, px) =>
+          MultimodalOps.Asset(id, "image/x-portable-pixmap",
+            MultimodalOps.encodePpm(MultimodalOps.PpmImage(2, 2, 255, px)))
+        }
+      MultimodalOps.ppmFeatures(MultimodalOps.ppmResize(assets, 3, 3))
+        .select(col("id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
     // Multimodal: deterministic frame sampling (4 windows of 16 bytes).
     "mm_frame_sample" -> { (s, dir) =>
       import graft.operators.MultimodalOps
@@ -2434,6 +2459,18 @@ object DocQueries {
         |         + ord(substr(text,8,1)) + ord(substr(text,11,1))) / 4.0, 6) AS mean_g,
         |  round((ord(substr(text,3,1)) + ord(substr(text,6,1))
         |         + ord(substr(text,9,1)) + ord(substr(text,12,1))) / 4.0, 6) AS mean_b
+        |FROM documents WHERE length(text) >= 12""".stripMargin,
+    // 2×2 → 3×3 nearest-neighbor weights from floor(dst·src/target):
+    // rows/cols map [0,0,1], so src pixel (0,0) appears 4×, (0,1) and
+    // (1,0) 2×, (1,1) 1× among the 9 output pixels
+    "mm_ppm_resize" ->
+      """SELECT doc_id AS id, CAST(3 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  round((4 * ord(substr(text,1,1)) + 2 * ord(substr(text,4,1))
+        |         + 2 * ord(substr(text,7,1)) + ord(substr(text,10,1))) / 9.0, 6) AS mean_r,
+        |  round((4 * ord(substr(text,2,1)) + 2 * ord(substr(text,5,1))
+        |         + 2 * ord(substr(text,8,1)) + ord(substr(text,11,1))) / 9.0, 6) AS mean_g,
+        |  round((4 * ord(substr(text,3,1)) + 2 * ord(substr(text,6,1))
+        |         + 2 * ord(substr(text,9,1)) + ord(substr(text,12,1))) / 9.0, 6) AS mean_b
         |FROM documents WHERE length(text) >= 12""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
