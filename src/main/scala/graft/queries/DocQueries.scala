@@ -1325,7 +1325,90 @@ object DocQueries {
     // against them HELD-OUT, so unseen bigrams genuinely take the
     // backoff path (scoring a corpus with its own counts never would).
     // See [[backoffLm]] for the all-keyed-join scale shape.
-    "text_backoff_lm" -> ((s, dir) => backoffLm(docs(s, dir)))
+    "text_backoff_lm" -> ((s, dir) => backoffLm(docs(s, dir))),
+
+    // Language-ID confusion matrix: the n-gram predictor against the
+    // labeled lang — the audit a corpus owner reads before trusting any
+    // filter keyed on predicted language. One agg over the per-doc
+    // predictions onto a (langs × langs)-sized frame; `share` is
+    // row-normalized within the labeled language via a window over that
+    // tiny aggregated frame.
+    "langid_confusion" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      queries("text_langid_ngram")(s, dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          round(col("n_docs").cast("double") / sum("n_docs").over(w), 6))
+    },
+
+    // Zipf-law fit over the top-K word frequencies: OLS slope/intercept/R²
+    // of ln(freq) ~ ln(rank) — the one-row corpus health signal (natural
+    // text sits near slope −1; templated or synthetic text drifts). One
+    // word-keyed agg; the ranked frame is bounded at K rows via
+    // TakeOrderedAndProject (never a global sort over the vocabulary),
+    // and the fit folds in the regr_* aggregates — nothing reaches the
+    // driver but the final row.
+    "token_zipf_fit" -> { (s, dir) =>
+      val K = 1000
+      val wc = docs(s, dir).select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(K)
+      // window over the post-limit K-row frame — bounded, not a global sort
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w"))
+      wc.withColumn("rnk", row_number().over(w))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n_words"),
+          round(expr("regr_slope(y, x)"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("zipf_intercept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"))
+    },
+
+    // Boilerplate detection: the most frequent 8-gram per source with its
+    // occurrence and containing-doc counts — the header/footer template a
+    // crawl pipeline strips before dedup. Shape: gram-keyed agg, a
+    // per-source max, then a tie-broken (min gram) pick — two keyed aggs
+    // and a slim join, never a per-source sort of the whole gram table.
+    "boilerplate_per_source" -> { (s, dir) =>
+      val n = 8
+      val d = docs(s, dir)
+      val counts = d.select(col("doc_id"), col("source"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+        .groupBy("source", "g")
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
+      val top = counts.groupBy("source").agg(max("n_occurrences").as("max_occ"))
+      val nd  = d.groupBy("source").agg(count(lit(1)).as("source_docs"))
+      counts.join(top, "source")
+        .filter(col("n_occurrences") === col("max_occ"))
+        // min over struct(g, n_docs) = lexicographically smallest tied gram,
+        // carrying ITS doc count (struct comparison is field-ordered)
+        .groupBy("source")
+        .agg(min(struct(col("g"), col("n_docs"))).as("b"),
+          max("max_occ").as("n_occurrences"))
+        .join(nd, "source")
+        .select(col("source"), col("b.g").as("gram"), col("n_occurrences"),
+          col("b.n_docs").as("n_docs"),
+          round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
+    },
+
+    // Chunk-level exact dedup: duplicate W-token training sequences ACROSS
+    // documents after chunking — what actually reaches the trainer when
+    // near-identical docs survive doc-level dedup. One fingerprint-keyed
+    // agg over the chunk stream; only duplicated fingerprints survive.
+    "dedup_chunk_exact" -> { (s, dir) =>
+      queries("chunk_documents")(s, dir)
+        .select(col("doc_id"), md5(col("chunk_text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("canonical_doc_id"))
+        .filter(col("n_copies") > 1)
+    }
   )
 
   /** Number of BPE merges the oracle-checked induction learns (each merge
@@ -2029,6 +2112,40 @@ object DocQueries {
 
   private val SqlToks = "string_split(text, ' ')"
 
+  /** Chunking as a full SELECT — shared by `chunk_documents` and
+    * `dedup_chunk_exact` so the window arithmetic can never drift
+    * between the two oracles.
+    */
+  private lazy val SqlChunkSelect =
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS tk, len($SqlToks) AS n
+       |           FROM documents),
+       |s AS (SELECT doc_id, tk, n,
+       |        unnest(generate_series(0,
+       |          greatest(0, ((n - 32 + 23) // 24) * 24), 24)) AS start
+       |      FROM t WHERE n > 0)
+       |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+       |  CAST(len(tk[start+1 : least(start+32, n)]) AS BIGINT) AS n_tokens,
+       |  array_to_string(tk[start+1 : least(start+32, n)], ' ') AS chunk_text
+       |FROM s""".stripMargin
+
+  /** The n-gram-profile language-ID SELECT — shared by `text_langid_ngram`
+    * and `langid_confusion`.
+    */
+  private lazy val SqlLangidNgram: String = {
+    def score(ngrams: Seq[String]) =
+      s"len(list_filter([${ngrams.map(g => s"'$g'").mkString(", ")}], g -> contains(text, g)))"
+    val en = score(LangProfiles("en"))
+    val de = score(LangProfiles("de"))
+    val es = score(LangProfiles("es"))
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN $de > $en AND $de >= $es THEN 'de'
+       |       WHEN $es > $en THEN 'es'
+       |       ELSE 'en' END AS predicted_lang,
+       |  CAST($en AS BIGINT) AS score_en, CAST($de AS BIGINT) AS score_de,
+       |  CAST($es AS BIGINT) AS score_es
+       |FROM documents""".stripMargin
+  }
+
   private def sqlHits(ws: Seq[String]) =
     s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
@@ -2125,17 +2242,54 @@ object DocQueries {
       |       FROM tf JOIN c USING (g), st GROUP BY doc_id)""".stripMargin
 
   val sql: Map[String, String] = Map(
-    "chunk_documents" ->
-      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk, len($SqlToks) AS n
-         |           FROM documents),
-         |s AS (SELECT doc_id, tk, n,
-         |        unnest(generate_series(0,
-         |          greatest(0, ((n - 32 + 23) // 24) * 24), 24)) AS start
-         |      FROM t WHERE n > 0)
-         |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
-         |  CAST(len(tk[start+1 : least(start+32, n)]) AS BIGINT) AS n_tokens,
-         |  array_to_string(tk[start+1 : least(start+32, n)], ' ') AS chunk_text
-         |FROM s""".stripMargin,
+    "chunk_documents" -> SqlChunkSelect,
+    "dedup_chunk_exact" ->
+      s"""WITH c AS ($SqlChunkSelect)
+         |SELECT md5(chunk_text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+         |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "langid_confusion" ->
+      s"""WITH p AS ($SqlLangidNgram),
+         |g AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, n_docs,
+         |  round(CAST(n_docs AS DOUBLE)
+         |        / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+         |FROM g""".stripMargin,
+    "token_zipf_fit" ->
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |            FROM (SELECT unnest($SqlToks) AS w FROM documents)
+         |            GROUP BY w),
+         |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+         |        FROM wc ORDER BY cnt DESC, w LIMIT 1000)
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         |    AS zipf_slope,
+         |  round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         |    AS zipf_intercept,
+         |  round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2
+         |FROM top""".stripMargin,
+    "boilerplate_per_source" ->
+      s"""WITH t AS (SELECT doc_id, source, $SqlToks AS tk FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_transform(generate_series(1, len(tk) - 7),
+         |          i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS g
+         |      FROM t WHERE len(tk) >= 8),
+         |c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM g GROUP BY 1, 2),
+         |m AS (SELECT source, max(n_occurrences) AS max_occ FROM c GROUP BY 1),
+         |b AS (SELECT c.source, min(c.g) AS gram,
+         |        CAST(max(c.n_occurrences) AS BIGINT) AS n_occurrences
+         |      FROM c JOIN m ON c.source = m.source AND c.n_occurrences = m.max_occ
+         |      GROUP BY c.source),
+         |sd AS (SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+         |       FROM documents GROUP BY 1)
+         |SELECT b.source, b.gram, b.n_occurrences, c.n_docs,
+         |  round(CAST(c.n_docs AS DOUBLE) / sd.source_docs, 6) AS doc_share
+         |FROM b JOIN c ON c.source = b.source AND c.g = b.gram
+         |       JOIN sd ON sd.source = b.source""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_text,
@@ -2275,20 +2429,7 @@ object DocQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
-    "text_langid_ngram" -> {
-      def score(ngrams: Seq[String]) =
-        s"len(list_filter([${ngrams.map(g => s"'$g'").mkString(", ")}], g -> contains(text, g)))"
-      val en = score(LangProfiles("en"))
-      val de = score(LangProfiles("de"))
-      val es = score(LangProfiles("es"))
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN $de > $en AND $de >= $es THEN 'de'
-         |       WHEN $es > $en THEN 'es'
-         |       ELSE 'en' END AS predicted_lang,
-         |  CAST($en AS BIGINT) AS score_en, CAST($de AS BIGINT) AS score_de,
-         |  CAST($es AS BIGINT) AS score_es
-         |FROM documents""".stripMargin
-    },
+    "text_langid_ngram" -> SqlLangidNgram,
     "text_rolling_fingerprint" ->
       """SELECT doc_id,
         |  CAST(list_reduce(

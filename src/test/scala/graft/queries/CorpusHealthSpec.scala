@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Corpus-health audit operators, checked against independent models:
+  * Zipf-slope fit (exact power-law fixture), per-source boilerplate gram
+  * (planted template + tie-break proof), language-ID confusion matrix
+  * (profile-bearing fixtures), and chunk-level exact dedup (planted
+  * duplicate sequences).
+  */
+class CorpusHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("health").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // --- token_zipf_fit --------------------------------------------------
+
+  test("token_zipf_fit: exact 1/rank frequencies fit slope -1 with r2 = 1") {
+    // cnt = 12/rank for ranks 1..4 → ln(cnt) = ln 12 − ln(rank): an EXACT
+    // line with slope −1, so the regression has nothing to estimate
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val dir = writeDocs(Seq((1L, text, "en", "s")))
+    val r = graft.SparkEntry.queries("token_zipf_fit")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0)
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("token_zipf_fit: rank ties break on the word, not arrival order") {
+    // b and c tie at 2 occurrences; ranks must be (a,b,c) = (1,2,3)
+    // whichever partition order the counts arrive in
+    val dir = writeDocs(Seq((1L, "a a a a c c b b", "en", "s")))
+    val r = graft.SparkEntry.queries("token_zipf_fit")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L)
+    // independent OLS over (ln 1, ln 4), (ln 2, ln 2), (ln 3, ln 2)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 2.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6)
+  }
+
+  // --- boilerplate_per_source -----------------------------------------
+
+  test("boilerplate_per_source: planted template wins; counts and share are exact") {
+    val template = "click here to accept all cookies and continue now"
+    val dir = writeDocs(Seq(
+      (1L, s"$template alpha beta gamma", "en", "web"),
+      (2L, s"delta $template epsilon", "en", "web"),
+      (3L, "one two three four five six seven eight nine ten", "en", "web"),
+      (4L, "p q r s t u v w", "en", "clean")
+    ))
+    val out = graft.SparkEntry.queries("boilerplate_per_source")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // the 9-token template contributes its leading 8-gram twice (once per
+    // doc); every other web 8-gram occurs once
+    val (gram, occ, docs, share) = out("web")
+    assert(gram == "click here to accept all cookies and continue")
+    assert(occ == 2L && docs == 2L)
+    assert(math.abs(share - 2.0 / 3.0) < 1e-5)
+    // single-doc source: its only 8-gram, share 1.0
+    assert(out("clean") == (("p q r s t u v w", 1L, 1L, 1.0)))
+  }
+
+  test("boilerplate_per_source: count ties break to the lexicographically smallest gram") {
+    val dir = writeDocs(Seq(
+      (1L, "b b b b b b b b", "en", "s"),
+      (2L, "a a a a a a a a", "en", "s")
+    ))
+    val r = graft.SparkEntry.queries("boilerplate_per_source")(spark, dir).collect()(0)
+    assert(r.getString(1) == "a a a a a a a a")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+  }
+
+  // --- langid_confusion ------------------------------------------------
+
+  test("langid_confusion: off-diagonal cells count mispredictions; shares row-normalize") {
+    val dir = writeDocs(Seq(
+      // German profile trigrams ("der", "und", "sch") — predicted de
+      (1L, "der hund und die schule", "de", "s"),
+      (2L, "der wind und das schiff", "de", "s"),
+      // labeled de but profile-free → falls through to en (a miss)
+      (3L, "zzz qqq vvv", "de", "s"),
+      // English profile (" th", "ing", "and") — predicted en
+      (4L, "the king and the thing", "en", "s")
+    ))
+    val out = graft.SparkEntry.queries("langid_confusion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("de", "de")) == ((2L, 0.666667)))
+    assert(out(("de", "en")) == ((1L, 0.333333)))
+    assert(out(("en", "en")) == ((1L, 1.0)))
+    assert(!out.contains(("en", "de")))
+    // shares within each labeled lang sum to 1
+    val sums = out.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
+  }
+
+  // --- dedup_chunk_exact ----------------------------------------------
+
+  test("dedup_chunk_exact: cross-doc duplicate windows surface, unique ones don't") {
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ") // 2 chunks: [1..32], [25..40]
+    val dir = writeDocs(Seq(
+      (1L, shared, "en", "s"),
+      (2L, shared, "en", "s"),
+      (3L, (100 to 140).map(i => s"u$i").mkString(" "), "en", "s")
+    ))
+    val rows = graft.SparkEntry.queries("dedup_chunk_exact")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both of the shared doc's chunks are duplicated exactly twice,
+    // canonical owner is doc 1; doc 3's chunks never appear
+    assert(rows.length == 2)
+    rows.foreach { case (_, copies, docs, canon) =>
+      assert(copies == 2L && docs == 2L && canon == 1L)
+    }
+  }
+}
