@@ -67,6 +67,8 @@ object EmbedQueries {
   private val DecontamThresh = 0.45 // release flag threshold
   private val MrlDim     = 32 // Matryoshka truncation: first half of 64 dims
   private val RerankPool = 20 // two-stage retrieval: shortlist size per query
+  private val EmbDim     = 64 // embeddings-table dimensionality
+  private val PcaK       = 8  // PCA components reported
 
   /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
     * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
@@ -667,6 +669,56 @@ object EmbedQueries {
         .select(col("pos").cast("long").as("pos"), round(col("mean"), 6).as("mean"),
           round(col("vr"), 6).as("variance"),
           round(col("vr") / col("tv"), 6).as("var_share"))
+    },
+
+    // Full covariance matrix of the embedding space from ONE distributed
+    // sufficient-statistics pass ([[graft.functions.VectorMomentsAgg]]:
+    // fixed 17 KB mergeable state — no d²-row explode of the corpus, no
+    // pair shuffle); only the moments buffer reaches the driver, where
+    // the d(d+1)/2 upper-triangle entries expand to rows. The PCA input.
+    "embed_covariance" -> { (s, dir) =>
+      import graft.functions.VectorMomentsAgg.{triIndex, vector_moments}
+      import s.implicits._
+      val d = EmbDim
+      val m = emb(s, dir).agg(vector_moments(col("embedding"), d))
+        .head.getSeq[Double](0).toArray
+      val n = m(0)
+      val rows = for { i <- 0 until d; j <- i until d } yield
+        (i.toLong, j.toLong,
+          m(1 + d + triIndex(d, i, j)) / n - (m(1 + i) / n) * (m(1 + j) / n))
+      rows.toDF("i", "j", "cov")
+    },
+
+    // PCA of the embedding space: the same single moments pass, then a
+    // 64×64 cyclic-Jacobi eigendecomposition on the driver (O(d³) on a
+    // fixed-size matrix — microseconds, corpus-size-independent; see
+    // [[graft.operators.Pca]]). Output: top components with eigenvalue,
+    // explained/cumulative variance ratio, and the dominant input
+    // dimension of each component (sign-normalized loading). Eigenvalues
+    // aren't SQL-expressible, so this row set is spec-verified
+    // (PcaSpec: planted spectra, orthonormality, Σλ = trace, C·v = λv)
+    // rather than DuckDB-oracled.
+    "embed_pca_topk" -> { (s, dir) =>
+      import graft.functions.VectorMomentsAgg.vector_moments
+      import s.implicits._
+      val d = EmbDim
+      val m = emb(s, dir).agg(vector_moments(col("embedding"), d))
+        .head.getSeq[Double](0).toArray
+      val cov        = graft.operators.Pca.covariance(m, d)
+      val (ev, vecs) = graft.operators.Pca.jacobiEigen(cov)
+      val trace      = (0 until d).map(i => cov(i)(i)).sum
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      var cum = 0.0
+      val rows = (0 until PcaK).map { c =>
+        cum += ev(c)
+        val vec  = vecs(c)
+        var top  = 0
+        (1 until d).foreach(i => if (math.abs(vec(i)) > math.abs(vec(top))) top = i)
+        (c + 1L, r6(ev(c)), r6(ev(c) / trace), r6(cum / trace),
+          top.toLong, r6(vec(top)))
+      }
+      rows.toDF("component", "eigenvalue", "explained_ratio", "cum_ratio",
+        "top_dim", "top_loading")
     }
   )
 
@@ -829,6 +881,17 @@ object EmbedQueries {
         |SELECT CAST(pos AS BIGINT) AS pos, round(mean, 6) AS mean,
         |       round(vr, 6) AS variance, round(vr / tv, 6) AS var_share
         |FROM v, t""".stripMargin,
+    // covar_pop over the per-(vec, dim) expansion reproduces the engine's
+    // sufficient-statistics covariance (Σxy/n − mean product) in double
+    // math on identically float→double-widened inputs
+    "embed_covariance" ->
+      """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  unnest(generate_series(0, len(embedding) - 1)) AS i
+        |           FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  covar_pop(a.v, b.v) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
     // hyperplane components are exact dyadic rationals from integer
     // arithmetic — both engines reproduce the doubles bit-for-bit
     "embed_rp_lsh_neardup" ->

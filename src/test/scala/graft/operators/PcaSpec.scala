@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PCA machinery: Jacobi eigensolver invariants (A·v = λv, orthonormal
+  * basis, Σλ = trace), the planted-spectrum fixture through the full
+  * embed_pca_topk query, and covariance cross-checks against the
+  * independently-computed per-dimension variances.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- jacobiEigen on a fixed symmetric matrix ------------------------
+
+  private def fixedSymmetric(d: Int): Array[Array[Double]] = {
+    // deterministic, well-conditioned: a_ij = 1/(i+j+1) (Hilbert-like) + d·I
+    Array.tabulate(d, d)((i, j) => 1.0 / (i + j + 1) + (if (i == j) d else 0))
+  }
+
+  test("jacobiEigen: A·v = λv, basis orthonormal, eigenvalues sum to trace") {
+    val d = 6
+    val a = fixedSymmetric(d)
+    val (ev, vecs) = Pca.jacobiEigen(a)
+    // sorted descending
+    ev.sliding(2).foreach(p => assert(p(0) >= p(1) - 1e-12))
+    // Σλ = trace
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(ev.sum - trace) < 1e-9)
+    // residuals + orthonormality
+    for (c <- 0 until d) {
+      val v = vecs(c)
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      for (i <- 0 until d) assert(math.abs(av(i) - ev(c) * v(i)) < 1e-8, s"residual c=$c i=$i")
+      for (c2 <- 0 until d) {
+        val dot = (0 until d).map(i => v(i) * vecs(c2)(i)).sum
+        assert(math.abs(dot - (if (c == c2) 1.0 else 0.0)) < 1e-9, s"ortho $c,$c2")
+      }
+    }
+  }
+
+  test("jacobiEigen: known 2x2 spectrum") {
+    // [[2,1],[1,2]] → λ = 3 (v ∝ (1,1)) and 1 (v ∝ (1,−1))
+    val (ev, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev(0) - 3.0) < 1e-12 && math.abs(ev(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - r) < 1e-9 && math.abs(vecs(0)(1) - r) < 1e-9)
+    // sign normalization: largest-|component| entry positive
+    assert(vecs(1).exists(x => math.abs(x - r) < 1e-9))
+  }
+
+  // --- planted spectrum through the full queries ----------------------
+
+  private def plantedDir(): String = {
+    // 64-dim vectors: ±3 on dim 0, ±1 on dim 1 → cov = diag(4.5, 0.5, 0…)
+    def unit(dim: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == dim) scale else 0.0f)
+    val rows = Seq(
+      (0L, unit(0, 3.0f), 0), (1L, unit(0, -3.0f), 0),
+      (2L, unit(1, 1.0f), 0), (3L, unit(1, -1.0f), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("embed_pca_topk: planted diagonal spectrum is recovered exactly") {
+    val out = graft.SparkEntry.queries("embed_pca_topk")(spark, plantedDir())
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((4.5, 0.9, 0.9, 0L, 1.0)))
+    assert(out(2L) == ((0.5, 0.1, 1.0, 1L, 1.0)))
+    // null-space components report zero eigenvalue and zero explained mass
+    (3L to 8L).foreach { c =>
+      assert(math.abs(out(c)._1) < 1e-12 && out(c)._3 == 1.0)
+    }
+  }
+
+  test("embed_covariance: planted entries, symmetry-free upper triangle, row count") {
+    val rows = graft.SparkEntry.queries("embed_covariance")(spark, plantedDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 64 * 65 / 2)
+    assert(math.abs(rows((0L, 0L)) - 4.5) < 1e-12)
+    assert(math.abs(rows((1L, 1L)) - 0.5) < 1e-12)
+    assert(math.abs(rows((0L, 1L))) < 1e-12)
+    assert(math.abs(rows((5L, 9L))) < 1e-12)
+    rows.keys.foreach { case (i, j) => assert(i <= j) }
+  }
+
+  test("embed_covariance diagonal equals embed_dim_variance on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val diag = graft.SparkEntry.queries("embed_covariance")(spark, sf)
+      .collect().collect { case r if r.getLong(0) == r.getLong(1) =>
+        r.getLong(0) -> r.getDouble(2) }.toMap
+    val vars = graft.SparkEntry.queries("embed_dim_variance")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(diag.size == 64 && vars.size == 64)
+    // dim_variance rounds to 6 dp; compare at that resolution
+    diag.foreach { case (i, c) =>
+      assert(math.abs(c - vars(i)) < 5e-7 + 1e-9, s"dim $i: $c vs ${vars(i)}")
+    }
+  }
+}
