@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB harness box: 8g GC-thrashed under 32
+  // executor threads once a dozen checkpoint-heavy queries ran in one
+  // JVM (bench medians swung 2-8x mid-suite); override via SPARK_DRIVER_MEM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -30,12 +30,22 @@ object Bench {
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Release localCheckpoint blocks deterministically (untimed):
+      // ContextCleaner frees them only after a GC notices the dead weak
+      // refs, so storage memory otherwise ACCUMULATES across the suite and
+      // randomly throttles later queries (observed: dsir 2 s alone vs 16 s
+      // mid-suite behind a dozen checkpoint-heavy dedup plans).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      elapsed
     }
 
     // Schema-drift canary (see Graft.schemaCanary): fail fast with a

@@ -1368,28 +1368,45 @@ object DocQueries {
 
     // Boilerplate detection: the most frequent 8-gram per source with its
     // occurrence and containing-doc counts — the header/footer template a
-    // crawl pipeline strips before dedup. Shape: gram-keyed agg, a
-    // per-source max, then a tie-broken (min gram) pick — two keyed aggs
-    // and a slim join, never a per-source sort of the whole gram table.
+    // crawl pipeline strips before dedup. Scale shape: the corpus-sized
+    // count shuffles 8-BYTE GRAM HASHES, never gram strings (xxhash64
+    // collision odds stay ~1e-4 even at 10⁸ distinct grams per source);
+    // gram text and doc counts are recovered in a second pass restricted
+    // to the per-source winning hashes, whose join AQE turns into a
+    // broadcast whenever the winner set is small (always, outside the
+    // no-boilerplate degenerate corpus — and that case still completes as
+    // a shuffle join instead of dying on a broadcast limit). Count ties
+    // break to the lexicographically smallest gram TEXT, exactly as the
+    // string-keyed oracle formulation does.
     "boilerplate_per_source" -> { (s, dir) =>
       val n = 8
       val d = docs(s, dir)
-      val counts = d.select(col("doc_id"), col("source"), toks.as("tk"))
+      // cheap projection off the parquet scan — rebuilt per pass rather
+      // than checkpointing an exploded corpus-sized string frame
+      def gramStream = d.select(col("doc_id"), col("source"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"), col("source"),
           explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
             i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
-        .groupBy("source", "g")
-        .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
+      val counts = gramStream
+        .select(col("source"), xxhash64(col("g")).as("gh"))
+        .groupBy("source", "gh").agg(count(lit(1)).as("n_occurrences"))
       val top = counts.groupBy("source").agg(max("n_occurrences").as("max_occ"))
-      val nd  = d.groupBy("source").agg(count(lit(1)).as("source_docs"))
-      counts.join(top, "source")
+      val winners = counts.join(top, "source")
         .filter(col("n_occurrences") === col("max_occ"))
+        .select(col("source"), col("gh"), col("n_occurrences"))
+      val winDetail = gramStream
+        .select(col("doc_id"), col("source"), col("g"), xxhash64(col("g")).as("gh"))
+        .join(winners, Seq("source", "gh"))
+        .groupBy("source", "g", "n_occurrences")
+        .agg(countDistinct("doc_id").as("n_docs"))
+      val nd = d.groupBy("source").agg(count(lit(1)).as("source_docs"))
+      winDetail
         // min over struct(g, n_docs) = lexicographically smallest tied gram,
         // carrying ITS doc count (struct comparison is field-ordered)
         .groupBy("source")
         .agg(min(struct(col("g"), col("n_docs"))).as("b"),
-          max("max_occ").as("n_occurrences"))
+          max("n_occurrences").as("n_occurrences"))
         .join(nd, "source")
         .select(col("source"), col("b.g").as("gram"), col("n_occurrences"),
           col("b.n_docs").as("n_docs"),
