@@ -27,7 +27,10 @@ object PlanAudit {
         "sample_upsample", "shard_plan", "semdedup_drop",
         // round-6 additions with non-trivial plans
         "dedup_containment", "winnow_matches", "dedup_dup_ngram_fraction",
-        "vocab_coverage_sweep", "embed_ivf_recall_curve", "split_ngram_leakage")
+        "vocab_coverage_sweep", "embed_ivf_recall_curve", "split_ngram_leakage",
+        // corpus-health family
+        "boilerplate_per_source", "token_zipf_fit", "ngram_novelty",
+        "dedup_chunk_exact", "embed_covariance")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1413,6 +1413,30 @@ object DocQueries {
           round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
     },
 
+    // N-gram novelty by ingestion order (the corpus-growth/memorization
+    // audit: how much of each doc's distinct 5-grams are NEW to the
+    // corpus, first-occurrence attributed by min doc_id). One gram-keyed
+    // min-agg; the novelty join reuses the same gram key, and the gram
+    // arrays are built once (checkpoint) for both branches — the
+    // dup_ngram_fraction shuffle shape with first-owner semantics.
+    "ngram_novelty" -> { (s, dir) =>
+      val n = 5
+      val garr = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("gs"))
+        .localCheckpoint()
+      val grams  = garr.select(col("doc_id"), explode(col("gs")).as("g"))
+      val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_distinct_grams"), 6).as("novelty"))
+    },
+
     // Chunk-level exact dedup: duplicate W-token training sequences ACROSS
     // documents after chunking — what actually reaches the trainer when
     // near-identical docs survive doc-level dedup. One fingerprint-keyed
@@ -2266,6 +2290,19 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+         |g AS (SELECT DISTINCT doc_id, g FROM (
+         |        SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),
+         |          i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g
+         |        FROM t WHERE len(tk) >= 5)),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin,
     "langid_confusion" ->
       s"""WITH p AS ($SqlLangidNgram),
          |g AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -106,6 +106,22 @@ class CorpusHealthSpec extends SparkSpec {
     sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
   }
 
+  // --- ngram_novelty ----------------------------------------------------
+
+  test("ngram_novelty: first occurrence owns the gram; verbatim copy scores zero") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e f g h", "en", "s"), // 4 distinct 5-grams, all first here
+      (2L, "a b c d e f g h", "en", "s"), // verbatim copy → nothing novel
+      (3L, "q r s t u v w x", "en", "s")  // disjoint vocabulary → all novel
+    ))
+    val out = graft.SparkEntry.queries("ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 4L, 1.0)))
+  }
+
   // --- dedup_chunk_exact ----------------------------------------------
 
   test("dedup_chunk_exact: cross-doc duplicate windows surface, unique ones don't") {
