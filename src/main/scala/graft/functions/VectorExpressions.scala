@@ -76,6 +76,21 @@ object VectorExpressions {
     best
   }
 
+  def matVecEval(a: ArrayData, m: Array[Array[Double]]): ArrayData = {
+    val v   = a.toDoubleArray()
+    val out = new Array[Double](m.length)
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      val n   = math.min(v.length, row.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += v(i) * row(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rpSignatureEval(a: ArrayData, m: Array[Array[Double]]): Long = {
     val v   = a.toDoubleArray()
     var sig = 0L
@@ -171,6 +186,22 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Literal-matrix × vector product: one pass over the vector for all k
+    * rows (the PCA-projection kernel — k dot products without exploding
+    * the corpus or leaving codegen).
+    */
+  case class MatVec(child: Expression, rows: Seq[Seq[Double]])
+      extends MatrixCallCodegen {
+    @transient private lazy val m: Array[Array[Double]] = rows.map(_.toArray).toArray
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    protected def matrix       = m
+    protected def staticMethod = "matVecEval"
+    override def nullSafeEval(a: Any): Any =
+      matVecEval(a.asInstanceOf[ArrayData], m)
+    override protected def withNewChildInternal(c: Expression): MatVec =
+      copy(child = c)
+  }
+
   /** Deterministic dyadic-rational hyperplanes: component (i,j) is
     * ((i·dim+j)·2654435761 + 12345 mod 1024 − 512) / 512 — exact integer
     * arithmetic then division by a power of two, so ANY engine (the
@@ -195,4 +226,6 @@ object VectorExpressions {
     column(NearestCentroid(toExpr(v), cents))
   def rp_signature(v: Column, planes: Seq[Seq[Double]]): Column =
     column(RpSignature(toExpr(v), planes))
+  def mat_vec(v: Column, rows: Seq[Seq[Double]]): Column =
+    column(MatVec(toExpr(v), rows))
 }

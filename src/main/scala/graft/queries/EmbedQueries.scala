@@ -70,6 +70,20 @@ object EmbedQueries {
   private val EmbDim     = 64 // embeddings-table dimensionality
   private val PcaK       = 8  // PCA components reported
 
+  /** One distributed sufficient-statistics pass + driver-side 64×64 eigen
+    * — shared by the PCA queries: (moments, covariance, eigenvalues desc,
+    * eigenvectors as rows).
+    */
+  private def pcaBasis(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+    import graft.functions.VectorMomentsAgg.vector_moments
+    val m = emb(s, dir).agg(vector_moments(col("embedding"), EmbDim))
+      .head.getSeq[Double](0).toArray
+    val cov        = graft.operators.Pca.covariance(m, EmbDim)
+    val (ev, vecs) = graft.operators.Pca.jacobiEigen(cov)
+    (m, cov, ev, vecs)
+  }
+
   /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
     * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
     * query survive the map side and cross the shuffle, where the
@@ -699,14 +713,10 @@ object EmbedQueries {
     // (PcaSpec: planted spectra, orthonormality, Σλ = trace, C·v = λv)
     // rather than DuckDB-oracled.
     "embed_pca_topk" -> { (s, dir) =>
-      import graft.functions.VectorMomentsAgg.vector_moments
       import s.implicits._
       val d = EmbDim
-      val m = emb(s, dir).agg(vector_moments(col("embedding"), d))
-        .head.getSeq[Double](0).toArray
-      val cov        = graft.operators.Pca.covariance(m, d)
-      val (ev, vecs) = graft.operators.Pca.jacobiEigen(cov)
-      val trace      = (0 until d).map(i => cov(i)(i)).sum
+      val (_, cov, ev, vecs) = pcaBasis(s, dir)
+      val trace = (0 until d).map(i => cov(i)(i)).sum
       def r6(x: Double) = math.rint(x * 1e6) / 1e6
       var cum = 0.0
       val rows = (0 until PcaK).map { c =>
@@ -719,6 +729,39 @@ object EmbedQueries {
       }
       rows.toDF("component", "eigenvalue", "explained_ratio", "cum_ratio",
         "top_dim", "top_loading")
+    },
+
+    // Distributed application of the PCA basis: every vector's top-k
+    // principal coordinates and its reconstruction error, computed by ONE
+    // literal-matrix [[graft.functions.VectorExpressions.MatVec]] kernel
+    // per row (k+1 dot products — the k projections and x·μ — codegen'd,
+    // no corpus explode, basis rides the task closure). V is orthonormal,
+    // so err²_k = ‖x−μ‖² − Σ_{c≤k} y_c² and both error columns fall out
+    // of the same pass. Spec-verified (PcaSpec), like embed_pca_topk.
+    "embed_pca_project" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.mat_vec
+      val d = EmbDim
+      val (m, _, _, vecs) = pcaBasis(s, dir)
+      val n    = m(0)
+      val mu   = (0 until d).map(i => m(1 + i) / n)
+      val vk   = vecs.take(PcaK).map(_.toSeq).toSeq
+      val vmu  = vk.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+      val mumu = mu.map(x => x * x).sum
+      val withY = withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
+        (col("nrm") * col("nrm")).as("xx"),
+        mat_vec(col("v"), vk :+ mu).as("vx"))
+      // y_c = (Vx)_c − (Vμ)_c ; ‖x−μ‖² = x·x − 2·x·μ + μ·μ
+      val y = (0 until PcaK).map(c =>
+        (element_at(col("vx"), c + 1) - lit(vmu(c))).as(s"y$c"))
+      val cn2 = (col("xx") - lit(2.0) * element_at(col("vx"), PcaK + 1) +
+        lit(mumu)).as("cn2")
+      val proj = withY.select(col("vec_id") +: col("label") +: cn2 +: y: _*)
+      def esum(k: Int) = (0 until k).map(c => col(s"y$c") * col(s"y$c")).reduce(_ + _)
+      proj.select(col("vec_id"), col("label"),
+        round(col("y0"), 6).as("pc1"), round(col("y1"), 6).as("pc2"),
+        round(col("y2"), 6).as("pc3"), round(col("y3"), 6).as("pc4"),
+        round(sqrt(greatest(col("cn2") - esum(4), lit(0.0))), 6).as("recon_err_k4"),
+        round(sqrt(greatest(col("cn2") - esum(PcaK), lit(0.0))), 6).as("recon_err_k8"))
     }
   )
 

@@ -87,6 +87,36 @@ class PcaSpec extends SparkSpec {
     rows.keys.foreach { case (i, j) => assert(i <= j) }
   }
 
+  test("embed_pca_project: planted in-span vectors reconstruct exactly") {
+    val rows = graft.SparkEntry.queries("embed_pca_project")(spark, plantedDir())
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6)) < 1e-9, s"k4 err for vec ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(7)) < 1e-9, s"k8 err for vec ${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    def close(a: (Double, Double), b: (Double, Double)) =
+      math.abs(a._1 - b._1) < 1e-9 && math.abs(a._2 - b._2) < 1e-9
+    assert(close(byId(0L), (3.0, 0.0)) && close(byId(1L), (-3.0, 0.0)))
+    assert(close(byId(2L), (0.0, 1.0)) && close(byId(3L), (0.0, -1.0)))
+  }
+
+  test("embed_pca_project: real data — error shrinks with k, mean pc² is the eigenvalue") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("embed_pca_project")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e4, e8) = (r.getDouble(6), r.getDouble(7))
+      assert(e4 >= 0 && e8 >= 0 && e8 <= e4 + 1e-6, s"vec ${r.getLong(0)}: $e8 > $e4")
+    }
+    // population mean of the first principal coordinate squared = λ₁
+    val lambda1 = graft.SparkEntry.queries("embed_pca_topk")(spark, sf)
+      .collect().find(_.getLong(0) == 1L).get.getDouble(1)
+    val meanSq = rows.map(r => math.pow(r.getDouble(2), 2)).sum / rows.length
+    assert(math.abs(meanSq - lambda1) < 1e-3 * math.max(1.0, lambda1),
+      s"mean pc1² $meanSq vs λ₁ $lambda1")
+  }
+
   test("embed_covariance diagonal equals embed_dim_variance on real data") {
     val sf = "/root/testdata/sf0.001"
     val diag = graft.SparkEntry.queries("embed_covariance")(spark, sf)
