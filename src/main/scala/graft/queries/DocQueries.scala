@@ -1413,6 +1413,36 @@ object DocQueries {
           round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
     },
 
+    // The data card: the one-row corpus summary a release ships with —
+    // volume, source/lang breadth, exact-dup rate, mean quality, English
+    // share. One pass, one aggregate (the three distinct-counts collapse
+    // map-side: source/lang are low-cardinality, fp dedup is the same
+    // two-phase shape as source_quality_report). Quality folds as exact
+    // decimals so the mean is partition-order-independent.
+    "corpus_datacard" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        fingerprint(col("text")).as("fp"), toks.as("tk"),
+        length(col("text")).as("nch"))
+      val q = round(
+        least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - stopwordRatio(col("tk"))) * 0.5, 6).cast("decimal(22,6)")
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_unique_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum(size(col("tk")).cast("long")).as("total_tokens"),
+        sum(col("nch").cast("long")).as("total_chars"),
+        sum(q).as("qsum"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("n_docs"), col("n_unique_docs"), col("n_sources"),
+          col("n_langs"), col("total_tokens"), col("total_chars"),
+          round(lit(1.0) - col("n_unique_docs").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          round(col("qsum").cast("double") / col("n_docs"), 6).as("mean_quality"),
+          round(col("n_en").cast("double") / col("n_docs"), 6).as("en_share"))
+    },
+
     // N-gram novelty by ingestion order (the corpus-growth/memorization
     // audit: how much of each doc's distinct 5-grams are NEW to the
     // corpus, first-occurrence attributed by min doc_id). One gram-keyed
@@ -2290,6 +2320,25 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "corpus_datacard" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |  $SqlToks AS tk, length(text) AS nch FROM documents),
+         |q AS (SELECT *, CAST(round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |        (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |        AS DECIMAL(22,6)) AS qs
+         |      FROM d)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(nch) AS BIGINT) AS total_chars,
+         |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+         |  round(CAST(sum(qs) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS en_share
+         |FROM q""".stripMargin,
     "ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |g AS (SELECT DISTINCT doc_id, g FROM (

@@ -106,6 +106,26 @@ class CorpusHealthSpec extends SparkSpec {
     sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
   }
 
+  // --- corpus_datacard --------------------------------------------------
+
+  test("corpus_datacard: counts, dup rate, and shares from a crafted corpus") {
+    val dir = writeDocs(Seq(
+      (1L, "p q r s", "en", "s1"),
+      (2L, "p q r s", "en", "s1"), // exact dup of doc 1
+      (3L, "w x y z", "de", "s2")
+    ))
+    val r = graft.SparkEntry.queries("corpus_datacard")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 3L)                      // n_docs
+    assert(r.getLong(1) == 2L)                      // n_unique_docs
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L) // sources, langs
+    assert(r.getLong(4) == 12L)                     // total_tokens
+    assert(r.getLong(5) == 7L * 3)                  // total_chars
+    assert(math.abs(r.getDouble(6) - 1.0 / 3.0) < 1e-5) // dup_rate
+    // quality of every doc: min(4/100,1)*0.5 + (1 − 0)*0.5 = 0.52
+    assert(math.abs(r.getDouble(7) - 0.52) < 1e-9)
+    assert(math.abs(r.getDouble(8) - 2.0 / 3.0) < 1e-5) // en_share
+  }
+
   // --- ngram_novelty ----------------------------------------------------
 
   test("ngram_novelty: first occurrence owns the gram; verbatim copy scores zero") {
