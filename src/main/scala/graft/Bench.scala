@@ -43,8 +43,11 @@ object Bench {
       // refs, so storage memory otherwise ACCUMULATES across the suite and
       // randomly throttles later queries (observed: dsir 2 s alone vs 16 s
       // mid-suite behind a dozen checkpoint-heavy dedup plans).
+      // blocking = true: async removal would let the freeing work (and
+      // the still-occupied storage memory) land inside the NEXT query's
+      // timed window — the wait itself sits in this untimed gap
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       elapsed
     }
 

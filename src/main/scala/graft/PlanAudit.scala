@@ -28,9 +28,11 @@ object PlanAudit {
         // round-6 additions with non-trivial plans
         "dedup_containment", "winnow_matches", "dedup_dup_ngram_fraction",
         "vocab_coverage_sweep", "embed_ivf_recall_curve", "split_ngram_leakage",
-        // corpus-health family
+        // corpus-health family (embed_covariance/pca excluded: they run
+        // eagerly during construction, so explain() would print only the
+        // driver-local result table — nothing to audit, full pass paid)
         "boilerplate_per_source", "token_zipf_fit", "ngram_novelty",
-        "dedup_chunk_exact", "embed_covariance")
+        "dedup_chunk_exact")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -52,6 +52,10 @@ case class VectorMomentsAgg(
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // a null ELEMENT would silently accumulate as 0.0 — corrupt input,
+      // same policy as the wrong-length check above
+      require(!arr.isNullAt(i),
+        s"vector_moments: null element at index $i (corrupt vector)")
       x(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

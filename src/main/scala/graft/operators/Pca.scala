@@ -67,10 +67,17 @@ object Pca {
           val apq = a(p)(q)
           if (math.abs(apq) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-              case 0.0 => 1.0 // theta == 0 → 45° rotation
-              case x   => x
-            }
+            // |theta| huge ⇒ theta² overflows to Inf and the quotient
+            // underflows to ±0.0, which the 45°-rotation branch below
+            // would misread as theta == 0; the correct tiny rotation is
+            // t ≈ 1/(2θ)
+            val t =
+              if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x   => x
+              }
             val c  = 1.0 / math.sqrt(t * t + 1.0)
             val s  = t * c
             var k = 0

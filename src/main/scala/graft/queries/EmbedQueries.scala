@@ -691,15 +691,21 @@ object EmbedQueries {
     // pair shuffle); only the moments buffer reaches the driver, where
     // the d(d+1)/2 upper-triangle entries expand to rows. The PCA input.
     "embed_covariance" -> { (s, dir) =>
-      import graft.functions.VectorMomentsAgg.{triIndex, vector_moments}
+      import graft.functions.VectorMomentsAgg.vector_moments
       import s.implicits._
       val d = EmbDim
       val m = emb(s, dir).agg(vector_moments(col("embedding"), d))
         .head.getSeq[Double](0).toArray
-      val n = m(0)
-      val rows = for { i <- 0 until d; j <- i until d } yield
-        (i.toLong, j.toLong,
-          m(1 + d + triIndex(d, i, j)) / n - (m(1 + i) / n) * (m(1 + j) / n))
+      // empty corpus → empty result (matching the oracle's empty join),
+      // not 2080 NaN rows from a 0/0
+      val rows =
+        if (m(0) == 0) Seq.empty[(Long, Long, Double)]
+        else {
+          val cov = graft.operators.Pca.covariance(m, d) // ONE formula, shared with PCA
+          for { i <- 0 until d; j <- i until d } yield (i.toLong, j.toLong,
+            BigDecimal(cov(i)(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble) // HALF_UP = the engines' round(x, 6)
+        }
       rows.toDF("i", "j", "cov")
     },
 
@@ -932,7 +938,7 @@ object EmbedQueries {
         |                  unnest(generate_series(0, len(embedding) - 1)) AS i
         |           FROM embeddings)
         |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-        |  covar_pop(a.v, b.v) AS cov
+        |  round(covar_pop(a.v, b.v), 6) AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
     // hyperplane components are exact dyadic rationals from integer

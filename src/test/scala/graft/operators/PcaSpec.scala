@@ -38,6 +38,15 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("jacobiEigen: near-annihilated off-diagonal entry takes the tiny-rotation path") {
+    // theta = (2−1)/(2·1e-200) ≈ 5e199: theta² overflows to Inf and the
+    // naive quotient underflows to ±0.0 — the regression misread that as
+    // "theta == 0" and applied a 45° rotation to an almost-diagonal
+    // matrix; the guarded path rotates by t ≈ 1/(2θ) ≈ 0
+    val (ev, _) = Pca.jacobiEigen(Array(Array(1.0, 1e-200), Array(1e-200, 2.0)))
+    assert(math.abs(ev(0) - 2.0) < 1e-12 && math.abs(ev(1) - 1.0) < 1e-12)
+  }
+
   test("jacobiEigen: known 2x2 spectrum") {
     // [[2,1],[1,2]] → λ = 3 (v ∝ (1,1)) and 1 (v ∝ (1,−1))
     val (ev, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
@@ -125,9 +134,29 @@ class PcaSpec extends SparkSpec {
     val vars = graft.SparkEntry.queries("embed_dim_variance")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(diag.size == 64 && vars.size == 64)
-    // dim_variance rounds to 6 dp; compare at that resolution
+    // both sides round to 6 dp; a knife-edge boundary can differ by one ulp
+    // of that grid at most
     diag.foreach { case (i, c) =>
-      assert(math.abs(c - vars(i)) < 5e-7 + 1e-9, s"dim $i: $c vs ${vars(i)}")
+      assert(math.abs(c - vars(i)) < 1.5e-6, s"dim $i: $c vs ${vars(i)}")
     }
+  }
+
+  test("embed_covariance: empty embeddings table yields zero rows, not NaN") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcaempty").toString
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(graft.SparkEntry.queries("embed_covariance")(spark, tmp).count() == 0L)
+  }
+
+  test("vector_moments: a null vector element fails fast instead of counting as 0") {
+    import graft.functions.VectorMomentsAgg.vector_moments
+    val df = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("embedding")
+    val e = intercept[Throwable] {
+      df.agg(vector_moments(org.apache.spark.sql.functions.col("embedding"), 3)).head
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("null element")))
   }
 }
