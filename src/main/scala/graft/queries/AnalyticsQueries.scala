@@ -183,6 +183,35 @@ object AnalyticsQueries {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))),
 
+    // Rolling 7-day distinct users — the mergeable-sketch formulation:
+    // per-day HLL (DataSketches) sketches built in ONE corpus pass, then
+    // union-merged across each 7-day window on the tiny daily frame.
+    // Mergeability is the whole point: rolling DISTINCT cannot be
+    // composed from daily exact counts, and re-scanning the corpus per
+    // window is 7× the IO at 100 TB. The exact rolling count is computed
+    // here too as the oracle-shared audit; the estimate is reported only
+    // through the deterministic within-bound boolean (the
+    // approx_distinct_error pattern: both engines' estimators meet the
+    // published bound, so the boolean is engine-stable where raw
+    // estimates are not). Default lgK=12 ⇒ rsd ≈ 1.6%; bound 3.8σ.
+    "events_rolling_distinct_7d" -> { (s, dir) =>
+      val ev = Graft.events(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days  = daily.select(col("day").as("d0"))
+      val win = days.join(daily, col("day").between(col("d0") - 6, col("d0")))
+        .groupBy("d0")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      val exact = broadcast(days)
+        .join(ev, col("day").between(col("d0") - 6, col("d0")))
+        .groupBy("d0")
+        .agg(countDistinct("user_id").as("exact_users"))
+      exact.join(win, "d0")
+        .select(col("d0").as("day"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.06).as("within_bound"))
+    },
+
     // Cohort retention matrix: users bucketed by first-seen day, then
     // distinct returning users per (cohort, day-offset). Both aggs and the
     // join are keyed on user_id, so the first-seen exchange is reused by
@@ -917,6 +946,13 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "events_rolling_distinct_7d" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day AS d0 FROM e)
+        |SELECT d0 AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM d JOIN e ON e.day BETWEEN d0 - 6 AND d0
+        |GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
