@@ -1413,6 +1413,34 @@ object DocQueries {
           round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
     },
 
+    // Weighted reservoir sampling per source (Efraimidis–Spirakis 2006,
+    // A-ES): draw k docs per source with probability ∝ quality weight by
+    // ranking on key = ln(u)/w (monotone-equivalent to u^(1/w), largest
+    // kept). Uniforms are the deterministic md5 construction shared with
+    // dsir_resample — reproducible across engines, retries, and
+    // partitionings — and the key rounds to 6 dp with a doc_id tie-break
+    // so the cross-engine ordering can never hinge on a libm ulp. The
+    // per-source top-k is a bounded TopKStructs (O(k) per source through
+    // partial/shuffle/merge — no per-source sort of the corpus).
+    "sample_weighted" -> { (s, dir) =>
+      import graft.functions.TopKStructs.top_k_structs
+      val K = 20
+      val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#wrs"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+      docs(s, dir).select(col("doc_id"), col("source"), toks.as("tk"))
+        .select(col("doc_id"), col("source"),
+          round(least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - stopwordRatio(col("tk"))) * 0.5, 6).as("weight"))
+        .withColumn("wkey", round(log(u) / col("weight"), 6))
+        .groupBy("source")
+        .agg(top_k_structs(struct((-col("wkey")).as("__neg"), col("doc_id"),
+          col("weight"), col("wkey")), K).as("__top"))
+        .select(col("source"), posexplode(col("__top")))
+        .select(col("source"), col("col.doc_id").as("doc_id"),
+          col("col.weight").as("weight"), col("col.wkey").as("wkey"),
+          (col("pos") + 1).cast("long").as("rank"))
+    },
+
     // The data card: the one-row corpus summary a release ships with —
     // volume, source/lang breadth, exact-dup rate, mean quality, English
     // share. One pass, one aggregate (the three distinct-counts collapse
@@ -2320,6 +2348,20 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |          (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS w
+         |  FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents)),
+         |k AS (SELECT doc_id, source, w,
+         |    round(ln((CAST(CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#wrs')), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
+         |             / 4294967296.0) / w, 6) AS wkey
+         |  FROM q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY wkey DESC, doc_id) AS rnk
+         |      FROM k)
+         |SELECT source, doc_id, w AS weight, wkey, CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 20""".stripMargin,
     "corpus_datacard" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -11,6 +11,10 @@ import graft.SparkSpec
 class CorpusHealthSpec extends SparkSpec {
   import spark.implicits._
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
     val tmp = java.nio.file.Files.createTempDirectory("health").toString
     rows.toDF("doc_id", "text", "lang", "source")
@@ -104,6 +108,28 @@ class CorpusHealthSpec extends SparkSpec {
     val sums = out.toSeq.groupBy(_._1._1).view
       .mapValues(_.map(_._2._2).sum).toMap
     sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
+  }
+
+  // --- sample_weighted --------------------------------------------------
+
+  test("sample_weighted: A-ES keys are md5-faithful and rank in descending order") {
+    // one source, six docs, all weight 0.515 ("p q r": 3 tokens, no
+    // stopwords → min(0.03,1)·0.5 + 0.5)
+    val dir = writeDocs((1L to 6L).map(i => (i, "p q r", "en", "s")))
+    val out = graft.SparkEntry.queries("sample_weighted")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._4)
+    assert(out.length == 6)
+    def key(id: Long): Double = {
+      val u = (java.lang.Long.parseLong(md5hex(s"$id#wrs").take(8), 16) + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) / 0.515)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (1L to 6L).map(i => i -> key(i)).sortBy { case (id, k) => (-k, id) }
+    out.zip(expected).zipWithIndex.foreach { case (((id, w, k, rank), (eid, ek)), i) =>
+      assert(id == eid && rank == i + 1, s"rank ${i + 1}: got doc $id, want $eid")
+      assert(math.abs(k - ek) < 1e-9 && math.abs(w - 0.515) < 1e-9)
+    }
   }
 
   // --- corpus_datacard --------------------------------------------------
