@@ -70,6 +70,49 @@ object EmbedQueries {
   private val EmbDim     = 64 // embeddings-table dimensionality
   private val PcaK       = 8  // PCA components reported
 
+  /** The PQ-kNN pipeline over any withNorm-shaped frame (vec_id, label,
+    * v, nrm): deterministic sampled codebook, per-row encoding, ADC
+    * ranking, bounded top-k — shared verbatim by `embed_pq_knn` (raw
+    * frame, oracle-checked) and `embed_opq_knn` (PCA-rotated frame).
+    */
+  private def pqKnnOver(e: DataFrame): DataFrame = {
+    val coded = pqCodes(e)
+    val qd = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(pqCodebook(e)))
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(element_at(col("cb"), m + 1),
+            e0 => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)),
+              e0.getField("c"))))
+          .as("qd"))
+    val scored = coded
+      .join(broadcast(qd), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(element_at(col("qd"), m + 1),
+            element_at(col("codes"), m + 1) + 1)), 6).as("pq_dist"))
+    topKPerQuery(scored.withColumn("negd", -col("pq_dist")),
+      "negd", K, extra = Seq("pq_dist"))
+      .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
+        col("rank"))
+  }
+
+  /** The corpus in the PCA-rotated frame y = V(x−μ), same shape as
+    * [[withNorm]] output (orthonormal V ⇒ L2 geometry preserved exactly).
+    */
+  private def opqRotate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.{l2_norm, mat_vec}
+    val d = EmbDim
+    val (m, _, _, vecs) = pcaBasis(s, dir)
+    val n    = m(0)
+    val mu   = (0 until d).map(i => m(1 + i) / n)
+    val vall = vecs.map(_.toSeq).toSeq
+    val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+    withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
+      zip_with(mat_vec(col("v"), vall), typedlit(vmu), (a, b) => a - b).as("v"))
+      .withColumn("nrm", l2_norm(col("v")))
+  }
+
   /** One distributed sufficient-statistics pass + driver-side 64×64 eigen
     * — shared by the PCA queries: (moments, covariance, eigenvalues desc,
     * eigenvectors as rows).
@@ -336,27 +379,30 @@ object EmbedQueries {
     // per-subspace lookup tables; ranking uses asymmetric distance (ADC)
     // summed in fixed m-order so both engines fold identically; bounded
     // top-k. The compression cost is measured by embed_pq_recall.
-    "embed_pq_knn" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
-      val coded = pqCodes(e)
-      val qd = e.filter(col("vec_id") < NumQueries)
-        .crossJoin(broadcast(pqCodebook(e)))
-        .select(col("vec_id").as("query_id"),
-          transform(sequence(lit(0), lit(PqM - 1)), m =>
-            transform(element_at(col("cb"), m + 1),
-              e0 => pqL2sq(slice(col("v"), m * lit(PqDs) + lit(1), lit(PqDs)),
-                e0.getField("c"))))
-            .as("qd"))
-      val scored = coded
-        .join(broadcast(qd), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-            (acc, m) => acc + element_at(element_at(col("qd"), m + 1),
-              element_at(col("codes"), m + 1) + 1)), 6).as("pq_dist"))
-      topKPerQuery(scored.withColumn("negd", -col("pq_dist")),
-        "negd", K, extra = Seq("pq_dist"))
-        .select(col("query_id"), col("neighbor_id"), col("pq_dist"),
-          col("rank"))
+    "embed_pq_knn" -> ((s, dir) => pqKnnOver(withNorm(emb(s, dir)))),
+
+    // OPQ-style rotated PQ: the SAME product quantizer run in the
+    // PCA-rotated frame y = V(x−μ). V is orthonormal, so L2 geometry is
+    // EXACTLY preserved — only the subspace split changes, now cutting
+    // along decorrelated axes (the optimized-PQ idea, with the PCA
+    // rotation as the closed-form solver; Ge et al.'s OPQ initializer).
+    // Rotation is one literal-matrix MatVec per row (codegen'd, no
+    // shuffle); everything downstream is the embed_pq_knn plan verbatim.
+    // Spec-verified (OpqSpec: geometry preservation + recall-vs-PQ
+    // guard); the rotation matrix isn't SQL-expressible, so no oracle.
+    "embed_opq_knn" -> ((s, dir) => pqKnnOver(opqRotate(s, dir))),
+
+    // recall@k of the rotated-PQ ranking vs exact brute force — directly
+    // comparable to embed_pq_recall (same K, same codebook rule).
+    "embed_opq_recall" -> { (s, dir) =>
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val opq = queries("embed_opq_knn")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(opq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
     },
 
     // IVF-PQ — the full production ANN serving composition (coarse cell
