@@ -91,6 +91,27 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** Affine variant: the LAST row of `m` is a constant offset, so
+    * out[c] = Σ v·m[c] − off[c] — one codegen call for y = V·x − b (the
+    * centered-PCA rotation) with no per-element lambda.
+    */
+  def matVecAffineEval(a: ArrayData, m: Array[Array[Double]]): ArrayData = {
+    val v   = a.toDoubleArray()
+    val k   = m.length - 1
+    val off = m(k)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val row = m(c)
+      val n   = math.min(v.length, row.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += v(i) * row(i); i += 1 }
+      out(c) = s - off(c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rpSignatureEval(a: ArrayData, m: Array[Array[Double]]): Long = {
     val v   = a.toDoubleArray()
     var sig = 0L
@@ -202,6 +223,22 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Affine literal-matrix transform y = V·x − b in ONE codegen call
+    * (the centered-PCA rotation kernel); `rows` carries V with b packed
+    * as the final row.
+    */
+  case class MatVecAffine(child: Expression, rows: Seq[Seq[Double]])
+      extends MatrixCallCodegen {
+    @transient private lazy val m: Array[Array[Double]] = rows.map(_.toArray).toArray
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    protected def matrix       = m
+    protected def staticMethod = "matVecAffineEval"
+    override def nullSafeEval(a: Any): Any =
+      matVecAffineEval(a.asInstanceOf[ArrayData], m)
+    override protected def withNewChildInternal(c: Expression): MatVecAffine =
+      copy(child = c)
+  }
+
   /** Deterministic dyadic-rational hyperplanes: component (i,j) is
     * ((i·dim+j)·2654435761 + 12345 mod 1024 − 512) / 512 — exact integer
     * arithmetic then division by a power of two, so ANY engine (the
@@ -228,4 +265,6 @@ object VectorExpressions {
     column(RpSignature(toExpr(v), planes))
   def mat_vec(v: Column, rows: Seq[Seq[Double]]): Column =
     column(MatVec(toExpr(v), rows))
+  def mat_vec_affine(v: Column, rows: Seq[Seq[Double]], offset: Seq[Double]): Column =
+    column(MatVecAffine(toExpr(v), rows :+ offset))
 }

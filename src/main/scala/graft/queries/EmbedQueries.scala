@@ -99,33 +99,63 @@ object EmbedQueries {
 
   /** The corpus in the PCA-rotated frame y = V(x−μ), same shape as
     * [[withNorm]] output (orthonormal V ⇒ L2 geometry preserved exactly).
+    * The rotation is ONE codegen'd affine kernel per row (no interpreted
+    * zip_with on the hot path), and the frame is checkpointed because
+    * [[pqKnnOver]] consumes it from three plan branches (codes, codebook,
+    * query side) — the cellPairs multi-consumer pattern. Empty corpus →
+    * empty frame (no basis to rotate by).
     */
   private def opqRotate(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.{l2_norm, mat_vec}
-    val d = EmbDim
-    val (m, _, _, vecs) = pcaBasis(s, dir)
-    val n    = m(0)
-    val mu   = (0 until d).map(i => m(1 + i) / n)
-    val vall = vecs.map(_.toSeq).toSeq
-    val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-    withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
-      zip_with(mat_vec(col("v"), vall), typedlit(vmu), (a, b) => a - b).as("v"))
-      .withColumn("nrm", l2_norm(col("v")))
+    import graft.functions.VectorExpressions.{l2_norm, mat_vec_affine}
+    pcaBasis(s, dir) match {
+      case None => withNorm(emb(s, dir)).limit(0)
+      case Some((m, _, _, vecs)) =>
+        val d    = EmbDim
+        val n    = m(0)
+        val mu   = (0 until d).map(i => m(1 + i) / n)
+        val vall = vecs.map(_.toSeq).toSeq
+        val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+        emb(s, dir).select(col("vec_id"), col("label"),
+          mat_vec_affine(transform(col("embedding"), _.cast("double")), vall, vmu)
+            .as("v"))
+          .withColumn("nrm", l2_norm(col("v")))
+          .localCheckpoint(true)
+    }
   }
 
   /** One distributed sufficient-statistics pass + driver-side 64×64 eigen
-    * — shared by the PCA queries: (moments, covariance, eigenvalues desc,
-    * eigenvectors as rows).
+    * — shared by the PCA/OPQ queries: (moments, covariance, eigenvalues
+    * desc, eigenvectors as rows); None on an empty corpus so every
+    * consumer returns an empty frame instead of crashing (the
+    * embed_covariance empty-path convention).
     */
   private def pcaBasis(s: SparkSession, dir: String)
-      : (Array[Double], Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+      : Option[(Array[Double], Array[Array[Double]], Array[Double], Array[Array[Double]])] = {
     import graft.functions.VectorMomentsAgg.vector_moments
     val m = emb(s, dir).agg(vector_moments(col("embedding"), EmbDim))
       .head.getSeq[Double](0).toArray
-    val cov        = graft.operators.Pca.covariance(m, EmbDim)
-    val (ev, vecs) = graft.operators.Pca.jacobiEigen(cov)
-    (m, cov, ev, vecs)
+    if (m(0) == 0) None
+    else {
+      val cov        = graft.operators.Pca.covariance(m, EmbDim)
+      val (ev, vecs) = graft.operators.Pca.jacobiEigen(cov)
+      Some((m, cov, ev, vecs))
+    }
   }
+
+  /** recall@K of a kNN query's (query_id, neighbor_id) set against exact
+    * brute force — one definition for the pq/sq8/opq recall queries.
+    */
+  private def recallVsBrute(knn: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val brute = queries("embed_knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries(knn)(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
+          .as("recall_at_k"))
+    }
 
   /** Bounded per-query top-k on `ordCol` DESC (ties by neighbor_id
     * ascending) via [[graft.functions.TopKStructs]]: at most 2k rows per
@@ -356,16 +386,7 @@ object EmbedQueries {
 
     // recall@k of the SQ8 ranking against exact brute force — measures
     // what the 4× compression costs, per query.
-    "embed_sq8_recall" -> { (s, dir) =>
-      val brute = queries("embed_knn_brute")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val sq = queries("embed_sq8_knn")(s, dir)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(sq, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
-          .as("recall_at_k"))
-    },
+    "embed_sq8_recall" -> recallVsBrute("embed_sq8_knn"),
 
     // Product quantization (PQ) kNN — the canonical high-compression ANN
     // shape at 100 TB (Jégou et al., IVF-ADC): 64-d vectors split into
@@ -394,16 +415,7 @@ object EmbedQueries {
 
     // recall@k of the rotated-PQ ranking vs exact brute force — directly
     // comparable to embed_pq_recall (same K, same codebook rule).
-    "embed_opq_recall" -> { (s, dir) =>
-      val brute = queries("embed_knn_brute")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val opq = queries("embed_opq_knn")(s, dir)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(opq, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
-          .as("recall_at_k"))
-    },
+    "embed_opq_recall" -> recallVsBrute("embed_opq_knn"),
 
     // IVF-PQ — the full production ANN serving composition (coarse cell
     // probe × compressed in-cell ranking): each query probes its nearest
@@ -447,16 +459,7 @@ object EmbedQueries {
 
     // recall@k of the PQ ranking against exact brute force — what the
     // 32× compression costs, per query (the sq8_recall pattern).
-    "embed_pq_recall" -> { (s, dir) =>
-      val brute = queries("embed_knn_brute")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val pq = queries("embed_pq_knn")(s, dir)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / K, 6)
-          .as("recall_at_k"))
-    },
+    "embed_pq_recall" -> recallVsBrute("embed_pq_knn"),
 
     // IVF probe: assign each query to its nearest centroid cell, then exact
     // top-k only within that cell (corpus scan pruned by cell).
@@ -737,21 +740,17 @@ object EmbedQueries {
     // pair shuffle); only the moments buffer reaches the driver, where
     // the d(d+1)/2 upper-triangle entries expand to rows. The PCA input.
     "embed_covariance" -> { (s, dir) =>
-      import graft.functions.VectorMomentsAgg.vector_moments
       import s.implicits._
       val d = EmbDim
-      val m = emb(s, dir).agg(vector_moments(col("embedding"), d))
-        .head.getSeq[Double](0).toArray
       // empty corpus → empty result (matching the oracle's empty join),
       // not 2080 NaN rows from a 0/0
-      val rows =
-        if (m(0) == 0) Seq.empty[(Long, Long, Double)]
-        else {
-          val cov = graft.operators.Pca.covariance(m, d) // ONE formula, shared with PCA
+      val rows = pcaBasis(s, dir) match {
+        case None => Seq.empty[(Long, Long, Double)]
+        case Some((_, cov, _, _)) => // ONE formula, shared with PCA
           for { i <- 0 until d; j <- i until d } yield (i.toLong, j.toLong,
             BigDecimal(cov(i)(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .toDouble) // HALF_UP = the engines' round(x, 6)
-        }
+      }
       rows.toDF("i", "j", "cov")
     },
 
@@ -767,17 +766,20 @@ object EmbedQueries {
     "embed_pca_topk" -> { (s, dir) =>
       import s.implicits._
       val d = EmbDim
-      val (_, cov, ev, vecs) = pcaBasis(s, dir)
-      val trace = (0 until d).map(i => cov(i)(i)).sum
-      def r6(x: Double) = math.rint(x * 1e6) / 1e6
-      var cum = 0.0
-      val rows = (0 until PcaK).map { c =>
-        cum += ev(c)
-        val vec  = vecs(c)
-        var top  = 0
-        (1 until d).foreach(i => if (math.abs(vec(i)) > math.abs(vec(top))) top = i)
-        (c + 1L, r6(ev(c)), r6(ev(c) / trace), r6(cum / trace),
-          top.toLong, r6(vec(top)))
+      val rows = pcaBasis(s, dir) match {
+        case None => Seq.empty[(Long, Double, Double, Double, Long, Double)]
+        case Some((_, cov, ev, vecs)) =>
+          val trace = (0 until d).map(i => cov(i)(i)).sum
+          def r6(x: Double) = math.rint(x * 1e6) / 1e6
+          var cum = 0.0
+          (0 until PcaK).map { c =>
+            cum += ev(c)
+            val vec = vecs(c)
+            var top = 0
+            (1 until d).foreach(i => if (math.abs(vec(i)) > math.abs(vec(top))) top = i)
+            (c + 1L, r6(ev(c)), r6(ev(c) / trace), r6(cum / trace),
+              top.toLong, r6(vec(top)))
+          }
       }
       rows.toDF("component", "eigenvalue", "explained_ratio", "cum_ratio",
         "top_dim", "top_loading")
@@ -792,28 +794,38 @@ object EmbedQueries {
     // of the same pass. Spec-verified (PcaSpec), like embed_pca_topk.
     "embed_pca_project" -> { (s, dir) =>
       import graft.functions.VectorExpressions.mat_vec
+      import s.implicits._
       val d = EmbDim
-      val (m, _, _, vecs) = pcaBasis(s, dir)
-      val n    = m(0)
-      val mu   = (0 until d).map(i => m(1 + i) / n)
-      val vk   = vecs.take(PcaK).map(_.toSeq).toSeq
-      val vmu  = vk.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-      val mumu = mu.map(x => x * x).sum
-      val withY = withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
-        (col("nrm") * col("nrm")).as("xx"),
-        mat_vec(col("v"), vk :+ mu).as("vx"))
-      // y_c = (Vx)_c − (Vμ)_c ; ‖x−μ‖² = x·x − 2·x·μ + μ·μ
-      val y = (0 until PcaK).map(c =>
-        (element_at(col("vx"), c + 1) - lit(vmu(c))).as(s"y$c"))
-      val cn2 = (col("xx") - lit(2.0) * element_at(col("vx"), PcaK + 1) +
-        lit(mumu)).as("cn2")
-      val proj = withY.select(col("vec_id") +: col("label") +: cn2 +: y: _*)
-      def esum(k: Int) = (0 until k).map(c => col(s"y$c") * col(s"y$c")).reduce(_ + _)
-      proj.select(col("vec_id"), col("label"),
-        round(col("y0"), 6).as("pc1"), round(col("y1"), 6).as("pc2"),
-        round(col("y2"), 6).as("pc3"), round(col("y3"), 6).as("pc4"),
-        round(sqrt(greatest(col("cn2") - esum(4), lit(0.0))), 6).as("recon_err_k4"),
-        round(sqrt(greatest(col("cn2") - esum(PcaK), lit(0.0))), 6).as("recon_err_k8"))
+      pcaBasis(s, dir) match {
+        case None =>
+          Seq.empty[(Long, Int, Double, Double, Double, Double, Double, Double)]
+            .toDF("vec_id", "label", "pc1", "pc2", "pc3", "pc4",
+              "recon_err_k4", "recon_err_k8")
+        case Some((m, _, _, vecs)) =>
+          val n    = m(0)
+          val mu   = (0 until d).map(i => m(1 + i) / n)
+          val vk   = vecs.take(PcaK).map(_.toSeq).toSeq
+          val vmu  = vk.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+          val mumu = mu.map(x => x * x).sum
+          val withY = withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
+            (col("nrm") * col("nrm")).as("xx"),
+            mat_vec(col("v"), vk :+ mu).as("vx"))
+          // y_c = (Vx)_c − (Vμ)_c ; ‖x−μ‖² = x·x − 2·x·μ + μ·μ
+          val y = (0 until PcaK).map(c =>
+            (element_at(col("vx"), c + 1) - lit(vmu(c))).as(s"y$c"))
+          val cn2 = (col("xx") - lit(2.0) * element_at(col("vx"), PcaK + 1) +
+            lit(mumu)).as("cn2")
+          val proj = withY.select(col("vec_id") +: col("label") +: cn2 +: y: _*)
+          def esum(k: Int) =
+            (0 until k).map(c => col(s"y$c") * col(s"y$c")).reduce(_ + _)
+          proj.select(col("vec_id"), col("label"),
+            round(col("y0"), 6).as("pc1"), round(col("y1"), 6).as("pc2"),
+            round(col("y2"), 6).as("pc3"), round(col("y3"), 6).as("pc4"),
+            round(sqrt(greatest(col("cn2") - esum(4), lit(0.0))), 6)
+              .as("recon_err_k4"),
+            round(sqrt(greatest(col("cn2") - esum(PcaK), lit(0.0))), 6)
+              .as("recon_err_k8"))
+      }
     }
   )
 
