@@ -785,6 +785,41 @@ object EmbedQueries {
         "top_dim", "top_loading")
     },
 
+    // Whitening audit: transform the corpus by W = Λ^(-1/2)·V (PCA
+    // whitening — one affine codegen kernel per row), re-run the SAME
+    // moments pass on the whitened vectors, and report how close the
+    // whitened covariance is to the identity. The one-row readout that
+    // certifies a whitening transform before it feeds cosine/ANN
+    // pipelines. Components with λ ≈ 0 are excluded (nothing to whiten
+    // along a null direction). Spec-verified; not SQL-expressible.
+    "embed_whiten_check" -> { (s, dir) =>
+      import graft.functions.VectorExpressions.mat_vec_affine
+      import graft.functions.VectorMomentsAgg.vector_moments
+      import s.implicits._
+      val d = EmbDim
+      val rows = pcaBasis(s, dir) match {
+        case None => Seq.empty[(Long, Double, Double, Boolean)]
+        case Some((m0, _, ev, vecs)) =>
+          val n  = m0(0)
+          val mu = (0 until d).map(i => m0(1 + i) / n)
+          val keep = ev.indices.filter(c => ev(c) > 1e-9)
+          val w = keep.map(c => vecs(c).toSeq.map(_ / math.sqrt(ev(c))))
+          val wmu = w.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+          val whitened = emb(s, dir).select(
+            mat_vec_affine(transform(col("embedding"), _.cast("double")), w, wmu)
+              .as("y"))
+          val wm = whitened.agg(vector_moments(col("y"), keep.length))
+            .head.getSeq[Double](0).toArray
+          val cov = graft.operators.Pca.covariance(wm, keep.length)
+          val offdiag = (for { i <- keep.indices; j <- keep.indices if i != j }
+            yield math.abs(cov(i)(j))).max
+          val diagerr = keep.indices.map(i => math.abs(cov(i)(i) - 1.0)).max
+          Seq((keep.length.toLong, offdiag, diagerr,
+            offdiag < 1e-6 && diagerr < 1e-6))
+      }
+      rows.toDF("n_components", "max_offdiag_abs", "max_diag_err", "whitened_ok")
+    },
+
     // Distributed application of the PCA basis: every vector's top-k
     // principal coordinates and its reconstruction error, computed by ONE
     // literal-matrix [[graft.functions.VectorExpressions.MatVec]] kernel

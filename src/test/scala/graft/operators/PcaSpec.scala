@@ -141,6 +141,14 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("embed_whiten_check: whitened covariance is the identity on real data") {
+    val r = graft.SparkEntry.queries("embed_whiten_check")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(r.getLong(0) > 0, "no components kept")
+    assert(r.getBoolean(3),
+      s"whitening failed: offdiag ${r.getDouble(1)}, diagerr ${r.getDouble(2)}")
+  }
+
   test("embed_covariance: empty embeddings table yields zero rows, not NaN") {
     val tmp = java.nio.file.Files.createTempDirectory("pcaempty").toString
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
