@@ -182,6 +182,130 @@ object MultimodalOps {
     })
   }
 
+  // --- a REAL codec #2: 16-bit PCM WAV (RIFF) --------------------------
+  // Same proof for the audio seam: little-endian RIFF chunk walk, PCM
+  // fmt validation, int16 frames — no libraries, decode failures are
+  // data (None), not exceptions.
+
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  final case class AudioFeatures(
+      id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, rms: Double, peak: Int, mean: Double)
+
+  /** Decode a RIFF/WAVE payload: chunk walk (word-aligned), `fmt ` must
+    * be PCM(1)/16-bit, `data` holds little-endian int16 interleaved
+    * frames. None for anything malformed, truncated, or non-PCM16.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    def u16(i: Int): Int  = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int)       = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int)]    = None
+    var data: Option[Array[Short]] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id   = tag(i)
+      val sz   = u32(i + 4).toInt
+      val body = i + 8
+      if (sz < 0 || body + sz > bytes.length) return None
+      id match {
+        case "fmt " if sz >= 16 =>
+          val audioFormat = u16(body)
+          val ch          = u16(body + 2)
+          val rate        = u32(body + 4).toInt
+          val bits        = u16(body + 14)
+          if (audioFormat != 1 || bits != 16 || ch <= 0 || rate <= 0) return None
+          fmt = Some((ch, rate))
+        case "data" =>
+          val n = sz / 2
+          val s = new Array[Short](n)
+          var k = 0
+          while (k < n) { s(k) = u16(body + 2 * k).toShort; k += 1 }
+          data = Some(s)
+        case _ => ()
+      }
+      i = body + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    for ((ch, rate) <- fmt; s <- data) yield WavAudio(rate, ch, s)
+  }
+
+  /** Encode back to canonical 44-byte-header RIFF/PCM16 bytes
+    * (round-trips through [[decodeWav]]).
+    */
+  def encodeWav(a: WavAudio): Array[Byte] = {
+    val dataLen = a.samples.length * 2
+    val out     = new Array[Byte](44 + dataLen)
+    def putTag(i: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, i, 4)
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(i: Int, v: Long): Unit = {
+      put16(i, (v & 0xffff).toInt); put16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, a.channels)
+    put32(24, a.sampleRate.toLong); put32(28, a.sampleRate.toLong * a.channels * 2)
+    put16(32, a.channels * 2); put16(34, 16)
+    putTag(36, "data"); put32(40, dataLen.toLong)
+    var k = 0
+    while (k < a.samples.length) { put16(44 + 2 * k, a.samples(k) & 0xffff); k += 1 }
+    out
+  }
+
+  /** Per-clip rate/channels/RMS/peak/mean from the REAL decoder;
+    * undecodable assets are dropped (the error-as-filter convention).
+    */
+  def wavFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      decodeWav(a.content).map { w =>
+        var sum = 0.0; var sq = 0.0; var peak = 0
+        var k = 0
+        while (k < w.samples.length) {
+          val s = w.samples(k).toInt
+          sum += s; sq += s.toDouble * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          k += 1
+        }
+        val n = math.max(w.samples.length, 1).toDouble
+        AudioFeatures(a.id, w.sampleRate, w.channels, w.samples.length.toLong,
+          math.sqrt(sq / n), peak, sum / n)
+      }
+    })
+  }
+
+  /** REAL nearest-neighbor sample-rate conversion (the audio "resize"):
+    * decode, pick source frames on the integer grid, re-encode as valid
+    * PCM16 at the target rate. Undecodable assets pass through.
+    */
+  def wavResample(assets: Dataset[Asset], targetRate: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    require(targetRate > 0)
+    assets.map { a =>
+      decodeWav(a.content) match {
+        case None => a
+        case Some(w) =>
+          val frames    = w.samples.length / w.channels
+          val outFrames = math.max(1, (frames.toLong * targetRate / w.sampleRate).toInt)
+          val out       = new Array[Short](outFrames * w.channels)
+          var i = 0
+          while (i < outFrames) {
+            val src = math.min((i.toLong * w.sampleRate / targetRate).toInt, frames - 1)
+            var c = 0
+            while (c < w.channels) {
+              out(i * w.channels + c) = w.samples(src * w.channels + c)
+              c += 1
+            }
+            i += 1
+          }
+          Asset(a.id, "audio/wav", encodeWav(WavAudio(targetRate, w.channels, out)))
+      }
+    }
+  }
+
   /** REAL nearest-neighbor resize: decode, sample source pixels on the
     * integer grid, re-encode as valid P6 (round-trips through
     * [[decodePpm]]). Undecodable assets pass through untouched.

@@ -44,6 +44,26 @@ object DocQueries {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("shd"))
 
+  /** Per-doc synthesized 8-sample mono 8 kHz PCM16 clip (the mm_ppm asset
+    * rule, audio seam): sample_i = (byte_i − 96)·512 over the first 8
+    * text bytes — always within int16 for the ASCII corpus, negative for
+    * spaces/digits so sign handling is exercised.
+    */
+  private def wavAssets(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.operators.MultimodalOps.Asset] = {
+    import graft.operators.MultimodalOps
+    import s.implicits._
+    docs(s, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), encode(substring(col("text"), 1, 8), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, px) =>
+        val samples = px.map(b => (((b & 0xff) - 96) * 512).toShort)
+        MultimodalOps.Asset(id, "audio/wav",
+          MultimodalOps.encodeWav(MultimodalOps.WavAudio(8000, 1, samples)))
+      }
+  }
+
   private val NumHashes = 16
   private val Bands     = 4
   private val BandRows  = NumHashes / Bands
@@ -620,6 +640,37 @@ object DocQueries {
           round(col("mean_r"), 6).as("mean_r"),
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"))
+    },
+
+    // Multimodal AUDIO through a REAL codec: an 8-sample mono PCM16 WAV
+    // is synthesized per doc from its first 8 text bytes
+    // (sample = (byte − 96)·512), encoded to RIFF wire bytes, then
+    // decoded and feature-extracted by the actual parser
+    // ([[graft.operators.MultimodalOps.decodeWav]]); the oracle
+    // recomputes RMS/peak/mean from ord() arithmetic, so the whole
+    // encode→decode→features path is hash-checked — the mm_ppm_features
+    // proof, audio seam.
+    "mm_wav_features" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      MultimodalOps.wavFeatures(wavAssets(s, dir))
+        .select(col("id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("rms"), 6).as("rms"), col("peak"),
+          round(col("mean"), 6).as("mean"))
+    },
+
+    // The REAL sample-rate converter under the oracle: the same 8000 Hz
+    // clip nearest-neighbor-decimated to 4000 Hz by
+    // [[graft.operators.MultimodalOps.wavResample]] (decode →
+    // integer-grid frame pick → re-encode), then feature-extracted — the
+    // surviving frames are exactly the odd text positions 1,3,5,7, which
+    // the oracle recomputes directly. Full
+    // decode→resample→encode→decode→features chain hash-checked.
+    "mm_wav_resample" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      MultimodalOps.wavFeatures(MultimodalOps.wavResample(wavAssets(s, dir), 4000))
+        .select(col("id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("rms"), 6).as("rms"), col("peak"),
+          round(col("mean"), 6).as("mean"))
     },
 
     // Multimodal: deterministic frame sampling (4 windows of 16 bytes).
@@ -2758,6 +2809,33 @@ object DocQueries {
         |  round((4 * ord(substr(text,3,1)) + 2 * ord(substr(text,6,1))
         |         + 2 * ord(substr(text,9,1)) + ord(substr(text,12,1))) / 9.0, 6) AS mean_b
         |FROM documents WHERE length(text) >= 12""".stripMargin,
+    // PCM16 synthesis rule: sample_i = (ord(char_i) − 96)·512; features
+    // recomputed from ord arithmetic so the engine's full RIFF
+    // encode→decode→features chain is hash-checked
+    "mm_wav_features" ->
+      """WITH x AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, 8),
+        |      i -> (ord(substr(text, i, 1)) - 96) * 512)) AS v
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean
+        |FROM x GROUP BY doc_id""".stripMargin,
+    // 8000 → 4000 Hz nearest-neighbor decimation keeps source frames
+    // floor(i·8000/4000) = 0,2,4,6 — text positions 1,3,5,7
+    "mm_wav_resample" ->
+      """WITH x AS (SELECT doc_id,
+        |    unnest(list_transform([1, 3, 5, 7],
+        |      i -> (ord(substr(text, i, 1)) - 96) * 512)) AS v
+        |  FROM documents WHERE length(text) >= 8)
+        |SELECT doc_id AS id, CAST(4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean
+        |FROM x GROUP BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
         |  md5(substr(text, 1 + i * ((length(text) - 16) // 3), 16)) AS frame_md5
