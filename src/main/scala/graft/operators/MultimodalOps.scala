@@ -125,8 +125,16 @@ object MultimodalOps {
     * anything malformed or truncated — decode failures are data, not
     * exceptions, in a pipeline.
     */
-  def decodePpm(bytes: Array[Byte]): Option[PpmImage] = {
-    var i = 0
+  def decodePpm(bytes: Array[Byte]): Option[PpmImage] =
+    decodePpmAt(bytes, 0).map(_._1)
+
+  /** Cursor-based decode: parse ONE P6 frame starting at `start`,
+    * returning the image and the offset just past its raster — the
+    * primitive that makes multi-frame containers ([[decodePpmSequence]])
+    * parseable without re-scanning.
+    */
+  def decodePpmAt(bytes: Array[Byte], start: Int): Option[(PpmImage, Int)] = {
+    var i = start
     def skipSpace(): Unit = {
       var go = true
       while (go && i < bytes.length) {
@@ -149,9 +157,54 @@ object MultimodalOps {
       mx    <- token().flatMap(_.toIntOption) if mx > 0 && mx < 256
       // exactly ONE whitespace byte separates header from raster
       _     <- if (i < bytes.length && bytes(i).toChar.isWhitespace) Some(()) else None
-      raster = bytes.drop(i + 1)
-      if raster.length >= w * h * 3
-    } yield PpmImage(w, h, mx, raster.take(w * h * 3))
+      rasterStart = i + 1
+      if bytes.length - rasterStart >= w * h * 3
+    } yield (PpmImage(w, h, mx,
+      java.util.Arrays.copyOfRange(bytes, rasterStart, rasterStart + w * h * 3)),
+      rasterStart + w * h * 3)
+  }
+
+  /** A REAL multi-frame container (the video seam): back-to-back P6
+    * frames parsed sequentially by cursor. Parsing stops at the first
+    * byte that doesn't start a valid frame — a well-formed prefix of a
+    * corrupt stream still yields its frames (errors are data).
+    */
+  def decodePpmSequence(bytes: Array[Byte]): Vector[PpmImage] = {
+    val frames = Vector.newBuilder[PpmImage]
+    var i  = 0
+    var ok = true
+    while (ok && i < bytes.length) {
+      decodePpmAt(bytes, i) match {
+        case Some((img, next)) => frames += img; i = next
+        case None              => ok = false
+      }
+    }
+    frames.result()
+  }
+
+  final case class VideoFrameFeatures(
+      id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-frame dimensions + channel means through the REAL sequence
+    * parser; assets with no parseable leading frame yield nothing.
+    */
+  def videoFrameFeatures(assets: Dataset[Asset]): Dataset[VideoFrameFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      decodePpmSequence(a.content).zipWithIndex.map { case (img, idx) =>
+        var r = 0L; var g = 0L; var b = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          r += img.pixels(p) & 0xff
+          g += img.pixels(p + 1) & 0xff
+          b += img.pixels(p + 2) & 0xff
+          p += 3
+        }
+        val n = (img.width * img.height).toDouble
+        VideoFrameFeatures(a.id, idx, img.width, img.height, r / n, g / n, b / n)
+      }
+    })
   }
 
   /** Encode back to canonical P6 bytes. */

@@ -642,6 +642,34 @@ object DocQueries {
           round(col("mean_b"), 6).as("mean_b"))
     },
 
+    // Multimodal VIDEO through a REAL container parser: a 2-frame 2×2 P6
+    // sequence is synthesized per doc from its first 24 text bytes, each
+    // frame encoded to wire bytes and concatenated, then the whole
+    // container is re-parsed frame by frame by the cursor-based
+    // [[graft.operators.MultimodalOps.decodePpmSequence]] and
+    // feature-extracted; the oracle recomputes each frame's channel
+    // means from ord() arithmetic at the frame offsets — so multi-frame
+    // wire parsing is hash-checked end to end.
+    "mm_video_frames" -> { (s, dir) =>
+      import graft.operators.MultimodalOps
+      import s.implicits._
+      val assets = docs(s, dir)
+        .filter(length(col("text")) >= 24)
+        .select(col("doc_id"), encode(substring(col("text"), 1, 24), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, px) =>
+          val container = px.grouped(12).map(p =>
+            MultimodalOps.encodePpm(MultimodalOps.PpmImage(2, 2, 255, p)))
+            .reduce(_ ++ _)
+          MultimodalOps.Asset(id, "video/x-ppm-seq", container)
+        }
+      MultimodalOps.videoFrameFeatures(assets)
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
     // Multimodal AUDIO through a REAL codec: an 8-sample mono PCM16 WAV
     // is synthesized per doc from its first 8 text bytes
     // (sample = (byte − 96)·512), encoded to RIFF wire bytes, then
@@ -2809,6 +2837,18 @@ object DocQueries {
         |  round((4 * ord(substr(text,3,1)) + 2 * ord(substr(text,6,1))
         |         + 2 * ord(substr(text,9,1)) + ord(substr(text,12,1))) / 9.0, 6) AS mean_b
         |FROM documents WHERE length(text) >= 12""".stripMargin,
+    // frame f of the 2-frame container covers text chars 12f+1 .. 12f+12
+    "mm_video_frames" ->
+      """SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+        |  CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  round((ord(substr(text, 1 + 12*f, 1)) + ord(substr(text, 4 + 12*f, 1))
+        |       + ord(substr(text, 7 + 12*f, 1)) + ord(substr(text, 10 + 12*f, 1))) / 4.0, 6) AS mean_r,
+        |  round((ord(substr(text, 2 + 12*f, 1)) + ord(substr(text, 5 + 12*f, 1))
+        |       + ord(substr(text, 8 + 12*f, 1)) + ord(substr(text, 11 + 12*f, 1))) / 4.0, 6) AS mean_g,
+        |  round((ord(substr(text, 3 + 12*f, 1)) + ord(substr(text, 6 + 12*f, 1))
+        |       + ord(substr(text, 9 + 12*f, 1)) + ord(substr(text, 12 + 12*f, 1))) / 4.0, 6) AS mean_b
+        |FROM documents, generate_series(0, 1) AS t(f)
+        |WHERE length(text) >= 24""".stripMargin,
     // PCM16 synthesis rule: sample_i = (ord(char_i) − 96)·512; features
     // recomputed from ord arithmetic so the engine's full RIFF
     // encode→decode→features chain is hash-checked

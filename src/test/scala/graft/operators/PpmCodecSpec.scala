@@ -63,4 +63,30 @@ class PpmCodecSpec extends SparkSpec {
     val out  = ppmResize(Seq(junk).toDS(), 2, 2).collect().head
     assert(out.content.toSeq == junk.content.toSeq && out.mime == "text/plain")
   }
+
+  test("sequence parser: frames split at exact raster boundaries") {
+    val two = encodePpm(img42) ++ encodePpm(
+      PpmImage(1, 1, 255, Array[Byte](1, 2, 3)))
+    val frames = decodePpmSequence(two)
+    assert(frames.length == 2)
+    assert(frames(0).width == 4 && frames(1).width == 1)
+    assert(frames(1).pixels.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("sequence parser: a corrupt tail yields the well-formed prefix frames") {
+    val stream = encodePpm(img42) ++ "GARBAGE".getBytes("US-ASCII")
+    val frames = decodePpmSequence(stream)
+    assert(frames.length == 1 && frames(0).width == 4)
+    assert(decodePpmSequence("junk".getBytes).isEmpty)
+  }
+
+  test("sequence parser: deterministic random bytes never throw") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      decodePpmSequence(bytes)       // must terminate without throwing
+      decodeWav(bytes)               // same for the WAV chunk walk
+    }
+  }
 }
