@@ -158,10 +158,14 @@ object MultimodalOps {
       // exactly ONE whitespace byte separates header from raster
       _     <- if (i < bytes.length && bytes(i).toChar.isWhitespace) Some(()) else None
       rasterStart = i + 1
-      if bytes.length - rasterStart >= w * h * 3
+      // Long math: w·h·3 overflows Int for adversarial headers (e.g.
+      // w = 715827883), which would turn the size check into a crash;
+      // any raster that fits the payload necessarily fits an Int
+      need = w.toLong * h * 3
+      if bytes.length - rasterStart >= need
     } yield (PpmImage(w, h, mx,
-      java.util.Arrays.copyOfRange(bytes, rasterStart, rasterStart + w * h * 3)),
-      rasterStart + w * h * 3)
+      java.util.Arrays.copyOfRange(bytes, rasterStart, rasterStart + need.toInt)),
+      rasterStart + need.toInt)
   }
 
   /** A REAL multi-frame container (the video seam): back-to-back P6
@@ -262,7 +266,10 @@ object MultimodalOps {
       val id   = tag(i)
       val sz   = u32(i + 4).toInt
       val body = i + 8
-      if (sz < 0 || body + sz > bytes.length) return None
+      // compare against the REMAINING length, not body + sz (which
+      // overflows Int for adversarial 2^31-ish sizes and would let the
+      // cursor/array math crash instead of returning None)
+      if (sz < 0 || sz > bytes.length - body) return None
       id match {
         case "fmt " if sz >= 16 =>
           val audioFormat = u16(body)
@@ -340,6 +347,10 @@ object MultimodalOps {
     assets.map { a =>
       decodeWav(a.content) match {
         case None => a
+        // a valid clip with fewer samples than one frame has nothing to
+        // resample — pass it through (forcing one output frame would
+        // index sample −1)
+        case Some(w) if w.samples.length < w.channels => a
         case Some(w) =>
           val frames    = w.samples.length / w.channels
           val outFrames = math.max(1, (frames.toLong * targetRate / w.sampleRate).toInt)

@@ -55,6 +55,11 @@ object DocQueries {
     import s.implicits._
     docs(s, dir)
       .filter(length(col("text")) >= 8)
+      // printable-ASCII prefix only (both engines filter identically):
+      // bytes in [32,126] keep (b−96)·512 inside int16 — a control char
+      // would WRAP in toShort while the oracle's ord() math doesn't, and
+      // a non-ASCII char would break the 1-byte-per-char sample count
+      .filter(substring(col("text"), 1, 8).rlike("^[ -~]*$"))
       .select(col("doc_id"), encode(substring(col("text"), 1, 8), "UTF-8").as("px"))
       .as[(Long, Array[Byte])]
       .map { case (id, px) =>
@@ -2856,7 +2861,8 @@ object DocQueries {
       """WITH x AS (SELECT doc_id,
         |    unnest(list_transform(generate_series(1, 8),
         |      i -> (ord(substr(text, i, 1)) - 96) * 512)) AS v
-        |  FROM documents WHERE length(text) >= 8)
+        |  FROM documents WHERE length(text) >= 8
+        |    AND regexp_matches(substr(text, 1, 8), '^[ -~]*$'))
         |SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
         |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
@@ -2869,7 +2875,8 @@ object DocQueries {
       """WITH x AS (SELECT doc_id,
         |    unnest(list_transform([1, 3, 5, 7],
         |      i -> (ord(substr(text, i, 1)) - 96) * 512)) AS v
-        |  FROM documents WHERE length(text) >= 8)
+        |  FROM documents WHERE length(text) >= 8
+        |    AND regexp_matches(substr(text, 1, 8), '^[ -~]*$'))
         |SELECT doc_id AS id, CAST(4000 AS INT) AS sample_rate,
         |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
         |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,

@@ -803,19 +803,28 @@ object EmbedQueries {
           val n  = m0(0)
           val mu = (0 until d).map(i => m0(1 + i) / n)
           val keep = ev.indices.filter(c => ev(c) > 1e-9)
-          val w = keep.map(c => vecs(c).toSeq.map(_ / math.sqrt(ev(c))))
-          val wmu = w.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-          val whitened = emb(s, dir).select(
-            mat_vec_affine(transform(col("embedding"), _.cast("double")), w, wmu)
-              .as("y"))
-          val wm = whitened.agg(vector_moments(col("y"), keep.length))
-            .head.getSeq[Double](0).toArray
-          val cov = graft.operators.Pca.covariance(wm, keep.length)
-          val offdiag = (for { i <- keep.indices; j <- keep.indices if i != j }
-            yield math.abs(cov(i)(j))).max
-          val diagerr = keep.indices.map(i => math.abs(cov(i)(i) - 1.0)).max
-          Seq((keep.length.toLong, offdiag, diagerr,
-            offdiag < 1e-6 && diagerr < 1e-6))
+          if (keep.isEmpty)
+            // all-identical corpus: zero spectrum, nothing to whiten —
+            // report a readable not-ok row instead of crashing on d=0
+            Seq((0L, 0.0, 0.0, false))
+          else {
+            val w   = keep.map(c => vecs(c).toSeq.map(_ / math.sqrt(ev(c))))
+            val wmu = w.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
+            val whitened = emb(s, dir).select(
+              mat_vec_affine(transform(col("embedding"), _.cast("double")), w, wmu)
+                .as("y"))
+            val wm = whitened.agg(vector_moments(col("y"), keep.length))
+              .head.getSeq[Double](0).toArray
+            val cov = graft.operators.Pca.covariance(wm, keep.length)
+            // foldLeft(0.0): a 1-component spectrum has no off-diagonal
+            // pairs, and empty.max would throw
+            val offdiag = (for { i <- keep.indices; j <- keep.indices if i != j }
+              yield math.abs(cov(i)(j))).foldLeft(0.0)(math.max)
+            val diagerr = keep.indices.map(i => math.abs(cov(i)(i) - 1.0))
+              .foldLeft(0.0)(math.max)
+            Seq((keep.length.toLong, offdiag, diagerr,
+              offdiag < 1e-6 && diagerr < 1e-6))
+          }
       }
       rows.toDF("n_components", "max_offdiag_abs", "max_diag_err", "whitened_ok")
     },

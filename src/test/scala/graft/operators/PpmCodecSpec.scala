@@ -80,6 +80,16 @@ class PpmCodecSpec extends SparkSpec {
     assert(decodePpmSequence("junk".getBytes).isEmpty)
   }
 
+  test("adversarial headers whose raster size overflows Int return None") {
+    // w·h·3 wraps negative (would pass an Int-math bound check and crash
+    // copyOfRange) or wraps to exactly 0 (would accept a zero-byte
+    // raster for a 2^32-pixel image)
+    val wrapNeg  = "P6 715827883 1 255\nxxxx".getBytes("US-ASCII")
+    val wrapZero = "P6 65536 65536 255\n".getBytes("US-ASCII")
+    assert(decodePpm(wrapNeg).isEmpty)
+    assert(decodePpm(wrapZero).isEmpty)
+  }
+
   test("sequence parser: deterministic random bytes never throw") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
