@@ -53,7 +53,9 @@ class HotExprCodegenSpec extends SparkSpec {
         VectorExpressions.l2_norm(F.col("v")).as("l2"),
         VectorExpressions.centroid_dists(F.col("v"), cents).as("cd"),
         VectorExpressions.nearest_centroid(F.col("v"), cents).as("nc"),
-        VectorExpressions.rp_signature(F.col("v"), planes).as("rp"))
+        VectorExpressions.rp_signature(F.col("v"), planes).as("rp"),
+        VectorExpressions.mat_vec(F.col("v"), cents).as("mv"),
+        VectorExpressions.mat_vec_affine(F.col("v"), cents, Seq(1.0, 2.0)).as("mva"))
       val rows = df.collect()
       assert(rows.length == 2)
 
@@ -70,6 +72,9 @@ class HotExprCodegenSpec extends SparkSpec {
       val cgc = r0.getSeq[Long](r0.fieldIndex("cgc"))
       assert(cgc.length == "b a b a b".length - 2)
       assert(cgc.head == (('b'.toLong << 16) | (' '.toLong << 8) | 'a'.toLong))
+      // matrix kernels: rows of `cents` dotted with v = (1,2,3)
+      assert(r0.getSeq[Double](r0.fieldIndex("mv")) == Seq(0.0, 14.0))
+      assert(r0.getSeq[Double](r0.fieldIndex("mva")) == Seq(-1.0, 12.0))
       // "x\nx\ny z": 3 lines, 2 distinct, dup chars = 1
       val rs = rows.find(_.getAs[Double]("dp") == 0.0).get.getAs[Row]("rs")
       assert(rs.getAs[Int]("n_lines") == 3)
