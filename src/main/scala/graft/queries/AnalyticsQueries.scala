@@ -138,6 +138,23 @@ object AnalyticsQueries {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // Event-type transition matrix (the Markov/path-analysis readout):
+    // consecutive same-user events within the 30-min session gap,
+    // counted per (prev_type → next_type) with the mean gap. One
+    // user-keyed window (never a bare global order; event_id breaks ts
+    // ties deterministically) into a low-cardinality type-pair agg.
+    "events_transition_counts" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Graft.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_type").isNotNull && col("gap_us") <= 1800000000L)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          round(avg(col("gap_us").cast("double") / 1000000.0), 6).as("avg_gap_sec"))
+    },
+
     // Conversion funnel view → click → purchase: first-occurrence times per
     // step from ONE conditional aggregation pass (no per-step self-joins);
     // ordered conversion is plain arithmetic on the three scalars.
@@ -918,6 +935,20 @@ object AnalyticsQueries {
         |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events_in_window
         |FROM p JOIN w ON p.ts_us >= w.lo AND p.ts_us <= w.hi
         |GROUP BY incident_id""".stripMargin,
+    "events_transition_counts" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts_us, event_id) AS prev_type,
+        |        ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_us, event_id) AS gap_us
+        |      FROM e)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(CAST(gap_us AS DOUBLE) / 1000000.0), 6) AS avg_gap_sec
+        |FROM l WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+        |GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """SELECT user_id,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
