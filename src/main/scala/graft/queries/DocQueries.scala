@@ -1497,6 +1497,48 @@ object DocQueries {
           round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
     },
 
+    // LSH band-occupancy histogram — the health audit behind the
+    // hot-bucket cap: per band, how many buckets exist at each size
+    // (a fat tail here is the B² blow-up cappedBandPairs defends
+    // against, and the input to tuning bands/rows). One slim-key agg
+    // over the (doc, band, bkey) stream, then a tiny histogram agg.
+    "lsh_band_stats" -> { (s, dir) =>
+      minhashBands(minhashSigs(shingled(docs(s, dir))))
+        .groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("band").cast("long").as("band"), col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+    },
+
+    // Top bigram collocations by pointwise mutual information
+    // (PMI = ln(P(w1w2) / (P(w1)P(w2))) with a count floor — the classic
+    // collocation-mining pass over a corpus). Unigram and bigram counts
+    // from keyed aggs, two keyed joins to attach marginals, one-row
+    // totals broadcast, and a TakeOrdered top-20 on the ROUNDED score
+    // with a lexical tie-break (float ordering never crosses engines
+    // unrounded).
+    "ngram_pmi" -> { (s, dir) =>
+      val tk = docs(s, dir).select(toks.as("tk"))
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val big = tk.filter(size(col("tk")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      val nu = uni.agg(sum("cw").cast("double").as("nu"))
+      val nb = big.agg(sum("n_pair").cast("double").as("nb"))
+      big.filter(col("n_pair") >= 5)
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log(col("n_pair").cast("double") / col("nb") *
+            (col("nu") / col("c1")) * (col("nu") / col("c2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    },
+
     // Weighted reservoir sampling per source (Efraimidis–Spirakis 2006,
     // A-ES): draw k docs per source with probability ∝ quality weight by
     // ranking on key = ln(u)/w (monotone-equivalent to u^(1/w), largest
@@ -1972,20 +2014,25 @@ object DocQueries {
     * collide in several bands; downstream scores ONCE). Hot buckets
     * degrade through [[graft.operators.LshJoins.cappedBandPairs]].
     */
-  private def minhashBandCands(sig: DataFrame, maxBucket: Int, tag: String): DataFrame = {
+  /** Slim (doc_id, band, bkey) frame from a signature frame — the LSH
+    * blocking key stream, shared by candidate generation and the
+    * band-occupancy audit.
+    */
+  private def minhashBands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { bnd =>
       val ks = (0 until BandRows).map(r => col(s"mh${bnd * BandRows + r}"))
       struct(lit(bnd).as("band"), bandKey(ks).as("bkey"))
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  private def minhashBandCands(sig: DataFrame, maxBucket: Int, tag: String): DataFrame =
     graft.operators.LshJoins
-      .cappedBandPairs(bands, Seq("band", "bkey"), "doc_id",
+      .cappedBandPairs(minhashBands(sig), Seq("band", "bkey"), "doc_id",
         "doc_a", "doc_b", maxBucket, tag)
       .select("doc_a", "doc_b")
       .distinct()
-  }
 
   /** Exact Jaccard over banded candidates from a PRE-CHECKPOINTED shingle
     * frame — the composition surface ([[minhashLshPairs]] wraps it; the
@@ -2432,6 +2479,32 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "lsh_band_stats" ->
+      s"""WITH $SqlLshCtes,
+         |bs AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS bucket_size
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, bucket_size,
+         |  CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM bs GROUP BY 1, 2""".stripMargin,
+    "ngram_pmi" ->
+      s"""WITH t AS (SELECT $SqlToks AS tk FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+         |nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |         i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+         |       FROM t WHERE len(tk) >= 2),
+         |big AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+         |        FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM big)
+         |SELECT w1, w2, n_pair,
+         |  round(ln(CAST(n_pair AS DOUBLE) / nb * (nu / c1) * (nu / c2)), 6) AS pmi
+         |FROM big
+         |JOIN (SELECT w AS w1, cw AS c1 FROM uni) u1 USING (w1)
+         |JOIN (SELECT w AS w2, cw AS c2 FROM uni) u2 USING (w2)
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE n_pair >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "sample_weighted" ->
       s"""WITH q AS (SELECT doc_id, source,
          |    round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +

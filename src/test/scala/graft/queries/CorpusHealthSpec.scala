@@ -110,6 +110,36 @@ class CorpusHealthSpec extends SparkSpec {
     sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
   }
 
+  // --- lsh_band_stats ---------------------------------------------------
+
+  test("lsh_band_stats: occupancy masses account for every banded doc in every band") {
+    val sf   = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("lsh_band_stats")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // docs entering banding = docs with ≥3 tokens (the shingle floor)
+    val banded = graft.core.Graft.documents(spark, sf)
+      .filter("size(split(text, ' ')) >= 3").count()
+    rows.groupBy(_._1).foreach { case (band, rs) =>
+      val mass = rs.map(r => r._2 * r._3).sum
+      assert(mass == banded, s"band $band covers $mass of $banded docs")
+    }
+  }
+
+  // --- ngram_pmi --------------------------------------------------------
+
+  test("ngram_pmi: planted collocation scores the hand-computed PMI") {
+    // one doc: (p q)×5 then 5 filler singletons → only (p,q) reaches the
+    // count floor; unigrams p=5 q=5 of 15 tokens, bigrams total 14
+    val dir = writeDocs(Seq((1L, "p q p q p q p q p q r s t u v", "en", "s")))
+    val out = graft.SparkEntry.queries("ngram_pmi")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "p" && r.getString(1) == "q" && r.getLong(2) == 5L)
+    val expect = math.log(5.0 / 14.0 * (15.0 / 5.0) * (15.0 / 5.0))
+    assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+  }
+
   // --- sample_weighted --------------------------------------------------
 
   test("sample_weighted: A-ES keys are md5-faithful and rank in descending order") {
