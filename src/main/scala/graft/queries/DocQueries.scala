@@ -1497,6 +1497,24 @@ object DocQueries {
           round(col("b.n_docs").cast("double") / col("source_docs"), 6).as("doc_share"))
     },
 
+    // Per-source quality percentile — the normalization that makes ONE
+    // global cutoff fair across sources with different quality
+    // distributions (a raw threshold keeps the best of a weak feed and
+    // drops the median of a strong one). Exact percent_rank over a
+    // per-source total order (quality, doc_id tie-break — deterministic
+    // both engines); at 100 TB the production form broadcasts sampled
+    // per-source cutoffs instead (the value_percentiles pattern) and
+    // assigns map-side — the lm_quality_buckets trade, documented there.
+    "quality_percentile_by_source" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score"), col("doc_id"))
+      queries("text_quality")(s, dir).select("doc_id", "quality_score")
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .select("doc_id", "source", "quality_score", "pct_rank")
+    },
+
     // LSH band-occupancy histogram — the health audit behind the
     // hot-bucket cap: per band, how many buckets exist at each size
     // (a fat tail here is the B² blow-up cappedBandPairs defends
@@ -2479,6 +2497,16 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "quality_percentile_by_source" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |          AS quality_score
+         |      FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents))
+         |SELECT doc_id, source, quality_score,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |                             ORDER BY quality_score, doc_id), 6) AS pct_rank
+         |FROM q""".stripMargin,
     "lsh_band_stats" ->
       s"""WITH $SqlLshCtes,
          |bs AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS bucket_size

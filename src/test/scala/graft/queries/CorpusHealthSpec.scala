@@ -110,6 +110,24 @@ class CorpusHealthSpec extends SparkSpec {
     sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-5))
   }
 
+  // --- quality_percentile_by_source ------------------------------------
+
+  test("quality_percentile_by_source: ranks span [0,1] per source, monotone in score") {
+    val rows = graft.SparkEntry.queries("quality_percentile_by_source")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 == 0.0 && math.abs(sorted.last._3 - 1.0) < 1e-9, src)
+      // percent_rank ordering must agree with quality ordering
+      sorted.sliding(2).foreach {
+        case Array((_, q1, p1), (_, q2, p2)) =>
+          assert(p1 <= p2 && (q1 <= q2 || p1 == p2), s"$src: ($q1,$p1) vs ($q2,$p2)")
+        case _ =>
+      }
+    }
+  }
+
   // --- lsh_band_stats ---------------------------------------------------
 
   test("lsh_band_stats: occupancy masses account for every banded doc in every band") {
