@@ -734,6 +734,29 @@ object EmbedQueries {
           round(col("vr") / col("tv"), 6).as("var_share"))
     },
 
+    // Label-vs-nearest-centroid confusion matrix — the label-noise audit:
+    // if the labels mean anything geometrically, most vectors sit nearest
+    // their OWN label's centroid; off-diagonal mass localizes mislabeled
+    // or entangled classes. Broadcast k centroids, one corpus pass, a
+    // per-vector k-row window (partitioned — never global), then a k×k
+    // agg with row-normalized shares. Zero-norm vectors are excluded
+    // (cosine undefined — they're embed_norm_stats' problem).
+    "embed_label_confusion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(emb(s, dir)).filter(col("nrm") > 0.0)
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_label"))
+      val shareW = Window.partitionBy("label")
+      e.crossJoin(broadcast(graft.operators.IvfIndex.labelCentroids(e)))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .groupBy(col("label"), col("c_label").as("predicted_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share",
+          round(col("n_vecs").cast("double") / sum("n_vecs").over(shareW), 6))
+    },
+
     // Full covariance matrix of the embedding space from ONE distributed
     // sufficient-statistics pass ([[graft.functions.VectorMomentsAgg]]:
     // fixed 17 KB mergeable state — no d²-row explode of the corpus, no
@@ -1032,6 +1055,31 @@ object EmbedQueries {
         |SELECT CAST(pos AS BIGINT) AS pos, round(mean, 6) AS mean,
         |       round(vr, 6) AS variance, round(vr / tv, 6) AS var_share
         |FROM v, t""".stripMargin,
+    "embed_label_confusion" ->
+      s"""WITH $SqlNorm,
+         |cb AS (SELECT label, pos, avg(CAST(e AS DOUBLE)) AS c
+         |       FROM (SELECT label, unnest(embedding) AS e,
+         |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+         |             FROM embeddings)
+         |       GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cb GROUP BY label),
+         |cn2 AS (SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
+         |assign AS (
+         |  SELECT label, predicted_label FROM (
+         |    SELECT n.vec_id, n.label, cn2.c_label AS predicted_label,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.v, cn2.cv) / (n.nrm * cn2.cn), 6) DESC,
+         |                      cn2.c_label) AS crank
+         |    FROM n, cn2 WHERE n.nrm > 0)
+         |  WHERE crank = 1),
+         |g AS (SELECT label, predicted_label, CAST(count(*) AS BIGINT) AS n_vecs
+         |      FROM assign GROUP BY 1, 2)
+         |SELECT label, predicted_label, n_vecs,
+         |  round(CAST(n_vecs AS DOUBLE)
+         |        / sum(n_vecs) OVER (PARTITION BY label), 6) AS share
+         |FROM g""".stripMargin,
     // covar_pop over the per-(vec, dim) expansion reproduces the engine's
     // sufficient-statistics covariance (Σxy/n − mean product) in double
     // math on identically float→double-widened inputs
