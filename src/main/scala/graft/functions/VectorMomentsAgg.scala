@@ -10,14 +10,27 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** One-pass sufficient statistics over fixed-dimension vectors: the
-  * buffer is `[n, Σx (d entries), Σx·xᵀ upper triangle (d(d+1)/2)]` — a
-  * FIXED-size, mergeable state (d=64 ⇒ 2 145 doubles ≈ 17 KB) that
-  * partial-aggregates map-side and crosses the shuffle exactly once,
-  * whatever the corpus size. This is the covariance/PCA input shape for
-  * 100 TB: no d²-row explode of the corpus, no per-pair shuffle — mean
-  * and covariance both derive from this single pass
-  * (cov(i,j) = Σxy/n − (Σxᵢ/n)(Σxⱼ/n)).
+/** One-pass ANCHORED sufficient statistics over fixed-dimension vectors:
+  * the buffer is `[n, a (d anchor entries), Σu (d entries),
+  * Σu·uᵀ upper triangle (d(d+1)/2)]` where `u = x − a` and `a` is the
+  * first vector each partial buffer sees — a FIXED-size, mergeable state
+  * (d=64 ⇒ 2 209 doubles ≈ 17.7 KB) that partial-aggregates map-side and
+  * crosses the shuffle exactly once, whatever the corpus size.
+  *
+  * WHY the anchor: the raw-moment identity cov = Σxy/n − (Σx/n)(Σy/n)
+  * subtracts two O(μ²) terms to recover an O(σ²) result — catastrophic
+  * cancellation whenever |μ| ≫ σ (the round-6 `embed_covariance` hash
+  * miss landed exactly on such a 6-dp rounding boundary). Anchoring at a
+  * data point makes every accumulated term O(x−a) ≈ O(σ), so
+  * cov = Σuv/n − (Σu/n)(Σv/n) subtracts terms of the RESULT's own
+  * magnitude. Buffers anchored at different points merge exactly via the
+  * standard shift identity (Chan–Golub–LeVeque pairwise update):
+  * with δ = a_other − a_target,
+  * Σ(u+δᵢ)(v+δⱼ) = Σuv + δᵢΣv + δⱼΣu + n·δᵢδⱼ.
+  *
+  * Consumers never index the buffer directly — [[VectorMomentsAgg.count]],
+  * [[VectorMomentsAgg.mean]] and [[graft.operators.Pca.covariance]] own
+  * the layout.
   *
   * Rows whose vector is null are ignored; a vector of the wrong length
   * fails fast (a ragged embedding column is corrupt input, not data).
@@ -33,7 +46,7 @@ case class VectorMomentsAgg(
 
   require(d > 0, s"vector_moments: dimension must be positive, got $d")
 
-  private val bufLen = 1 + d + d * (d + 1) / 2
+  private val bufLen = VectorMomentsAgg.bufferLength(d)
 
   @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -59,14 +72,25 @@ case class VectorMomentsAgg(
       x(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
+    if (buf(0) == 0.0) {
+      // first row of this partial buffer becomes its anchor; its own
+      // centered contribution is exactly zero
+      i = 0
+      while (i < d) { buf(1 + i) = x(i); i += 1 }
+      buf(0) = 1.0
+      return buf
+    }
     buf(0) += 1.0
+    val u = new Array[Double](d)
     i = 0
-    var k = 1 + d
+    while (i < d) { u(i) = x(i) - buf(1 + i); i += 1 }
+    i = 0
+    var k = 1 + 2 * d
     while (i < d) {
-      buf(1 + i) += x(i)
+      buf(1 + d + i) += u(i)
       var j = i
       while (j < d) {
-        buf(k) += x(i) * x(j)
+        buf(k) += u(i) * u(j)
         k += 1
         j += 1
       }
@@ -76,8 +100,34 @@ case class VectorMomentsAgg(
   }
 
   override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    val no = other(0)
+    if (no == 0.0) return buf
+    if (buf(0) == 0.0) {
+      System.arraycopy(other, 0, buf, 0, bufLen)
+      return buf
+    }
+    // shift `other`'s anchored sums onto buf's anchor: δ = a_o − a_b
+    val delta = new Array[Double](d)
     var i = 0
-    while (i < bufLen) { buf(i) += other(i); i += 1 }
+    while (i < d) { delta(i) = other(1 + i) - buf(1 + i); i += 1 }
+    buf(0) += no
+    i = 0
+    var k = 1 + 2 * d
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        buf(k) += other(k) + delta(i) * other(1 + d + j) +
+          delta(j) * other(1 + d + i) + no * delta(i) * delta(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < d) {
+      buf(1 + d + i) += other(1 + d + i) + no * delta(i)
+      i += 1
+    }
     buf
   }
 
@@ -108,10 +158,27 @@ case class VectorMomentsAgg(
 object VectorMomentsAgg {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
-  /** Column API: `[n, Σx…, Σxxᵀ upper-tri…]` of a d-dim vector column. */
+  /** Column API: anchored moments buffer of a d-dim vector column —
+    * consume via [[count]] / [[mean]] / [[graft.operators.Pca.covariance]].
+    */
   def vector_moments(c: Column, d: Int): Column =
     column(VectorMomentsAgg(expression(c), d).toAggregateExpression())
 
-  /** Upper-triangle offset of (i,j), i ≤ j, within the Σxy block. */
+  /** Buffer length for dimension d: `[n, a(d), Σu(d), Σuuᵀ(tri)]`. */
+  def bufferLength(d: Int): Int = 1 + 2 * d + d * (d + 1) / 2
+
+  /** Row count accumulated into a moments buffer. */
+  def count(m: Array[Double]): Double = m(0)
+
+  /** Mean vector from a moments buffer: μ = a + Σu/n. */
+  def mean(m: Array[Double], d: Int): Array[Double] = {
+    require(m(0) > 0, "mean of an empty corpus")
+    Array.tabulate(d)(i => m(1 + i) + m(1 + d + i) / m(0))
+  }
+
+  /** Upper-triangle offset of (i,j), i ≤ j, within the Σuv block. */
   def triIndex(d: Int, i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+
+  /** Start offset of the Σuuᵀ upper-triangle block. */
+  def triBase(d: Int): Int = 1 + 2 * d
 }

@@ -13,18 +13,23 @@ package graft.operators
 object Pca {
 
   /** Population covariance matrix from a [[graft.functions.VectorMomentsAgg]]
-    * buffer `[n, Σx…, Σxxᵀ upper-tri…]`.
+    * buffer `[n, a…, Σu…, Σuuᵀ upper-tri…]` (u = x − a, a the buffer's
+    * data anchor). cov(i,j) = Σuv/n − (Σu/n)(Σv/n) subtracts terms of the
+    * covariance's OWN magnitude — no μ²-scale cancellation however large
+    * the corpus mean (the round-6 embed_covariance failure mode).
     */
   def covariance(m: Array[Double], d: Int): Array[Array[Double]] = {
-    import graft.functions.VectorMomentsAgg.triIndex
+    import graft.functions.VectorMomentsAgg.{triBase, triIndex}
     val n = m(0)
     require(n > 0, "covariance of an empty corpus")
+    val base = triBase(d)
     val c = Array.ofDim[Double](d, d)
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val cov = m(1 + d + triIndex(d, i, j)) / n - (m(1 + i) / n) * (m(1 + j) / n)
+        val cov = m(base + triIndex(d, i, j)) / n -
+          (m(1 + d + i) / n) * (m(1 + d + j) / n)
         c(i)(j) = cov
         c(j)(i) = cov
         j += 1

@@ -111,8 +111,7 @@ object EmbedQueries {
       case None => withNorm(emb(s, dir)).limit(0)
       case Some((m, _, _, vecs)) =>
         val d    = EmbDim
-        val n    = m(0)
-        val mu   = (0 until d).map(i => m(1 + i) / n)
+        val mu   = graft.functions.VectorMomentsAgg.mean(m, d).toSeq
         val vall = vecs.map(_.toSeq).toSeq
         val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
         emb(s, dir).select(col("vec_id"), col("label"),
@@ -823,8 +822,7 @@ object EmbedQueries {
       val rows = pcaBasis(s, dir) match {
         case None => Seq.empty[(Long, Double, Double, Boolean)]
         case Some((m0, _, ev, vecs)) =>
-          val n  = m0(0)
-          val mu = (0 until d).map(i => m0(1 + i) / n)
+          val mu = graft.functions.VectorMomentsAgg.mean(m0, d).toSeq
           val keep = ev.indices.filter(c => ev(c) > 1e-9)
           if (keep.isEmpty)
             // all-identical corpus: zero spectrum, nothing to whiten —
@@ -869,8 +867,7 @@ object EmbedQueries {
             .toDF("vec_id", "label", "pc1", "pc2", "pc3", "pc4",
               "recon_err_k4", "recon_err_k8")
         case Some((m, _, _, vecs)) =>
-          val n    = m(0)
-          val mu   = (0 until d).map(i => m(1 + i) / n)
+          val mu   = graft.functions.VectorMomentsAgg.mean(m, d).toSeq
           val vk   = vecs.take(PcaK).map(_.toSeq).toSeq
           val vmu  = vk.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
           val mumu = mu.map(x => x * x).sum

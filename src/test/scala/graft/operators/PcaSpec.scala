@@ -156,6 +156,34 @@ class PcaSpec extends SparkSpec {
     assert(graft.SparkEntry.queries("embed_covariance")(spark, tmp).count() == 0L)
   }
 
+  test("vector_moments: μ=10⁶/σ=10⁻³ corpus — anchored moments match two-pass covar_pop far inside 6 dp") {
+    import graft.functions.VectorMomentsAgg.vector_moments
+    import org.apache.spark.sql.functions.col
+    // the round-6 failure mode: raw moments subtract two O(μ²)=1e12 terms
+    // to recover an O(σ²)=1e-7 covariance — double eps at 1e12 is ~2e-4,
+    // five orders above the signal. Anchored accumulation keeps every
+    // term at σ scale; repartition(8) forces merges across buffers with
+    // DIFFERENT data anchors so the shift identity is exercised too.
+    val d   = 4
+    val rng = new scala.util.Random(7)
+    val data = Seq.fill(64)(Array.fill(d)(1e6 + (rng.nextDouble() - 0.5) * 1e-3))
+    val m = data.map(Tuple1(_)).toDF("embedding").repartition(8)
+      .agg(vector_moments(col("embedding"), d)).head.getSeq[Double](0).toArray
+    val cov = Pca.covariance(m, d)
+    // exact two-pass reference — the same centered co-moment DuckDB's
+    // covar_pop computes for the embed_covariance oracle
+    val n  = data.length.toDouble
+    val mu = Array.tabulate(d)(i => data.map(_(i)).sum / n)
+    for (i <- 0 until d; j <- 0 until d) {
+      val ref = data.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n
+      assert(math.abs(cov(i)(j) - ref) < 1e-12,
+        s"cov($i,$j) ${cov(i)(j)} vs two-pass $ref")
+    }
+    val mhat = graft.functions.VectorMomentsAgg.mean(m, d)
+    for (i <- 0 until d)
+      assert(math.abs(mhat(i) - mu(i)) < 1e-9, s"mean($i) ${mhat(i)} vs ${mu(i)}")
+  }
+
   test("vector_moments: a null vector element fails fast instead of counting as 0") {
     import graft.functions.VectorMomentsAgg.vector_moments
     val df = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f)))
