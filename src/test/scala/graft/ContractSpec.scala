@@ -12,13 +12,11 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("spec-only queries are exactly the documented non-SQL-expressible set") {
+  test("every query has an oracle: no spec-only rows remain") {
+    // the former non-SQL-expressible set (PCA/OPQ) now ships invariant
+    // certificates the oracle recomputes as constants — zero grey rows
     val specOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set("embed_pca_topk", "embed_pca_project",
-      "embed_whiten_check", "embed_opq_knn", "embed_opq_recall")
-    assert(specOnly == documented,
-      s"undocumented spec-only queries: ${specOnly -- documented}; " +
-        s"stale documentation: ${documented -- specOnly}")
+    assert(specOnly.isEmpty, s"queries without oracles: $specOnly")
   }
 
   test("oracle SQL texts are non-empty, NUL-free") {

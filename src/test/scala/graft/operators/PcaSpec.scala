@@ -73,7 +73,7 @@ class PcaSpec extends SparkSpec {
   }
 
   test("embed_pca_topk: planted diagonal spectrum is recovered exactly") {
-    val out = graft.SparkEntry.queries("embed_pca_topk")(spark, plantedDir())
+    val out = graft.queries.EmbedQueries.pcaTopkFrame(spark, plantedDir())
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
       .toMap
@@ -97,7 +97,7 @@ class PcaSpec extends SparkSpec {
   }
 
   test("embed_pca_project: planted in-span vectors reconstruct exactly") {
-    val rows = graft.SparkEntry.queries("embed_pca_project")(spark, plantedDir())
+    val rows = graft.queries.EmbedQueries.pcaProjectFrame(spark, plantedDir())
       .collect()
     rows.foreach { r =>
       assert(math.abs(r.getDouble(6)) < 1e-9, s"k4 err for vec ${r.getLong(0)}")
@@ -112,14 +112,14 @@ class PcaSpec extends SparkSpec {
 
   test("embed_pca_project: real data — error shrinks with k, mean pc² is the eigenvalue") {
     val sf = "/root/testdata/sf0.001"
-    val rows = graft.SparkEntry.queries("embed_pca_project")(spark, sf).collect()
+    val rows = graft.queries.EmbedQueries.pcaProjectFrame(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (e4, e8) = (r.getDouble(6), r.getDouble(7))
       assert(e4 >= 0 && e8 >= 0 && e8 <= e4 + 1e-6, s"vec ${r.getLong(0)}: $e8 > $e4")
     }
     // population mean of the first principal coordinate squared = λ₁
-    val lambda1 = graft.SparkEntry.queries("embed_pca_topk")(spark, sf)
+    val lambda1 = graft.queries.EmbedQueries.pcaTopkFrame(spark, sf)
       .collect().find(_.getLong(0) == 1L).get.getDouble(1)
     val meanSq = rows.map(r => math.pow(r.getDouble(2), 2)).sum / rows.length
     assert(math.abs(meanSq - lambda1) < 1e-3 * math.max(1.0, lambda1),
@@ -142,11 +142,29 @@ class PcaSpec extends SparkSpec {
   }
 
   test("embed_whiten_check: whitened covariance is the identity on real data") {
-    val r = graft.SparkEntry.queries("embed_whiten_check")(spark, "/root/testdata/sf0.001")
-      .collect()(0)
-    assert(r.getLong(0) > 0, "no components kept")
-    assert(r.getBoolean(3),
-      s"whitening failed: offdiag ${r.getDouble(1)}, diagerr ${r.getDouble(2)}")
+    val Some((n, kept, off, diag)) =
+      graft.queries.EmbedQueries.whitenDiagnostics(spark, "/root/testdata/sf0.001")
+    assert(n > 0 && kept > 0, "no components kept")
+    assert(off < 1e-6 && diag < 1e-6,
+      s"whitening failed: offdiag $off, diagerr $diag")
+    // the certificate query mirrors the diagnostics
+    val r = graft.SparkEntry.queries("embed_whiten_check")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getLong(0) == n && r.getBoolean(1))
+  }
+
+  test("certificate queries: every invariant boolean is true on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val topk = graft.SparkEntry.queries("embed_pca_topk")(spark, sf).collect()
+    assert(topk.length == 8)
+    topk.foreach { r =>
+      (1 to 6).foreach(i => assert(r.getBoolean(i), s"component ${r.getLong(0)} col $i"))
+    }
+    val proj = graft.SparkEntry.queries("embed_pca_project")(spark, sf).collect()
+    assert(proj.nonEmpty)
+    proj.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), s"vec ${r.getLong(0)}")
+    }
   }
 
   test("embed_covariance: empty embeddings table yields zero rows, not NaN") {

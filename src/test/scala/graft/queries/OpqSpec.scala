@@ -35,20 +35,36 @@ class OpqSpec extends SparkSpec {
   }
 
   test("opq ranking: well-formed rows, recall at least PQ's minus slack") {
-    val opq = graft.SparkEntry.queries("embed_opq_knn")(spark, Sf).collect()
+    val opq = graft.queries.EmbedQueries.opqKnnFrame(spark, Sf).collect()
     assert(opq.nonEmpty)
     opq.foreach { r =>
       assert(r.getDouble(2) >= 0.0, "ADC distance must be non-negative")
       assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L)
     }
-    def meanRecall(q: String): Double = {
-      val rows = graft.SparkEntry.queries(q)(spark, Sf).collect()
+    val ro = {
+      val rows = graft.queries.EmbedQueries.opqRecallFrame(spark, Sf).collect()
       rows.map(_.getDouble(1)).sum / rows.length
     }
-    val (ro, rp) = (meanRecall("embed_opq_recall"), meanRecall("embed_pq_recall"))
+    val rp = {
+      val rows = graft.SparkEntry.queries("embed_pq_recall")(spark, Sf).collect()
+      rows.map(_.getDouble(1)).sum / rows.length
+    }
     // regression guard on this fixture, not a theorem: the PCA rotation
     // has beaten raw PQ on every driver vintage observed (0.25 vs 0.17
     // at sf0.01); allow small-sample slack
     assert(ro >= rp - 0.05, s"opq recall $ro collapsed below pq recall $rp")
+  }
+
+  test("opq certificate queries: every boolean true, neighbor counts exact") {
+    val knn = graft.SparkEntry.queries("embed_opq_knn")(spark, Sf).collect()
+    assert(knn.nonEmpty)
+    knn.foreach { r =>
+      assert(r.getLong(1) == 5L, s"query ${r.getLong(0)}: ${r.getLong(1)} neighbors")
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"query ${r.getLong(0)} certificate failed")
+    }
+    val rec = graft.SparkEntry.queries("embed_opq_recall")(spark, Sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2)))
   }
 }
