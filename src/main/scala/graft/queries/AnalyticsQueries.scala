@@ -276,12 +276,44 @@ object AnalyticsQueries {
         .select(col("l_event_id").as("purchase_id"), col("r_event_id").as("click_id"))
     },
 
+    // PRODUCTION quartile banding — the 100 TB shape: per-priority value
+    // CUTOFFS from a deterministic 10% md5 sample (one slim scan of two
+    // columns), exact interpolated percentiles of the SAMPLE (a few
+    // hundred values per group), broadcast back, and assigned map-side
+    // by comparison. NO per-priority partition sort anywhere, so a
+    // skewed priority can never serialize the corpus; at larger corpora
+    // the sample RATE shrinks to keep the cutoff pass' output bounded
+    // while the assignment path is untouched. A group the sample misses
+    // lands in quartile 4 via null-comparison semantics — identical in
+    // both engines. Exact row-count ntile stays available as
+    // orders_value_quartiles_exact, the banding trade's cross-check.
+    "orders_value_quartiles" -> { (s, dir) =>
+      val o = Graft.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val cuts = o.filter(bucket < 10)
+        .groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.75), lit(0.5), lit(0.25))).as("cs"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("cs"), 1), 6).as("c75"),
+          round(element_at(col("cs"), 2), 6).as("c50"),
+          round(element_at(col("cs"), 3), 6).as("c25"))
+      o.join(broadcast(cuts), Seq("o_orderpriority"), "left")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          when(col("o_totalprice") >= col("c75"), 1L)
+            .when(col("o_totalprice") >= col("c50"), 2L)
+            .when(col("o_totalprice") >= col("c25"), 3L)
+            .otherwise(4L).as("quartile"))
+    },
+
     // Exact within-group quartiles via ntile over a TOTAL order
     // (totalprice + orderkey tiebreak — without it ntile is
     // nondeterministic across engines). Exact ntile needs the per-group
-    // sort; for approximate banding at 100 TB use value_percentiles'
-    // cutoffs as a broadcast filter instead.
-    "orders_value_quartiles" -> { (s, dir) =>
+    // sort — the price of row-count-exact banding; the sampled-cutoff
+    // form above is the primary at scale.
+    "orders_value_quartiles_exact" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Graft.orders(s, dir).select(
@@ -1009,7 +1041,26 @@ object AnalyticsQueries {
         | AND l.event_type = 'purchase' AND r.event_type = 'click'
         | AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
         | AND epoch_us(r.ts) <= epoch_us(l.ts)""".stripMargin,
+    // the md5 draw, the sample percentiles and the banding comparisons
+    // are all deterministic and engine-shared (the sample_stratified /
+    // value_percentiles patterns composed)
     "orders_value_quartiles" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |             AS UBIGINT)::BIGINT % 100 < 10),
+        |c AS (SELECT o_orderpriority,
+        |        round(quantile_cont(o_totalprice, 0.75), 6) AS c75,
+        |        round(quantile_cont(o_totalprice, 0.5), 6) AS c50,
+        |        round(quantile_cont(o_totalprice, 0.25), 6) AS c25
+        |      FROM s GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |  CAST(CASE WHEN o.o_totalprice >= c.c75 THEN 1
+        |            WHEN o.o_totalprice >= c.c50 THEN 2
+        |            WHEN o.o_totalprice >= c.c25 THEN 3
+        |            ELSE 4 END AS BIGINT) AS quartile
+        |FROM orders o LEFT JOIN c USING (o_orderpriority)""".stripMargin,
+    "orders_value_quartiles_exact" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
         |                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)

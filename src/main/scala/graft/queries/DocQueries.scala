@@ -1138,13 +1138,39 @@ object DocQueries {
     // CCNet-style LM-quality BUCKETS (Wenzek et al. 2020): per language,
     // documents split into head/middle/tail terciles by the trigram-LM
     // score — the standard quality-stratified sampling input (train
-    // mostly on head, sample middle, audit tail). Exact ntile over a
-    // TOTAL order (nll + doc_id tiebreak — the orders_value_quartiles
-    // determinism rule). The per-lang sort is the price of EXACT
-    // terciles; at 100 TB the production form broadcasts sampled
-    // percentile cutoffs instead (value_percentiles' pattern) and
-    // assigns map-side.
+    // mostly on head, sample middle, audit tail). PRODUCTION form — the
+    // 100 TB shape: per-language tercile CUTOFFS from a deterministic
+    // 20% md5 sample of the scored frame, exact interpolated
+    // percentiles of the SAMPLE, broadcast back, assigned map-side by
+    // comparison — NO per-language partition sort, so one dominant
+    // language can never serialize the corpus; at larger corpora only
+    // the sample rate shrinks. A language the sample misses lands in
+    // 'tail' via null-comparison semantics — identical in both engines.
+    // Exact row-count terciles stay as lm_quality_buckets_exact.
     "lm_quality_buckets" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = lmScore(d, keepAtMost = 5.36).select("doc_id", "nll")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val cuts = scored.filter(bucket < 20)
+        .groupBy("lang")
+        .agg(percentile(col("nll"), array(lit(1.0 / 3), lit(2.0 / 3))).as("cs"))
+        .select(col("lang"),
+          round(element_at(col("cs"), 1), 6).as("c33"),
+          round(element_at(col("cs"), 2), 6).as("c67"))
+      scored.join(broadcast(cuts), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("nll"),
+          when(col("nll") <= col("c33"), "head")
+            .when(col("nll") <= col("c67"), "middle")
+            .otherwise("tail").as("bucket"))
+    },
+
+    // Exact per-language terciles via ntile over a TOTAL order (nll +
+    // doc_id tiebreak — the orders_value_quartiles determinism rule).
+    // The per-lang sort is the price of row-count-EXACT terciles; the
+    // sampled-cutoff form above is the primary at scale.
+    "lm_quality_buckets_exact" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
@@ -1500,12 +1526,35 @@ object DocQueries {
     // Per-source quality percentile — the normalization that makes ONE
     // global cutoff fair across sources with different quality
     // distributions (a raw threshold keeps the best of a weak feed and
-    // drops the median of a strong one). Exact percent_rank over a
-    // per-source total order (quality, doc_id tie-break — deterministic
-    // both engines); at 100 TB the production form broadcasts sampled
-    // per-source cutoffs instead (the value_percentiles pattern) and
-    // assigns map-side — the lm_quality_buckets trade, documented there.
+    // drops the median of a strong one). PRODUCTION form — the 100 TB
+    // shape: a deterministic 20% md5 sample per source builds a sorted
+    // score list (the broadcast ECDF), and every doc's percentile is the
+    // map-side fraction of sample scores strictly below its own — NO
+    // per-source partition sort, so one dominant source can never
+    // serialize the corpus; at larger corpora only the sample rate
+    // shrinks (a served ECDF binary-searches the sorted list). A source
+    // the sample misses reports the uninformative 0.5 in both engines.
+    // Exact percent_rank stays as quality_percentile_by_source_exact.
     "quality_percentile_by_source" -> { (s, dir) =>
+      val q = queries("text_quality")(s, dir).select("doc_id", "quality_score")
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val samples = q.filter(bucket < 20)
+        .groupBy("source")
+        .agg(array_sort(collect_list(col("quality_score"))).as("qs"))
+      q.join(broadcast(samples), Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          coalesce(
+            round(size(filter(col("qs"), e => e < col("quality_score")))
+              .cast("double") / size(col("qs")), 6),
+            lit(0.5)).as("approx_pct_rank"))
+    },
+
+    // Exact percent_rank over a per-source total order (quality, doc_id
+    // tie-break — deterministic both engines) — the price of exact
+    // ranks; the sampled-ECDF form above is the primary at scale.
+    "quality_percentile_by_source_exact" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("source")
         .orderBy(col("quality_score"), col("doc_id"))
@@ -2497,7 +2546,24 @@ object DocQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
          |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // sampled-ECDF form: md5 draw, strict-< count over the same sample
+    // list, same 0.5 fallback — deterministic and engine-shared
     "quality_percentile_by_source" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |          AS quality_score
+         |      FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents)),
+         |smp AS (SELECT source, list(quality_score ORDER BY quality_score) AS qs
+         |        FROM q
+         |        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |                   AS UBIGINT)::BIGINT % 100 < 20
+         |        GROUP BY 1)
+         |SELECT q.doc_id, q.source, q.quality_score,
+         |  coalesce(round(CAST(len(list_filter(s.qs, x -> x < q.quality_score))
+         |                      AS DOUBLE) / len(s.qs), 6), 0.5) AS approx_pct_rank
+         |FROM q LEFT JOIN smp s USING (source)""".stripMargin,
+    "quality_percentile_by_source_exact" ->
       s"""WITH q AS (SELECT doc_id, source,
          |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
          |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
@@ -3337,7 +3403,26 @@ object DocQueries {
          |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
          |       (round(-slog / n_grams, 6) <= 5.36) AS keep
          |FROM sc""".stripMargin,
+    // sampled-cutoff form: the md5 draw, sample percentiles and banding
+    // comparisons are deterministic and engine-shared
     "lm_quality_buckets" ->
+      s"""WITH $SqlLmCtes,
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |j AS (SELECT s.doc_id, d2.lang, s.nll
+         |      FROM sc2 s JOIN documents d2 USING (doc_id)),
+         |smp AS (SELECT lang, nll FROM j
+         |        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |                   AS UBIGINT)::BIGINT % 100 < 20),
+         |cut AS (SELECT lang,
+         |        round(quantile_cont(nll, 1.0/3), 6) AS c33,
+         |        round(quantile_cont(nll, 2.0/3), 6) AS c67
+         |      FROM smp GROUP BY 1)
+         |SELECT j.doc_id, j.lang, j.nll,
+         |  CASE WHEN j.nll <= cut.c33 THEN 'head'
+         |       WHEN j.nll <= cut.c67 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM j LEFT JOIN cut USING (lang)""".stripMargin,
+    "lm_quality_buckets_exact" ->
       s"""WITH $SqlLmCtes,
          |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
          |j AS (SELECT s.doc_id, d2.lang, s.nll,

@@ -112,8 +112,8 @@ class CorpusHealthSpec extends SparkSpec {
 
   // --- quality_percentile_by_source ------------------------------------
 
-  test("quality_percentile_by_source: ranks span [0,1] per source, monotone in score") {
-    val rows = graft.SparkEntry.queries("quality_percentile_by_source")(
+  test("quality_percentile_by_source_exact: ranks span [0,1] per source, monotone in score") {
+    val rows = graft.SparkEntry.queries("quality_percentile_by_source_exact")(
       spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
     rows.groupBy(_._1).foreach { case (src, rs) =>

@@ -106,8 +106,8 @@ class GraphMixSpec extends SparkSpec {
 
   // --- lm_quality_buckets ---------------------------------------------
 
-  test("lm_quality_buckets: per-lang terciles ordered by nll, sizes within 1") {
-    val rows = graft.SparkEntry.queries("lm_quality_buckets")(spark, Sf)
+  test("lm_quality_buckets_exact: per-lang terciles ordered by nll, sizes within 1") {
+    val rows = graft.SparkEntry.queries("lm_quality_buckets_exact")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
     // every scored doc appears exactly once
     val scored = graft.SparkEntry.queries("text_lm_score")(spark, Sf)
