@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: run Verify's parquet output
 against the DuckDB oracle SQL and diff (columns sorted by name, rows sorted,
-floats compared to 1e-9 relative).
+floats compared EXACTLY, bit-for-bit — the driver hashes exact values, so a
+tolerance here hides real gate failures; the r7 embed_covariance red row was
+a -0.0 vs +0.0 sign mismatch this mirror's old 1e-9 tolerance waved through
+for two rounds).
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 """
-import sys, json, math
+import sys, json, math, struct
 import duckdb
 import pandas as pd
 
@@ -29,7 +32,8 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # bitwise: distinguishes -0.0 from +0.0 exactly like the driver hash
+        return struct.pack("<d", fa) == struct.pack("<d", fb)
     return a == b
 
 

@@ -1104,7 +1104,7 @@ object AnalyticsQueries {
         |  round((n - CAST(sn AS DOUBLE) / n_days)
         |        / sqrt(CAST(sq AS DOUBLE) / n_days
         |               - (CAST(sn AS DOUBLE) / n_days) * (CAST(sn AS DOUBLE) / n_days)),
-        |        6) AS z,
+        |        6) + 0.0 AS z,
         |  abs(round((n - CAST(sn AS DOUBLE) / n_days)
         |            / sqrt(CAST(sq AS DOUBLE) / n_days
         |                   - (CAST(sn AS DOUBLE) / n_days) * (CAST(sn AS DOUBLE) / n_days)),

@@ -2592,7 +2592,7 @@ object DocQueries {
          |        FROM bg GROUP BY 1, 2),
          |nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM big)
          |SELECT w1, w2, n_pair,
-         |  round(ln(CAST(n_pair AS DOUBLE) / nb * (nu / c1) * (nu / c2)), 6) AS pmi
+         |  round(ln(CAST(n_pair AS DOUBLE) / nb * (nu / c1) * (nu / c2)), 6) + 0.0 AS pmi
          |FROM big
          |JOIN (SELECT w AS w1, cw AS c1 FROM uni) u1 USING (w1)
          |JOIN (SELECT w AS w2, cw AS c2 FROM uni) u2 USING (w2)
@@ -2661,9 +2661,9 @@ object DocQueries {
          |        FROM wc ORDER BY cnt DESC, w LIMIT 1000)
          |SELECT CAST(count(*) AS BIGINT) AS n_words,
          |  round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
-         |    AS zipf_slope,
+         |    + 0.0 AS zipf_slope,
          |  round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
-         |    AS zipf_intercept,
+         |    + 0.0 AS zipf_intercept,
          |  round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2
          |FROM top""".stripMargin,
     "boilerplate_per_source" ->
@@ -2724,7 +2724,7 @@ object DocQueries {
          |        LEFT JOIN nd USING (threshold)""".stripMargin,
     "nll_by_length" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
          |lens AS (SELECT doc_id, len($SqlToks) AS n FROM documents),
          |j AS (SELECT CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_lo, nll
          |      FROM sc2 JOIN lens USING (doc_id) WHERE n >= 1)
@@ -2734,13 +2734,13 @@ object DocQueries {
          |FROM j GROUP BY bucket_lo""".stripMargin,
     "quality_lm_correlation" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
          |q AS (SELECT doc_id,
          |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
          |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
          |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents))
          |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(corr(q.qs, sc2.nll), 6) AS quality_nll_corr
+         |  round(corr(q.qs, sc2.nll), 6) + 0.0 AS quality_nll_corr
          |FROM sc2 JOIN q USING (doc_id) JOIN documents d2 USING (doc_id)
          |GROUP BY d2.source""".stripMargin,
     "quality_threshold_sweep" ->
@@ -2805,7 +2805,7 @@ object DocQueries {
          |SELECT source,
          |  round(sum((CAST(c AS DOUBLE) / n_src) *
          |            ln((CAST(c AS DOUBLE) / n_src) / (CAST(cw AS DOUBLE) / n_all))), 6)
-         |    AS kl_unigram,
+         |    + 0.0 AS kl_unigram,
          |  CAST(max(n_src) AS BIGINT) AS n_tokens
          |FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
          |GROUP BY source""".stripMargin,
@@ -3034,7 +3034,7 @@ object DocQueries {
         |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
         |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
         |  CAST(max(abs(v)) AS INT) AS peak,
-        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean
+        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) + 0.0 AS mean
         |FROM x GROUP BY doc_id""".stripMargin,
     // 8000 → 4000 Hz nearest-neighbor decimation keeps source frames
     // floor(i·8000/4000) = 0,2,4,6 — text positions 1,3,5,7
@@ -3048,7 +3048,7 @@ object DocQueries {
         |  CAST(1 AS INT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
         |  round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
         |  CAST(max(abs(v)) AS INT) AS peak,
-        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean
+        |  round(sum(CAST(v AS DOUBLE)) / count(*), 6) + 0.0 AS mean
         |FROM x GROUP BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
@@ -3400,14 +3400,14 @@ object DocQueries {
     // corpus — the text_rolling_fingerprint precedent)
     "text_lm_score" ->
       s"""WITH $SqlLmCtes
-         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) AS nll,
+         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) + 0.0 AS nll,
          |       (round(-slog / n_grams, 6) <= 5.36) AS keep
          |FROM sc""".stripMargin,
     // sampled-cutoff form: the md5 draw, sample percentiles and banding
     // comparisons are deterministic and engine-shared
     "lm_quality_buckets" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
          |j AS (SELECT s.doc_id, d2.lang, s.nll
          |      FROM sc2 s JOIN documents d2 USING (doc_id)),
          |smp AS (SELECT lang, nll FROM j
@@ -3424,7 +3424,7 @@ object DocQueries {
          |FROM j LEFT JOIN cut USING (lang)""".stripMargin,
     "lm_quality_buckets_exact" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
          |j AS (SELECT s.doc_id, d2.lang, s.nll,
          |        ntile(3) OVER (PARTITION BY d2.lang
          |                       ORDER BY s.nll, s.doc_id) AS b3
@@ -3454,8 +3454,8 @@ object DocQueries {
          |             ln(CAST(cnt AS DOUBLE)) AS ly
          |      FROM r WHERE rnk <= 100)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
-         |       round(regr_slope(ly, lx), 6) AS zipf_slope,
-         |       round(regr_intercept(ly, lx), 6) AS zipf_intercept
+         |       round(regr_slope(ly, lx), 6) + 0.0 AS zipf_slope,
+         |       round(regr_intercept(ly, lx), 6) + 0.0 AS zipf_intercept
          |FROM t GROUP BY source""".stripMargin,
     "lexical_diversity" ->
       s"""WITH d AS (SELECT source, $SqlToks AS tk FROM documents)
@@ -3586,7 +3586,7 @@ object DocQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(bo) AS BIGINT) AS n_backoff,
          |  round(CAST(sum(CAST(ls AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
-         |    AS avg_logscore
+         |    + 0.0 AS avg_logscore
          |FROM sc GROUP BY doc_id""".stripMargin,
     "curriculum_order" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),

@@ -456,23 +456,20 @@ object EmbedQueries {
     },
 
     // Rotated-PQ ranking QUALITY certificate: per-query recall@k vs exact
-    // brute force is in [0,1], and the MEAN rotated recall does not
-    // collapse below raw PQ's mean (slack 0.05 — small-sample noise; the
-    // PCA rotation has beaten raw PQ on every driver vintage observed,
-    // 0.25 vs 0.17 at sf0.01). The recall VALUES aren't SQL-expressible
-    // (they depend on the rotation), so the oracle recomputes the
-    // booleans as constants; the raw per-query recalls stay spec-checked
-    // via [[opqRecallFrame]].
+    // brute force is in [0,1]. STRUCTURAL invariants only — the oracle
+    // recomputes the boolean as a constant (the recall VALUES depend on
+    // the rotation and aren't SQL-expressible). The mean-recall-vs-raw-PQ
+    // comparison is a data-dependent statistical claim, NOT a theorem
+    // (a corpus where the PCA rotation legitimately underperforms would
+    // hash-fail with both engines correct), so it lives in OpqSpec as a
+    // fixture regression guard; raw per-query recalls stay spec-checked
+    // via [[opqRecallFrame]]. Single evaluation — no means crossJoin, so
+    // the brute-force kNN join under the frame runs once.
     "embed_opq_recall" -> { (s, dir) =>
-      val ro = opqRecallFrame(s, dir)
-      val rp = recallVsBrute("embed_pq_knn")(s, dir)
-      val means = ro.agg(avg("recall_at_k").as("mo"))
-        .crossJoin(rp.agg(avg("recall_at_k").as("mp")))
-      ro.crossJoin(broadcast(means))
+      opqRecallFrame(s, dir)
         .select(col("query_id"),
           (col("recall_at_k") >= 0.0 && col("recall_at_k") <= 1.0)
-            .as("recall_in_range"),
-          (col("mo") >= col("mp") - lit(0.05)).as("not_worse_than_pq"))
+            .as("recall_in_range"))
     },
 
     // IVF-PQ — the full production ANN serving composition (coarse cell
@@ -924,16 +921,22 @@ object EmbedQueries {
         case Some((m, _, _, vecs)) =>
           val mu   = graft.functions.VectorMomentsAgg.mean(m, d).toSeq
           val vall = vecs.map(_.toSeq).toSeq
-          val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-          val mumu = mu.map(x => x * x).sum
-          val withY = withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
-            (col("nrm") * col("nrm")).as("xx"),
-            mat_vec(col("v"), vall :+ mu).as("vx"))
-          // y_c = (Vx)_c − (Vμ)_c ; ‖x−μ‖² = x·x − 2·x·μ + μ·μ
-          val cn2 = col("xx") - lit(2.0) * element_at(col("vx"), d + 1) + lit(mumu)
+          // Center FIRST (z = x − μ elementwise — exact-ish per Sterbenz,
+          // no O(‖x‖²) cancellation), then rotate the centered vector:
+          // y = V·z and ‖z‖² are both O(eps·d) relative error regardless
+          // of |μ|, so the 1e-6 tolerance holds even on a |μ|≫σ corpus
+          // (the uncentered x·x − 2x·μ + μ·μ form lost the certificate
+          // to eps·‖x‖² cancellation exactly there).
+          val muArr = array(mu.map(lit): _*)
+          val withZ = withNorm(emb(s, dir)).select(col("vec_id"), col("label"),
+            zip_with(col("v"), muArr, (a, b) => a - b).as("z"))
+          val withY = withZ.select(col("vec_id"), col("label"),
+            aggregate(col("z"), lit(0.0), (acc, e) => acc + e * e).as("cn2"),
+            mat_vec(col("z"), vall).as("y"))
+          val cn2 = col("cn2")
           def esum(k: Int) = (0 until k)
             .map(c => {
-              val y = element_at(col("vx"), c + 1) - lit(vmu(c))
+              val y = element_at(col("y"), c + 1)
               y * y
             })
             .reduce(_ + _)
@@ -1135,7 +1138,7 @@ object EmbedQueries {
       s"""WITH $SqlNorm,
          |p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1153,7 +1156,7 @@ object EmbedQueries {
       s"""WITH $SqlNorm,
          |p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1163,14 +1166,14 @@ object EmbedQueries {
     "embed_neardup_cosine" ->
       s"""WITH $SqlNorm
          |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
     "embed_knn_graph" ->
       s"""WITH $SqlNorm,
          |p AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
-         |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
          |  FROM n a JOIN n b ON a.label = b.label AND b.vec_id <> a.vec_id),
          |g AS (
          |  SELECT vec_id, nbr_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
@@ -1186,7 +1189,7 @@ object EmbedQueries {
          |b AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $DecontamMod = 0),
          |p AS (
          |  SELECT c.vec_id, b.vec_id AS bench_id,
-         |         round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6) + 0.0 AS cosine
          |  FROM n c JOIN b ON c.vec_id % $DecontamMod <> 0)
          |SELECT vec_id, bench_id, cosine,
          |       (cosine >= $DecontamThresh) AS contaminated, CAST(rnk AS BIGINT) AS rank
@@ -1203,7 +1206,7 @@ object EmbedQueries {
         |             var_pop(CAST(x AS DOUBLE)) AS vr
         |      FROM d GROUP BY pos),
         |t AS (SELECT sum(vr) AS tv FROM v)
-        |SELECT CAST(pos AS BIGINT) AS pos, round(mean, 6) AS mean,
+        |SELECT CAST(pos AS BIGINT) AS pos, round(mean, 6) + 0.0 AS mean,
         |       round(vr, 6) AS variance, round(vr / tv, 6) AS var_share
         |FROM v, t""".stripMargin,
     "embed_label_confusion" ->
@@ -1234,12 +1237,17 @@ object EmbedQueries {
     // covar_pop over the per-(vec, dim) expansion reproduces the engine's
     // sufficient-statistics covariance (Σxy/n − mean product) in double
     // math on identically float→double-widened inputs
+    // `+ 0.0` normalizes IEEE signed zero: DuckDB's round() preserves the
+    // zero's sign (round(-1e-9, 6) → -0.0) while the engine's BigDecimal
+    // HALF_UP path cannot represent -0.0 and emits +0.0; without the
+    // normalization a true covariance of ≈ -1e-9 hash-mismatches on sign
+    // alone (r7 forensics: the only red row in the suite)
     "embed_covariance" ->
       """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |                  unnest(generate_series(0, len(embedding) - 1)) AS i
         |           FROM embeddings)
         |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-        |  round(covar_pop(a.v, b.v), 6) AS cov
+        |  round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
     // hyperplane components are exact dyadic rationals from integer
@@ -1288,7 +1296,7 @@ object EmbedQueries {
          |           FROM ranked r JOIN lv ON r.crank <= lv.p),
          |scored AS (
          |  SELECT a.p, a.query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) + 0.0 AS cosine
          |  FROM probed a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id),
          |topk AS (
          |  SELECT p, query_id, neighbor_id FROM (
@@ -1302,7 +1310,7 @@ object EmbedQueries {
          |           row_number() OVER (PARTITION BY p2.query_id
          |                              ORDER BY p2.cosine DESC, p2.neighbor_id) AS rnk
          |    FROM (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |                 round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |                 round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |          FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id) p2)
          |  WHERE rnk <= $K)
          |SELECT CAST(lv.p AS BIGINT) AS n_probe,
@@ -1318,7 +1326,7 @@ object EmbedQueries {
       s"""WITH $SqlNorm,
          |bp AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |brute AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -1346,7 +1354,7 @@ object EmbedQueries {
          |  WHERE crank = 1),
          |scored AS (
          |  SELECT a.query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) + 0.0 AS cosine
          |  FROM assign a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id),
          |ivf AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -1452,7 +1460,7 @@ object EmbedQueries {
       s"""WITH $SqlPqCtes,
          |nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |       FROM nb q JOIN nb b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |brute AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1477,7 +1485,7 @@ object EmbedQueries {
     "embed_sq8_knn" ->
       s"""WITH $SqlSq8,
          |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |        round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) AS qcos
+         |        round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) + 0.0 AS qcos
          |      FROM cn q JOIN cn b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
          |SELECT query_id, neighbor_id, qcos, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1491,14 +1499,14 @@ object EmbedQueries {
          |       FROM embeddings),
          |nb AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
          |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |       FROM nb q JOIN nb b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |brute AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
          |    FROM bp) WHERE rnk <= $K),
          |qp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) AS qcos
+         |         round(list_dot_product(q.cq, b.cq) / (q.nrm * b.nrm), 6) + 0.0 AS qcos
          |       FROM cn q JOIN cn b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |sq AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1515,7 +1523,7 @@ object EmbedQueries {
          |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
          |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
          |p AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |        round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |        round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) + 0.0 AS mcos
          |      FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
          |SELECT query_id, neighbor_id, mcos, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1525,7 +1533,7 @@ object EmbedQueries {
     "embed_matryoshka_recall" ->
       s"""WITH $SqlNorm,
          |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |       FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |brute AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1534,7 +1542,7 @@ object EmbedQueries {
          |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
          |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
          |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) + 0.0 AS mcos
          |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |mr AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1556,7 +1564,7 @@ object EmbedQueries {
          |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
          |cn2 AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents)
          |SELECT n.vec_id, n.label,
-         |  round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS cos_centroid
+         |  round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) + 0.0 AS cos_centroid
          |FROM n JOIN cn2 c ON c.label = n.label
          |WHERE round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) < 0.5""".stripMargin,
     "embed_cluster_quality" ->
@@ -1569,11 +1577,11 @@ object EmbedQueries {
          |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM cl GROUP BY label),
          |cn2 AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents),
          |sc AS (SELECT n.label AS label,
-         |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS cos
+         |         round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) + 0.0 AS cos
          |       FROM n JOIN cn2 c ON c.label = n.label)
          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |  round(CAST(sum(CAST(cos AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
-         |    AS mean_cos,
+         |    + 0.0 AS mean_cos,
          |  min(cos) AS min_cos
          |FROM sc GROUP BY label""".stripMargin,
     "embed_mrl_rerank_knn" ->
@@ -1581,14 +1589,14 @@ object EmbedQueries {
          |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
          |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
          |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) + 0.0 AS mcos
          |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |sl AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY mcos DESC, neighbor_id) AS rnk
          |    FROM mp) WHERE rnk <= $RerankPool),
          |rs AS (SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |       FROM sl s JOIN n q ON q.vec_id = s.query_id
          |                 JOIN n b ON b.vec_id = s.neighbor_id)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
@@ -1599,7 +1607,7 @@ object EmbedQueries {
     "embed_mrl_rerank_recall" ->
       s"""WITH $SqlNorm,
          |bp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS cosine
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS cosine
          |       FROM n q JOIN n b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |brute AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1608,14 +1616,14 @@ object EmbedQueries {
          |tn AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS tv FROM e),
          |tt AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS tn FROM tn),
          |mp AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) AS mcos
+         |         round(list_dot_product(q.tv, b.tv) / (q.tn * b.tn), 6) + 0.0 AS mcos
          |       FROM tt q JOIN tt b ON q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
          |sl AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY mcos DESC, neighbor_id) AS rnk
          |    FROM mp) WHERE rnk <= $RerankPool),
          |rs AS (SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) AS fcos
+         |         round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 6) + 0.0 AS fcos
          |       FROM sl s JOIN n q ON q.vec_id = s.query_id
          |                 JOIN n b ON b.vec_id = s.neighbor_id),
          |rr AS (SELECT query_id, neighbor_id FROM (
@@ -1634,12 +1642,12 @@ object EmbedQueries {
     // the oracle recomputes the row grid and the constants; any engine
     // row where an invariant fails hash-mismatches the gate.
     "embed_pca_topk" ->
-      """SELECT CAST(c AS BIGINT) AS component,
-        |  TRUE AS ev_nonneg, TRUE AS ev_desc, TRUE AS resid_ok,
-        |  TRUE AS cum_le_trace, TRUE AS sum_ev_eq_trace,
-        |  TRUE AS basis_orthonormal
-        |FROM generate_series(1, 8) t(c)
-        |WHERE (SELECT count(*) FROM embeddings) > 0""".stripMargin,
+      s"""SELECT CAST(c AS BIGINT) AS component,
+         |  TRUE AS ev_nonneg, TRUE AS ev_desc, TRUE AS resid_ok,
+         |  TRUE AS cum_le_trace, TRUE AS sum_ev_eq_trace,
+         |  TRUE AS basis_orthonormal
+         |FROM generate_series(1, $PcaK) t(c)
+         |WHERE (SELECT count(*) FROM embeddings) > 0""".stripMargin,
     "embed_pca_project" ->
       """SELECT vec_id, label,
         |  TRUE AS energy_full_ok, TRUE AS energy_topk_ok
@@ -1658,7 +1666,7 @@ object EmbedQueries {
     // groups brute rows, so a single-vector corpus emits no recall rows)
     "embed_opq_recall" ->
       s"""SELECT vec_id AS query_id,
-         |  TRUE AS recall_in_range, TRUE AS not_worse_than_pq
+         |  TRUE AS recall_in_range
          |FROM embeddings
          |WHERE vec_id < $NumQueries
          |  AND (SELECT count(*) FROM embeddings) > 1""".stripMargin
@@ -1773,7 +1781,7 @@ object EmbedQueries {
        |rpp AS (
        |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
        |    FROM sb a JOIN sb b
        |      ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
        |  WHERE cosine >= 0.3)""".stripMargin
@@ -1801,7 +1809,7 @@ object EmbedQueries {
          |  WHERE crank = 1),
          |scored AS (
          |  SELECT a.query_id, CAST(a.cell AS INT) AS cell, b.vec_id AS neighbor_id,
-         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) AS cosine
+         |         round(list_dot_product(a.qv, b.v) / (a.qn * b.nrm), 6) + 0.0 AS cosine
          |  FROM assign a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
          |SELECT query_id, cell, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -202,6 +202,28 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(mhat(i) - mu(i)) < 1e-9, s"mean($i) ${mhat(i)} vs ${mu(i)}")
   }
 
+  test("embed_pca_project: |μ|≫σ corpus — energy certificate survives the cancellation regime") {
+    // μ=10³ per dim, σ=10⁻¹ (float32-representable: eps(10³)≈6e-5 ≪ σ).
+    // The retired uncentered form computed ‖x−μ‖² as x·x − 2x·μ + μ·μ with
+    // ‖x‖² ≈ 64·10⁶, so its eps·‖x‖² cancellation error rivaled the whole
+    // 1e-6·cn2 tolerance and could flip energy_full_ok with no engine bug;
+    // the center-first form keeps every term at σ scale.
+    val d   = 64
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 50L).map { id =>
+      (id, Array.fill(d)((1e3 + (rng.nextDouble() - 0.5) * 0.2).toFloat), (id % 3).toInt)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pcashift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val proj = graft.SparkEntry.queries("embed_pca_project")(spark, tmp).collect()
+    assert(proj.length == 50)
+    proj.foreach { r =>
+      assert(r.getBoolean(2), s"energy_full_ok flipped for vec ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"energy_topk_ok flipped for vec ${r.getLong(0)}")
+    }
+  }
+
   test("vector_moments: a null vector element fails fast instead of counting as 0") {
     import graft.functions.VectorMomentsAgg.vector_moments
     val df = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f)))

