@@ -174,8 +174,10 @@ object WriterModules {
     val id = "ev44"
     /** Observability of the last batch's cue resolution (test hook): how
       * many candidate rows the driver collected (bounded ≈
-      * batchEvents/interval) and how many per-link fallback jobs the
-      * proof-of-first-crossing had to issue (0 in the common case).
+      * batchEvents/interval) and how many superset MISSES the
+      * proof-of-first-crossing hit (0 in the common case). All misses
+      * are resolved together by ONE batched walk job — the count keeps
+      * its meaning but no longer prices a Spark job per link.
       */
     private[graft] var lastCueCandidates: Int = 0
     private[graft] var lastCueFallbacks: Int  = 0
@@ -281,13 +283,43 @@ object WriterModules {
           last = r.getAs[Long]("ea") - 1
           i += 1
         } else if (maxEa > last + interval) {
-          // superset miss: the true first crossing is a non-candidate
-          Ev44.lastCueFallbacks += 1
-          val r = proj.filter(col("ea") > last + interval)
-            .orderBy("row").limit(1).collect().head
-          hits += ((r.getAs[Long]("ea") - 1, r.getAs[Long]("ea") - 1,
-            r.getAs[Long]("cue_ts")))
-          last = r.getAs[Long]("ea") - 1
+          // superset miss: the true first crossing is a non-candidate.
+          // Finish the ENTIRE remaining chain in ONE job instead of one
+          // filtered limit(1) job per missed link: stream the slim
+          // (row, ea, cue_ts) projection past the current threshold
+          // through a single sorted partition and run the greedy
+          // recurrence (ev44_Writer.cpp:127-134 — inherently sequential)
+          // there. A message with ea ≤ last+interval can never fire later
+          // (thresholds only grow), so the filtered stream is sufficient;
+          // output is one slim row per cue, bounded by batchEvents /
+          // interval ≤ MaxCueCandidates — the same clamp that bounds the
+          // candidate collect. Cost: one scan total, vs one scan PER
+          // missed link before.
+          val (l0, iv) = (last, interval)
+          val session0 = df.sparkSession
+          import session0.implicits._
+          val walked = proj
+            .filter(col("ea") > l0 + iv)
+            .select(col("row"), col("ea"), col("cue_ts"))
+            .as[(Long, Long, Long)]
+            .coalesce(1)
+            .sortWithinPartitions("row")
+            .mapPartitions { it =>
+              var l = l0
+              it.flatMap { case (row, ea, ts) =>
+                if (ea > l + iv) { l = ea - 1; Iterator.single((row, ea, ts)) }
+                else Iterator.empty
+              }
+            }
+            .collect()
+          // the metric keeps its meaning — number of superset misses —
+          // they just no longer cost a job each: a TRUE crossing that IS
+          // a candidate is always provable (its ea_prev ≤ last+interval
+          // by firstness), so the misses are exactly the non-candidates
+          val candRows = cand.iterator.map(_.getAs[Long]("row")).toSet
+          Ev44.lastCueFallbacks += walked.count(w => !candRows.contains(w._1))
+          walked.foreach { case (_, ea, ts) => hits += ((ea - 1, ea - 1, ts)) }
+          done = true
         } else done = true
       }
       val session = df.sparkSession

@@ -195,6 +195,49 @@ class Ev44ModuleSpec extends SparkSpec {
     } finally Ev44.MaxCueCandidates = saved
   }
 
+  test("consecutive superset misses resolve in ONE batched walk job, not one per link") {
+    // interval 10, sizes tuned so three consecutive crossings never land
+    // on the fixed grid from L0: eas 15, 23, 26, 33, 36, 43, 46 → greedy
+    // fires at 15 (on-grid candidate, anchor 14), then 26 (25div10 =
+    // 22div10 → non-candidate MISS, anchor 25), 36 (35div10 = 32div10 →
+    // MISS), 46 (45div10 = 42div10 → MISS). The old path priced one
+    // filtered limit(1) job per miss; the batched walk resolves all
+    // three in a single job.
+    val sc = spark.sparkContext
+    def countJobs(sizes: Seq[Int]): (Seq[Long], Int, Int) = {
+      val df = sizes.zipWithIndex.map { case (n, i) =>
+        msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to n).toSeq)
+      }.toDF()
+      val group = s"ev44-fallback-${System.nanoTime()}"
+      sc.setJobGroup(group, "cue fallback job count", interruptOnCancel = false)
+      val cue =
+        try Ev44.tables(df, cfg(10))("cue").orderBy("cue_index").collect()
+        finally sc.clearJobGroup()
+      // listener-bus data is async — poll until the job count stabilizes
+      var jobs = -1
+      var same = 0
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (same < 3 && System.nanoTime() < deadline) {
+        val n = sc.statusTracker.getJobIdsForGroup(group).length
+        if (n == jobs) same += 1 else { jobs = n; same = 0 }
+        Thread.sleep(100)
+      }
+      (cue.map(_.getAs[Long]("cue_index")).toSeq, Ev44.lastCueFallbacks, jobs)
+    }
+    val (cues3, miss3, jobs3) = countJobs(Seq(15, 8, 3, 7, 3, 7, 3))
+    assert(cues3 == Seq(14L, 25L, 35L, 45L))
+    assert(miss3 == 3, s"expected 3 misses, got $miss3")
+    // doubling the consecutive misses must NOT add jobs: the fixed
+    // pipeline (indexed stats, maxEa agg, candidate collect, ONE batched
+    // walk, + range-partition sampling) is miss-count-independent; the
+    // old per-link shape priced ≥ 1 extra job per additional miss
+    val (cues6, miss6, jobs6) = countJobs(Seq(15, 8, 3, 7, 3, 7, 3, 7, 3, 7, 3, 7, 3))
+    assert(cues6 == Seq(14L, 25L, 35L, 45L, 55L, 65L, 75L))
+    assert(miss6 == 6, s"expected 6 misses, got $miss6")
+    assert(jobs6 == jobs3,
+      s"job count grew with miss count ($jobs3 → $jobs6) — fallback not batched")
+  }
+
   test("sane intervals are untouched by the scale guard") {
     val df = (0 until 5).map(i =>
       msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
