@@ -27,6 +27,45 @@ class KafkaReadinessSpec extends SparkSpec {
     assert(opts("maxOffsetsPerTrigger").toLong > 0)
   }
 
+  test("every emitted option name is on the connector's documented surface") {
+    // the connector silently IGNORES unknown options (no typo safety at
+    // runtime), so the names are pinned here against the public
+    // Structured Streaming + Kafka Integration Guide option list; the
+    // kafka.-prefixed passthroughs must be real Kafka ConsumerConfig keys
+    val documented = Set(
+      "assign", "subscribe", "subscribePattern",
+      "startingTimestamp", "startingOffsetsByTimestamp", "startingOffsets",
+      "endingTimestamp", "endingOffsetsByTimestamp", "endingOffsets",
+      "startingOffsetsByTimestampStrategy",
+      "failOnDataLoss", "kafkaConsumer.pollTimeoutMs",
+      "fetchOffset.numRetries", "fetchOffset.retryIntervalMs",
+      "maxOffsetsPerTrigger", "minOffsetsPerTrigger", "maxTriggerDelay",
+      "minPartitions", "groupIdPrefix", "includeHeaders")
+    val consumerConfigs = Set( // kafka.<key> passthrough surface we use
+      "bootstrap.servers", "fetch.max.bytes", "max.partition.fetch.bytes")
+    val opts = StreamingJob.kafkaSourceOptions(
+      "b:9092", Seq("t1"), startMs = 1700000000000L)
+    opts.keys.foreach { k =>
+      if (k.startsWith("kafka."))
+        assert(consumerConfigs.contains(k.stripPrefix("kafka.")),
+          s"unpinned kafka.* passthrough: $k")
+      else
+        assert(documented.contains(k), s"not a documented source option: $k")
+    }
+    // exactly one subscription mode (the connector rejects 0 or 2+)
+    assert(Seq("assign", "subscribe", "subscribePattern")
+      .count(opts.contains) == 1)
+    // the timestamp seek map must be JSON the connector can parse:
+    // {topic: {partition: ts}} with string keys and integer timestamps
+    val parsed = org.json4s.jackson.JsonMethods
+      .parse(opts("startingOffsetsByTimestamp"))
+    val byTopic = parsed.asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(byTopic.keySet == Set("t1"))
+    val parts = byTopic("t1").asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(parts.keySet == Set("-1")) // -1 = all partitions of the topic
+    assert(parts("-1") == org.json4s.JInt(1699999990000L))
+  }
+
   test("live wire path (self-enabling: needs connector jars + broker)") {
     val connectorPresent =
       try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
