@@ -978,7 +978,7 @@ object AnalyticsQueries {
         |      FROM e)
         |SELECT prev_type, event_type AS next_type,
         |  CAST(count(*) AS BIGINT) AS n_transitions,
-        |  round(avg(CAST(gap_us AS DOUBLE) / 1000000.0), 6) AS avg_gap_sec
+        |  round(avg(CAST(gap_us AS DOUBLE) / 1000000.0), 6) + 0.0 AS avg_gap_sec
         |FROM l WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
         |GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
@@ -1351,9 +1351,9 @@ object AnalyticsQueries {
         |GROUP BY event_type""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90,
-        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+        |  round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+        |  round(quantile_cont(value, 0.99), 6) + 0.0 AS p99
         |FROM events GROUP BY event_type""".stripMargin,
     "value_percentiles_sketch" ->
       """SELECT event_type, CAST(count(value) AS BIGINT) AS n,

@@ -2629,7 +2629,7 @@ object DocQueries {
          |  FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents)),
          |k AS (SELECT doc_id, source, w,
          |    round(ln((CAST(CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#wrs')), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
-         |             / 4294967296.0) / w, 6) AS wkey
+         |             / 4294967296.0) / w, 6) + 0.0 AS wkey
          |  FROM q),
          |r AS (SELECT *, row_number() OVER (PARTITION BY source
          |                                   ORDER BY wkey DESC, doc_id) AS rnk
@@ -2753,7 +2753,7 @@ object DocQueries {
          |      FROM sc2 JOIN lens USING (doc_id) WHERE n >= 1)
          |SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
          |  round(CAST(sum(CAST(nll AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
-         |    AS mean_nll
+         |    + 0.0 AS mean_nll
          |FROM j GROUP BY bucket_lo""".stripMargin,
     "quality_lm_correlation" ->
       s"""WITH $SqlLmCtes,
@@ -3437,8 +3437,8 @@ object DocQueries {
          |        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |                   AS UBIGINT)::BIGINT % 100 < 20),
          |cut AS (SELECT lang,
-         |        round(quantile_cont(nll, 1.0/3), 6) AS c33,
-         |        round(quantile_cont(nll, 2.0/3), 6) AS c67
+         |        round(quantile_cont(nll, 1.0/3), 6) + 0.0 AS c33,
+         |        round(quantile_cont(nll, 2.0/3), 6) + 0.0 AS c67
          |      FROM smp GROUP BY 1)
          |SELECT j.doc_id, j.lang, j.nll,
          |  CASE WHEN j.nll <= cut.c33 THEN 'head'
@@ -3654,7 +3654,7 @@ object DocQueries {
          |SELECT doc_id, logw,
          |  round(logw - ln(-ln(
          |    (CAST(CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#dsir')), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
-         |    / 4294967296.0)), 6) AS g
+         |    / 4294967296.0)), 6) + 0.0 AS g
          |FROM w
          |ORDER BY g DESC, doc_id LIMIT 50""".stripMargin
   )
@@ -3724,6 +3724,6 @@ object DocQueries {
        |                  - ln(CAST(rc + 1 AS DOUBLE) / (rt + $DsirBuckets)), 6) AS DECIMAL(22,6)) AS lr
        |       FROM bk, st),
        |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-       |        round(CAST(sum(lr * c) AS DOUBLE), 6) AS logw
+       |        round(CAST(sum(lr * c) AS DOUBLE), 6) + 0.0 AS logw
        |      FROM pc JOIN lr USING (b) WHERE source <> '$DsirTarget' GROUP BY doc_id)""".stripMargin
 }

@@ -1267,7 +1267,7 @@ object EmbedQueries {
          |  SELECT r.src, e.vec_b FROM reach r JOIN edges e ON r.node = e.vec_a)
          |SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "embed_centroids" ->
-      """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) AS centroid
+      """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) + 0.0 AS centroid
         |FROM (SELECT label, unnest(embedding) AS e,
         |             unnest(generate_series(0, len(embedding) - 1)) AS pos
         |      FROM embeddings)

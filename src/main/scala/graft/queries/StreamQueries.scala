@@ -299,7 +299,7 @@ object StreamQueries {
         |WHERE rn % 10 = 0""".stripMargin,
     "w1_f144_stats" ->
       """SELECT user_id, min(value) AS minimum_value, max(value) AS maximum_value,
-        |       round(avg(value), 6) AS average_value, CAST(count(*) AS BIGINT) AS num_values
+        |       round(avg(value), 6) + 0.0 AS average_value, CAST(count(*) AS BIGINT) AS num_values
         |FROM events GROUP BY user_id""".stripMargin,
     "w2_ev44_index_shift" ->
       """WITH b AS (
