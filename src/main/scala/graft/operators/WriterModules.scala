@@ -193,6 +193,15 @@ object WriterModules {
       */
     private[graft] var MaxCueCandidates: Long  = 1L << 20 // var: test hook only
     private[graft] var lastCueInterval: Long   = 0L
+    /** Fallback-walk shape hooks: partitions the range-partitioned walk
+      * used, and its executed plan — so specs can assert the sort is
+      * per-partition (no single-task coalesce(1) funnel at scale).
+      * [[WalkRowsPerPartition]] sizes the walk: messages-per-task target;
+      * var so specs can force a multi-partition walk on small data.
+      */
+    private[graft] var WalkRowsPerPartition: Long = 1L << 18
+    private[graft] var lastWalkPartitions: Int    = 0
+    private[graft] var lastWalkPlan: String       = ""
     override def acceptRepeats = true
     override def emitBuffered  = false
     override def nxClass       = "NXevent_data"
@@ -249,10 +258,11 @@ object WriterModules {
         (col("events_written") + lit(cur.eventsWritten)).as("ea_prev"),
         (element_at(col("reference_time"), -1) +
           element_at(col("time_of_flight"), -1).cast("long")).as("cue_ts"))
-      val maxEa = proj.agg(max("ea")).collect().head match {
-        case r if r.isNullAt(0) => Long.MinValue
-        case r                  => r.getLong(0)
-      }
+      val (maxEa, nMsgs) =
+        proj.agg(max("ea"), count(lit(1))).collect().head match {
+          case r if r.isNullAt(0) => (Long.MinValue, 0L)
+          case r                  => (r.getLong(0), r.getLong(1))
+        }
       // effective interval ≥ requested, raised so the candidate collect
       // stays ≤ MaxCueCandidates rows (see the guard's doc on the object)
       val requested   = cfg.long("cue_interval").getOrElse(100000000L).max(1L)
@@ -266,8 +276,10 @@ object WriterModules {
         expr(s"(ea - 1 - ${L0}L) div ${interval}L") >
           expr(s"(ea_prev - 1 - ${L0}L) div ${interval}L"))
         .orderBy("row").collect()
-      Ev44.lastCueCandidates = cand.length
-      Ev44.lastCueFallbacks  = 0
+      Ev44.lastCueCandidates  = cand.length
+      Ev44.lastCueFallbacks   = 0
+      Ev44.lastWalkPartitions = 0
+      Ev44.lastWalkPlan       = ""
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var last = L0
       var i    = 0
@@ -284,34 +296,74 @@ object WriterModules {
           i += 1
         } else if (maxEa > last + interval) {
           // superset miss: the true first crossing is a non-candidate.
-          // Finish the ENTIRE remaining chain in ONE job instead of one
-          // filtered limit(1) job per missed link: stream the slim
-          // (row, ea, cue_ts) projection past the current threshold
-          // through a single sorted partition and run the greedy
-          // recurrence (ev44_Writer.cpp:127-134 — inherently sequential)
-          // there. A message with ea ≤ last+interval can never fire later
-          // (thresholds only grow), so the filtered stream is sufficient;
-          // output is one slim row per cue, bounded by batchEvents /
-          // interval ≤ MaxCueCandidates — the same clamp that bounds the
-          // candidate collect. Cost: one scan total, vs one scan PER
-          // missed link before.
-          val (l0, iv) = (last, interval)
-          val session0 = df.sparkSession
-          import session0.implicits._
-          val walked = proj
-            .filter(col("ea") > l0 + iv)
+          // Finish the ENTIRE remaining chain distributed: the greedy
+          // recurrence (ev44_Writer.cpp:127-134) is inherently
+          // sequential in the THRESHOLD, but ea is the monotone
+          // cumulative event count, so after range-partitioning the slim
+          // (row, ea, cue_ts) projection by row the chain sweeps the
+          // partitions strictly left to right, entering each at most
+          // once. The sort is therefore per-partition (parallel — no
+          // coalesce(1) funnel), and the sequential part shrinks to one
+          // driver Long threaded through at most one tiny cached-RDD job
+          // per partition (sc.runJob on exactly that partition). A
+          // partition whose max ea never exceeds the entering
+          // threshold+interval is skipped without a job. Messages with
+          // ea ≤ threshold+interval can never fire later (thresholds
+          // only grow), so the filtered stream is sufficient; output is
+          // one slim row per cue, bounded by batchEvents / interval ≤
+          // MaxCueCandidates — the same clamp that bounds the candidate
+          // collect.
+          val (l0w, iv) = (last, interval)
+          val session0  = df.sparkSession
+          // P from the batch's message bound (same agg as maxEa): small
+          // batches collapse to ONE partition — fallback job count stays
+          // independent of the miss count — while large batches get
+          // parallel local sorts with ~WalkRowsPerPartition rows/task.
+          val p = math.min(32L,
+            (nMsgs + Ev44.WalkRowsPerPartition - 1) / Ev44.WalkRowsPerPartition)
+            .toInt.max(1)
+          val src = proj
+            .filter(col("ea") > l0w + iv)
             .select(col("row"), col("ea"), col("cue_ts"))
-            .as[(Long, Long, Long)]
-            .coalesce(1)
-            .sortWithinPartitions("row")
-            .mapPartitions { it =>
-              var l = l0
-              it.flatMap { case (row, ea, ts) =>
-                if (ea > l + iv) { l = ea - 1; Iterator.single((row, ea, ts)) }
-                else Iterator.empty
+          val sorted =
+            (if (p == 1) src.coalesce(1)
+             else src.repartitionByRange(p, col("row")))
+              .sortWithinPartitions("row")
+          Ev44.lastWalkPartitions = p
+          Ev44.lastWalkPlan       = sorted.queryExecution.executedPlan.toString
+          import session0.implicits._
+          val rdd = sorted.as[(Long, Long, Long)].rdd
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val walked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          try {
+            val sc = session0.sparkContext
+            // materializing pass: per-partition max ea (= last element —
+            // the partition is row-sorted and ea is monotone in row)
+            val partMaxEa: Array[Option[Long]] =
+              sc.runJob(rdd, (it: Iterator[(Long, Long, Long)]) => {
+                var m = Option.empty[Long]
+                it.foreach(r => m = Some(r._2))
+                m
+              })
+            var l   = l0w
+            var pid = 0
+            while (pid < partMaxEa.length) {
+              if (partMaxEa(pid).exists(_ > l + iv)) {
+                val lIn = l
+                val res = sc.runJob(rdd, (it: Iterator[(Long, Long, Long)]) => {
+                  var ll = lIn
+                  val hs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+                  it.foreach { case (row, ea, ts) =>
+                    if (ea > ll + iv) { ll = ea - 1; hs += ((row, ea, ts)) }
+                  }
+                  (hs.toSeq, ll)
+                }, Seq(pid))
+                walked ++= res(0)._1
+                l = res(0)._2
               }
+              pid += 1
             }
-            .collect()
+          } finally rdd.unpersist(blocking = false)
           // the metric keeps its meaning — number of superset misses —
           // they just no longer cost a job each: a TRUE crossing that IS
           // a candidate is always provable (its ea_prev ≤ last+interval

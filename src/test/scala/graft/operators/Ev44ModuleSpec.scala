@@ -238,6 +238,41 @@ class Ev44ModuleSpec extends SparkSpec {
       s"job count grew with miss count ($jobs3 → $jobs6) — fallback not batched")
   }
 
+  test("multi-partition fallback walk: per-partition sorts, exact cues") {
+    // force the distributed walk shape on small data: 40 messages with
+    // WalkRowsPerPartition=8 → a 5-partition range walk. Sizes follow
+    // the miss pattern (every chain link after the first is off-grid),
+    // so the whole chain resolves through the partition-visit walk.
+    val saved = Ev44.WalkRowsPerPartition
+    Ev44.WalkRowsPerPartition = 8
+    try {
+      val sizes = Seq(15) ++ Seq.fill(19)(Seq(8, 3, 7, 3)).flatten.take(39)
+      val df = sizes.zipWithIndex.map { case (n, i) =>
+        msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to n).toSeq)
+      }.toDF()
+      val cues = Ev44.tables(df, cfg(10))("cue").orderBy("cue_index").collect()
+        .map(_.getAs[Long]("cue_index")).toSeq
+      // sequential reference (same recurrence as the simulation test)
+      var events = 0L; var last = 0L
+      val expect = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sizes.foreach { n =>
+        events += n
+        if (events > last + 10) { expect += events - 1; last = events - 1 }
+      }
+      assert(cues == expect.toSeq)
+      assert(Ev44.lastWalkPartitions > 1,
+        s"expected a multi-partition walk, got ${Ev44.lastWalkPartitions}")
+      // the scale property the walk exists for: the sort is within range
+      // partitions — no single-task funnel in the executed plan
+      assert(!Ev44.lastWalkPlan.contains("Coalesce 1"),
+        s"single-task funnel in walk plan:\n${Ev44.lastWalkPlan}")
+      assert(!Ev44.lastWalkPlan.contains("SinglePartition"),
+        s"single-partition exchange in walk plan:\n${Ev44.lastWalkPlan}")
+      assert(Ev44.lastWalkPlan.contains("rangepartitioning"),
+        s"walk plan is not range-partitioned:\n${Ev44.lastWalkPlan}")
+    } finally Ev44.WalkRowsPerPartition = saved
+  }
+
   test("sane intervals are untouched by the scale guard") {
     val df = (0 until 5).map(i =>
       msg(i.toLong, Seq(100L * (i + 1)), Seq(0), (1 to 4).toSeq)).toDF()
