@@ -8,7 +8,10 @@ import java.nio.file.{Files, Paths}
   * HDF5 library available in this environment this is the strongest
   * validation possible: structural traversal (superblock → object headers
   * → symbol-table B-tree → SNOD → heap) must agree between two
-  * implementations for the bytes to round-trip.
+  * implementations for the bytes to round-trip. The literal
+  * tooling-absence evidence (no h5py/h5dump/Java HDF5 anywhere on the
+  * box) is recorded in `docs/environment_limits.md`; `Hdf5GoldenSpec`
+  * additionally pins a byte-golden fixture to the spec document itself.
   */
 object MiniHdf5Reader {
 

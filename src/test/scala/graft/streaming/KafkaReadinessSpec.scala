@@ -8,6 +8,9 @@ import graft.SparkSpec
   * environment gains them (`spark-sql-kafka` on the classpath +
   * `SPARK_GRAFT_KAFKA_BROKER` set), following the reference integration
   * choreography (`/root/reference/integration-tests/test_filewriter.py`).
+  * The literal tooling-absence evidence (no Kafka artifact in
+  * `/opt/spark/jars` or the offline coursier cache) is recorded in
+  * `docs/environment_limits.md`.
   */
 class KafkaReadinessSpec extends SparkSpec {
 
