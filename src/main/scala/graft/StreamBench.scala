@@ -69,9 +69,103 @@ object StreamBench {
     val total = msgs + msgs / 10 // ev44 messages carry 10 events each
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
 
+    wireBench(spark)
     decodeBench(spark)
     statefulBench(spark)
     spark.stop()
+  }
+
+  /** The headline end-to-end number: raw FlatBuffers wire bytes →
+    * envelope + payload decode (native codegen'd expressions) → route →
+    * kernel (dedup/window/validity) → module transform → NexusSink
+    * parquet append, with the ev44 cue chain carrying cross-batch state
+    * (cue_interval sized so cues fire in every batch). Wire encoding
+    * happens on the executors BEFORE the timed window — only the
+    * engine's own path is measured. Reported as events/s: each f144
+    * message lands one value, each ev44 message 100 events.
+    *
+    * Reproduce: `sbt -batch "runMain graft.StreamBench"` → the
+    * `stream_events_per_sec` line (artifact copy:
+    * `bench_results/stream_bench.jsonl`).
+    */
+  private def wireBench(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Decode, FbEncoders}
+    val msgs    = sys.env.getOrElse("SPARK_GRAFT_WIRE_MSGS", "200000").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val evPer   = 100
+
+    val wireTemplate =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "speed", "type": "group", "children": [
+        |      { "module": "f144",
+        |        "config": { "source": "speed", "topic": "tp",
+        |                    "enable_epics_con_info": false,
+        |                    "enable_alarm_info": false } } ] },
+        |    { "name": "events", "type": "group", "children": [
+        |      { "module": "ev44",
+        |        "config": { "source": "det", "topic": "tp",
+        |                    "cue_interval": 50000 } } ] }
+        |  ] } ] }""".stripMargin
+
+    val out = java.nio.file.Files.createTempDirectory("graft-wbench").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(wireTemplate), out,
+      startMs = 0, stopMs = 1L << 40)
+
+    // bench-only wire generators (UDFs are fine off the measured path)
+    val genF144 = udf((id: Long) =>
+      FbEncoders.f144("speed", (1000L + id) * 1000000L, (id % 97).toDouble))
+    val genEv44 = udf((id: Long) =>
+      FbEncoders.ev44("det", Seq((1000L + id) * 1000000L), Seq(0),
+        Seq.tabulate(evPer)(j => (id % 1000).toInt + j),
+        Seq.tabulate(evPer)(j => (id % 1000).toInt + j + 1)))
+    val perBatch = msgs / batches
+    val wireBatches = (0 until batches).map { b =>
+      val base = (b * perBatch).toLong
+      val w = spark.range(perBatch)
+        .select((col("id") + base).as("offset"),
+          when(col("id") % 10 === 0, genEv44(col("id") + base))
+            .otherwise(genF144(col("id") + base)).as("value"))
+        .persist()
+      w.count() // materialize outside the timed window
+      w
+    }
+
+    val t0 = System.nanoTime()
+    wireBatches.foreach { wire =>
+      val decoded = wire
+        .withColumn("env", Decode.decode_envelope(col("value")))
+        .withColumn("topic", lit("tp"))
+      job.processBatch("f144", decoded
+        .filter(col("env.schema_id") === "f144")
+        .withColumn("d", Decode.decode_f144(col("value")))
+        .select(col("topic"), col("env.source_name").as("source_name"),
+          col("offset"), col("env.timestamp").as("ts"),
+          col("d.value").as("value")))
+      job.processBatch("ev44", decoded
+        .filter(col("env.schema_id") === "ev44")
+        .withColumn("d", Decode.decode_ev44(col("value")))
+        .select(col("topic"), col("env.source_name").as("source_name"),
+          col("offset"), col("env.timestamp").as("ts"),
+          col("d.reference_time").as("reference_time"),
+          col("d.reference_time_index").as("reference_time_index"),
+          col("d.time_of_flight").as("time_of_flight"),
+          col("d.pixel_id").as("pixel_id")))
+    }
+    job.finish()
+    val sec = (System.nanoTime() - t0) / 1e9
+    wireBatches.foreach(_.unpersist(blocking = false))
+
+    // sanity OUTSIDE the timed window: every event landed, cues fired
+    val evMsgs  = (0 until batches).map(b => (perBatch + 9) / 10).sum
+    val f144Msgs = msgs - evMsgs
+    val events   = f144Msgs.toLong + evMsgs.toLong * evPer
+    val landed = spark.read.parquet(s"$out/data/entry/events/events").count()
+    require(landed == evMsgs.toLong * evPer, s"sink holds $landed events")
+    val cues = spark.read.parquet(s"$out/data/entry/events/cue").count()
+    require(cues > 0, "cue chain never fired — cross-batch state untested")
+    println(f"""{"metric":"stream_events_per_sec","value":${events / sec}%.1f,"unit":"events/s","messages":$msgs,"events":$events,"batches":$batches,"cues":$cues,"cue_interval":50000,"sec":$sec%.2f}""")
   }
 
   /** Stateful-operator throughput at production trigger sizes: the
