@@ -125,18 +125,24 @@ object Decode {
       if (src < 0 || vtPos < 0 || vPos < 0) return null
       val vTable = r.indirect(vPos)
       val valPos = r.field(vTable, 0)
-      if (valPos < 0) return null
+      // a scalar equal to the schema default (0) is ELIDED by conforming
+      // FlatBuffers builders: the vtable slot is absent and the accessor
+      // contract is "return the default", not "reject" — the reference
+      // reads through generated accessors that do exactly that. Only the
+      // declared TYPE decides validity; a missing value field is 0.
+      // (Found by the sf0.1 gate: six events with value = 0.0 decoded to
+      // null rows under the old `valPos < 0 => reject`.)
       val v = (r.i8(vtPos).toInt: Int) match {
-        case F144Value.Byte   => r.i8(valPos).toDouble
-        case F144Value.UByte  => (r.i8(valPos) & 0xff).toDouble
-        case F144Value.Short  => r.i16(valPos).toDouble
-        case F144Value.UShort => (r.i16(valPos) & 0xffff).toDouble
-        case F144Value.Int    => r.i32(valPos).toDouble
-        case F144Value.UInt   => (r.i32(valPos) & 0xffffffffL).toDouble
-        case F144Value.Long   => r.i64(valPos).toDouble
-        case F144Value.ULong  => r.i64(valPos).toDouble
-        case F144Value.Float  => r.f32(valPos).toDouble
-        case F144Value.Double => r.f64(valPos)
+        case F144Value.Byte   => if (valPos < 0) 0.0 else r.i8(valPos).toDouble
+        case F144Value.UByte  => if (valPos < 0) 0.0 else (r.i8(valPos) & 0xff).toDouble
+        case F144Value.Short  => if (valPos < 0) 0.0 else r.i16(valPos).toDouble
+        case F144Value.UShort => if (valPos < 0) 0.0 else (r.i16(valPos) & 0xffff).toDouble
+        case F144Value.Int    => if (valPos < 0) 0.0 else r.i32(valPos).toDouble
+        case F144Value.UInt   => if (valPos < 0) 0.0 else (r.i32(valPos) & 0xffffffffL).toDouble
+        case F144Value.Long   => if (valPos < 0) 0.0 else r.i64(valPos).toDouble
+        case F144Value.ULong  => if (valPos < 0) 0.0 else r.i64(valPos).toDouble
+        case F144Value.Float  => if (valPos < 0) 0.0 else r.f32(valPos).toDouble
+        case F144Value.Double => if (valPos < 0) 0.0 else r.f64(valPos)
         case _                => return null // array variants rejected (f144_Writer.cpp:249)
       }
       InternalRow(

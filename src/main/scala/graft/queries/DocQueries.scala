@@ -2471,6 +2471,23 @@ object DocQueries {
 
   private val SqlStop = sqlHits(Stopwords)
 
+  /** Oracle-side EXACT decimal rounding. Spark's `round` goes through
+    * `BigDecimal.valueOf` — the double's SHORTEST decimal representation
+    * — then HALF_UP; DuckDB's double `round()` multiplies by 10^d first
+    * and misrounds knife-edge ties (the sf0.1 rehearsal surfaced seven:
+    * e.g. 0.92763149999999994 → DuckDB 0.927632, Spark 0.927631).
+    * Casting DOUBLE→VARCHAR yields the same shortest representation,
+    * VARCHAR→DECIMAL parses it exactly, DECIMAL round is exact HALF_UP,
+    * and DECIMAL has no -0.0 — so this equals Spark's rounding
+    * bit-for-bit, ties and signed zeros included.
+    */
+  private def sqlRx(x: String): String =
+    s"CAST(round(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)"
+
+  private lazy val SqlStopRatio = sqlRx(s"CAST($SqlStop AS DOUBLE) / len(tk)")
+  private lazy val SqlQuality = sqlRx(
+    s"least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 + (1.0 - $SqlStopRatio) * 0.5")
+
   /** Shared winnowing CTE chain (t → hx → g → sel): token rolling hashes,
     * k=3 gram poly-hashes, win=4 window minima with rightmost-tie
     * positions — `sel` yields one (doc_id, u{pos, fp}) row per window.
@@ -2573,8 +2590,7 @@ object DocQueries {
     // list, same 0.5 fallback — deterministic and engine-shared
     "quality_percentile_by_source" ->
       s"""WITH q AS (SELECT doc_id, source,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |        $SqlQuality
          |          AS quality_score
          |      FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents)),
          |smp AS (SELECT source, list(quality_score ORDER BY quality_score) AS qs
@@ -2588,8 +2604,7 @@ object DocQueries {
          |FROM q LEFT JOIN smp s USING (source)""".stripMargin,
     "quality_percentile_by_source_exact" ->
       s"""WITH q AS (SELECT doc_id, source,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |        $SqlQuality
          |          AS quality_score
          |      FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents))
          |SELECT doc_id, source, quality_score,
@@ -2624,8 +2639,7 @@ object DocQueries {
          |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "sample_weighted" ->
       s"""WITH q AS (SELECT doc_id, source,
-         |    round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |          (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS w
+         |    $SqlQuality AS w
          |  FROM (SELECT doc_id, source, $SqlToks AS tk FROM documents)),
          |k AS (SELECT doc_id, source, w,
          |    round(ln((CAST(CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#wrs')), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
@@ -2640,8 +2654,7 @@ object DocQueries {
       s"""WITH d AS (SELECT doc_id, lang, source,
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
          |  $SqlToks AS tk, length(text) AS nch FROM documents),
-         |q AS (SELECT *, CAST(round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |        (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6)
+         |q AS (SELECT *, CAST($SqlQuality
          |        AS DECIMAL(22,6)) AS qs
          |      FROM d)
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2747,20 +2760,19 @@ object DocQueries {
          |        LEFT JOIN nd USING (threshold)""".stripMargin,
     "nll_by_length" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, ${sqlRx("-slog / n_grams")} + 0.0 AS nll FROM sc),
          |lens AS (SELECT doc_id, len($SqlToks) AS n FROM documents),
          |j AS (SELECT CAST(power(2, floor(log2(n))) AS BIGINT) AS bucket_lo, nll
          |      FROM sc2 JOIN lens USING (doc_id) WHERE n >= 1)
          |SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(CAST(sum(CAST(nll AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
+         |  ${sqlRx("CAST(sum(CAST(nll AS DECIMAL(22,6))) AS DOUBLE) / count(*)")}
          |    + 0.0 AS mean_nll
          |FROM j GROUP BY bucket_lo""".stripMargin,
     "quality_lm_correlation" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, ${sqlRx("-slog / n_grams")} + 0.0 AS nll FROM sc),
          |q AS (SELECT doc_id,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |        $SqlQuality AS qs
          |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents))
          |SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
          |  round(corr(q.qs, sc2.nll), 6) + 0.0 AS quality_nll_corr
@@ -2768,8 +2780,7 @@ object DocQueries {
          |GROUP BY d2.source""".stripMargin,
     "quality_threshold_sweep" ->
       s"""WITH q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |        $SqlQuality AS qs
          |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents)),
          |g AS (SELECT q.*, round(t.t10 / 10.0, 1) AS threshold
          |      FROM q, generate_series(0, 9) AS t(t10))
@@ -2835,9 +2846,8 @@ object DocQueries {
     "text_quality" ->
       s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |  round(CAST(length(text) - len(tk) + 1 AS DOUBLE) / len(tk), 6) AS avg_token_len,
-         |  round(CAST($SqlStop AS DOUBLE) / len(tk), 6) AS stopword_ratio,
-         |  round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |        (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS quality_score
+         |  $SqlStopRatio AS stopword_ratio,
+         |  $SqlQuality AS quality_score
          |FROM (SELECT doc_id, text, $SqlToks AS tk FROM documents)""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
@@ -3122,8 +3132,7 @@ object DocQueries {
       s"""WITH $SqlLshCtes,
          |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
          |q AS (SELECT doc_id,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |        $SqlQuality AS qs
          |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents))
          |SELECT DISTINCT
          |  CASE WHEN qa.qs > qb.qs THEN doc_b
@@ -3423,22 +3432,22 @@ object DocQueries {
     // corpus — the text_rolling_fingerprint precedent)
     "text_lm_score" ->
       s"""WITH $SqlLmCtes
-         |SELECT doc_id, n_grams, round(-slog / n_grams, 6) + 0.0 AS nll,
-         |       (round(-slog / n_grams, 6) <= 5.36) AS keep
+         |SELECT doc_id, n_grams, ${sqlRx("-slog / n_grams")} + 0.0 AS nll,
+         |       (${sqlRx("-slog / n_grams")} <= 5.36) AS keep
          |FROM sc""".stripMargin,
     // sampled-cutoff form: the md5 draw, sample percentiles and banding
     // comparisons are deterministic and engine-shared
     "lm_quality_buckets" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, ${sqlRx("-slog / n_grams")} + 0.0 AS nll FROM sc),
          |j AS (SELECT s.doc_id, d2.lang, s.nll
          |      FROM sc2 s JOIN documents d2 USING (doc_id)),
          |smp AS (SELECT lang, nll FROM j
          |        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |                   AS UBIGINT)::BIGINT % 100 < 20),
          |cut AS (SELECT lang,
-         |        round(quantile_cont(nll, 1.0/3), 6) + 0.0 AS c33,
-         |        round(quantile_cont(nll, 2.0/3), 6) + 0.0 AS c67
+         |        ${sqlRx("quantile_cont(nll, 1.0/3)")} + 0.0 AS c33,
+         |        ${sqlRx("quantile_cont(nll, 2.0/3)")} + 0.0 AS c67
          |      FROM smp GROUP BY 1)
          |SELECT j.doc_id, j.lang, j.nll,
          |  CASE WHEN j.nll <= cut.c33 THEN 'head'
@@ -3447,7 +3456,7 @@ object DocQueries {
          |FROM j LEFT JOIN cut USING (lang)""".stripMargin,
     "lm_quality_buckets_exact" ->
       s"""WITH $SqlLmCtes,
-         |sc2 AS (SELECT doc_id, round(-slog / n_grams, 6) + 0.0 AS nll FROM sc),
+         |sc2 AS (SELECT doc_id, ${sqlRx("-slog / n_grams")} + 0.0 AS nll FROM sc),
          |j AS (SELECT s.doc_id, d2.lang, s.nll,
          |        ntile(3) OVER (PARTITION BY d2.lang
          |                       ORDER BY s.nll, s.doc_id) AS b3
@@ -3561,8 +3570,7 @@ object DocQueries {
       s"""WITH $SqlLshCtes,
          |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jac >= 0.4),
          |q AS (SELECT doc_id,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |        $SqlQuality AS qs
          |      FROM (SELECT doc_id, $SqlToks AS tk FROM documents)),
          |dr AS (SELECT DISTINCT
          |         CASE WHEN qa.qs > qb.qs THEN doc_b
@@ -3608,14 +3616,13 @@ object DocQueries {
          |       LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) USING (w2), tot)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(bo) AS BIGINT) AS n_backoff,
-         |  round(CAST(sum(CAST(ls AS DECIMAL(22,6))) AS DOUBLE) / count(*), 6)
+         |  ${sqlRx("CAST(sum(CAST(ls AS DECIMAL(22,6))) AS DOUBLE) / count(*)")}
          |    + 0.0 AS avg_logscore
          |FROM sc GROUP BY doc_id""".stripMargin,
     "curriculum_order" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |q AS (SELECT doc_id,
-         |        round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |              (1.0 - round(CAST($SqlStop AS DOUBLE) / len(tk), 6)) * 0.5, 6) AS qs
+         |        $SqlQuality AS qs
          |      FROM t),
          |st AS (SELECT doc_id, CAST(least(floor(qs * 5), 4) AS INT) AS stage,
          |         md5(concat(CAST(doc_id AS VARCHAR), '#curr')) AS ord

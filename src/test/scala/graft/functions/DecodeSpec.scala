@@ -21,6 +21,22 @@ class DecodeSpec extends SparkSpec {
     assert(row.getDouble(2) == 12.5)
   }
 
+  test("f144 default-elided scalar: value 0.0 decodes as 0.0, not a reject") {
+    // conforming FlatBuffers builders OMIT a scalar equal to its schema
+    // default, so a real producer's value=0.0 arrives with no value field
+    // in the wrapper table; the accessor contract is "return the default".
+    // Regression for the sf0.1 gate find: six value=0.0 events decoded to
+    // null rows.
+    val bytes = FbEncoders.f144("pv:zero", 10100000000L, 0.0)
+    val row = Seq(Tuple1(bytes)).toDF("value")
+      .select(Decode.decode_f144($"value").as("d"))
+      .select("d.source_name", "d.timestamp", "d.value")
+      .collect().head
+    assert(row.getString(0) == "pv:zero")
+    assert(row.getLong(1) == 10100000000L)
+    assert(row.getDouble(2) == 0.0)
+  }
+
   test("envelope: schema dispatch, source, extractor timestamp") {
     val f = FbEncoders.f144("src-a", 42L, 1.0)
     val e = FbEncoders.ev44("det", Seq(10200000000L), Seq(0), Seq(10, 20), Seq(1, 2))

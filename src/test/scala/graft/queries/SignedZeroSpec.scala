@@ -171,6 +171,10 @@ class SignedZeroSpec extends SparkSpec {
       (tail, ctx) <- roundTails(collapsed)
       // `) + 0.0` immediately after the round's own close = normalized.
       if !tail.startsWith(" + 0.0")
+      // the exact-decimal wrapper (sqlRx): round over a DECIMAL(38,18)
+      // parsed from the double's shortest VARCHAR repr — exact HALF_UP,
+      // and DECIMAL cannot carry -0.0, so it is normalized by construction
+      if !ctx.contains("DECIMAL(38,18)")
       m <- "^ AS (\\w+)".r.findFirstMatchIn(tail)
       colName = m.group(1)
       if !SignlessCastTypes.contains(colName)
