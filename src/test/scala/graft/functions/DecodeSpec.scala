@@ -37,6 +37,24 @@ class DecodeSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.0)
   }
 
+  test("default-elided scalars across schemas: al00/ep01/tdct decode defaults") {
+    // same elision contract as f144: severity/status/sequence_counter at
+    // their schema default (0) are omitted from the wire; decoders must
+    // yield the default, never reject
+    val al = Seq(Tuple1(FbEncoders.al00("pv", 5L, 0.toShort, "ok"))).toDF("value")
+      .select(Decode.decode_al00($"value").as("d"))
+      .select("d.source_name", "d.severity").collect().head
+    assert(al.getString(0) == "pv" && al.getShort(1) == 0)
+    val ep = Seq(Tuple1(FbEncoders.ep01("pv", 5L, 0.toShort))).toDF("value")
+      .select(Decode.decode_ep01($"value").as("d"))
+      .select("d.source_name", "d.status").collect().head
+    assert(ep.getString(0) == "pv" && ep.getShort(1) == 0)
+    val td = Seq(Tuple1(FbEncoders.tdct("ch", Seq(1L, 2L), 0L))).toDF("value")
+      .select(Decode.decode_tdct($"value").as("d"))
+      .select("d.source_name", "d.sequence_counter").collect().head
+    assert(td.getString(0) == "ch" && td.getLong(1) == 0L)
+  }
+
   test("envelope: schema dispatch, source, extractor timestamp") {
     val f = FbEncoders.f144("src-a", 42L, 1.0)
     val e = FbEncoders.ev44("det", Seq(10200000000L), Seq(0), Seq(10, 20), Seq(1, 2))
