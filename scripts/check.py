@@ -8,7 +8,7 @@ for two rounds).
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 """
-import sys, json, math, struct
+import os, sys, json, math, struct
 import duckdb
 import pandas as pd
 
@@ -41,7 +41,12 @@ def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single files; ScaleGen output is a
+        # Spark-written DIRECTORY named <t>.parquet — glob inside it
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
