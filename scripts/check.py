@@ -40,6 +40,15 @@ def values_equal(a, b) -> bool:
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # At 100x scale a few oracle SQLs (recursive-CTE connected components)
+    # are quadratic in DuckDB; cap resources so a runaway oracle degrades to
+    # a per-query timeout/OOM instead of taking the host down, and allow a
+    # subset run so a driver loop can apply `timeout` per query.
+    if os.environ.get("CHECK_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['CHECK_MEM']}'")
+    if os.environ.get("CHECK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
+    only = {s for s in os.environ.get("CHECK_ONLY", "").split(",") if s}
     for t in TABLES:
         # driver testdata ships single files; ScaleGen output is a
         # Spark-written DIRECTORY named <t>.parquet — glob inside it
@@ -50,6 +59,8 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             spark_df = canon(pd.read_parquet(f"{outdir}/{name}"))
         except Exception as e:

@@ -129,8 +129,12 @@ object Bench {
     // the stdout line rides a log capture that has truncated its tail in
     // past rounds; ALSO write the complete per-query artifact (medians +
     // every raw sample) to a committed file so round-over-round
-    // comparisons always cover the whole suite
-    if (only.isEmpty) {
+    // comparisons always cover the whole suite. Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY) get the artifact too when an explicit
+    // SPARK_GRAFT_BENCH_OUT is set — min/samples are what noise-guard
+    // reads of a single query need — but never overwrite the default
+    // full-suite artifact with a subset.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_results/bench_full.json"))
       if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
