@@ -237,6 +237,13 @@ object EmbedQueries {
     // of the text SimHash blocking. Exact cosine verification after.
     "embed_rp_lsh_neardup" -> ((s, dir) => rpLshPairs(withNorm(emb(s, dir)))),
 
+    // The SCALED band geometry (8 bands × 8 bits — what rpParams picks
+    // once the corpus outgrows the 4×4 legacy shape) forced at gate
+    // scale, so the wide-band engine path AND its oracle mirror are
+    // exact-checked by the driver even though the gate corpus is small.
+    "embed_rp_lsh_wide" -> ((s, dir) =>
+      rpLshPairs(withNorm(emb(s, dir)), params = Some((8, 8)))),
+
     // Duplicate GROUPS in embedding space: connected components (the
     // same large-star/small-star engine as dedup_clusters) over the
     // RP-LSH verified pairs — the embedding-side canonical-group step.
@@ -1255,6 +1262,9 @@ object EmbedQueries {
     "embed_rp_lsh_neardup" ->
       s"""WITH $SqlRpCtes
          |SELECT vec_a, vec_b, cosine FROM rpp""".stripMargin,
+    "embed_rp_lsh_wide" ->
+      s"""WITH ${sqlRpCtes("SELECT 8 AS r, 8 AS b")}
+         |SELECT vec_a, vec_b, cosine FROM rpp""".stripMargin,
     // connected components over the RP-LSH pairs — duplicate groups in
     // embedding space (recursive-CTE oracle, as dedup_clusters)
     "embed_dup_clusters" ->
@@ -1693,30 +1703,70 @@ object EmbedQueries {
       |       FROM e8, st8),
       |cn AS (SELECT vec_id, cq, sqrt(list_dot_product(cq, cq)) AS nrm FROM cd)""".stripMargin
 
+  /** Expected vectors per LSH bucket the banding aims for: bits-per-band
+    * grows with log(corpus) to hold this constant, which is what keeps
+    * the candidate count LINEAR in corpus size (≈ bands · n ·
+    * TargetBucket / 2) instead of quadratic. Mirrored literally in
+    * [[sqlRpParams]].
+    */
+  // `final val` (compile-time constant): the strict `sql` map above
+  // initializes before this declaration point during object init — a
+  // plain val would interpolate 0 into the oracle SQL
+  final val RpTargetBucket = 128
+
+  /** Bits-per-band `r` and band count `b` for a corpus of `n` vectors:
+    * the smallest r ≥ 4 with n ≤ TargetBucket·2^r (so the expected
+    * bucket size stays ≤ [[RpTargetBucket]]), with the band count
+    * widened 4 → 8 as soon as r grows so high-similarity recall is
+    * partially recovered (recall at cosine c is 1−(1−p^r)^b,
+    * p = 1−θ/π). At the gate/bench corpora (n ≤ 2048) this is exactly
+    * the legacy 4×4-bit scheme, bucket-for-bucket.
+    */
+  def rpParams(n: Long): (Int, Int) = {
+    var r = 4
+    while (n > (RpTargetBucket.toLong << r)) r += 1
+    (r, if (r > 4) 8 else 4)
+  }
+
   /** Random-hyperplane LSH verified near-dup pairs `(vec_a, vec_b,
     * cosine)` over a `withNorm`-shaped frame — Charikar's
-    * sign-of-projection family: 16-bit signatures from ONE native pass
+    * sign-of-projection family: per-band sign-of-projection signatures
+    * from ONE native pass per band
     * ([[graft.functions.VectorExpressions.RpSignature]]) over dyadic
-    * hyperplanes, banded 4×4 bits into equality-join blocks, exact
-    * cosine verification after. The reusable pair frame for
-    * clusters/drop-lists in embedding space.
+    * hyperplanes, banded into equality-join blocks, exact cosine
+    * verification after. The reusable pair frame for clusters/drop-lists
+    * in embedding space.
+    *
+    * Band geometry is BUCKET-SIZE-TARGETED ([[rpParams]]): with fixed
+    * band bits every bucket grows linearly with the corpus and the
+    * candidate pair count goes quadratic (measured: 4-bit bands at 10×
+    * the bench corpus produced 52× the runtime); holding expected bucket
+    * size constant makes candidates linear in n. The corpus count that
+    * drives the choice is one metadata-cheap job (parquet footer
+    * row-counts; here a count over the already-checkpointed frame).
+    * `params` forces an explicit (bitsPerBand, bands) — the oracle-pinned
+    * wide-band query uses it to exercise the scaled geometry at gate
+    * scale.
     */
   def rpLshPairs(
       e: DataFrame,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
+      params: Option[(Int, Int)] = None): DataFrame = {
     import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
-    val planes = dyadicPlanes(16, 64)
     // three consumers (signature pass + both re-attach joins) — run the
     // scan + widening + l2_norm pipeline once
     val ec = e.localCheckpoint(true)
+    val (r, b) = params.getOrElse(rpParams(ec.count()))
+    val planes = dyadicPlanes(b * r, 64)
     // SLIM banded frame — the vectors stay out of the band shuffle; a
     // degenerate band (e.g. a near-constant embedding cluster) degrades
     // to linear star pairs (observed metric `rp_lsh_cap`) instead of B².
+    // Band k's bits come from plane rows [k·r, (k+1)·r) — identical
+    // buckets to the legacy packed-16-bit scheme when (r, b) = (4, 4).
     val banded = ec
-      .withColumn("sig", rp_signature(col("v"), planes))
-      .select(col("vec_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), 4 * b).bitwiseAND(15).as("bits"))): _*)).as("rb"))
+      .select(col("vec_id"), explode(array((0 until b).map(k =>
+        struct(lit(k).as("band"),
+          rp_signature(col("v"), planes.slice(k * r, (k + 1) * r)).as("bits"))): _*)).as("rb"))
       .select(col("vec_id"), col("rb.band").as("band"), col("rb.bits").as("bits"))
     val cand = graft.operators.LshJoins
       .cappedBandPairs(banded, Seq("band", "bits"), "vec_id",
@@ -1759,25 +1809,39 @@ object EmbedQueries {
        |qd AS (SELECT vec_id AS query_id, m, j, ds FROM d
        |       WHERE vec_id < $NumQueries)""".stripMargin
 
-  /** RP-LSH verified pairs as reusable CTEs ending in
-    * `rpp(vec_a, vec_b, cosine)`.
+  /** The adaptive band-geometry choice of [[rpParams]] as a one-row
+    * subquery `(r, b)` — integer-exact (no float log2): the smallest
+    * r ≥ 4 with count ≤ TargetBucket·2^r.
     */
-  private lazy val SqlRpCtes: String =
+  private lazy val SqlRpParamsAdaptive: String =
+    s"""SELECT r, CASE WHEN r > 4 THEN 8 ELSE 4 END AS b FROM (
+       |  SELECT min(r) AS r FROM generate_series(4, 40) t(r)
+       |  WHERE (SELECT count(*) FROM embeddings)
+       |        <= $RpTargetBucket * (CAST(1 AS BIGINT) << r))""".stripMargin
+
+  /** RP-LSH verified pairs as reusable CTEs ending in
+    * `rpp(vec_a, vec_b, cosine)` — mirrors [[rpLshPairs]] exactly for
+    * the band geometry delivered by `prmSql` (a one-row `(r, b)`
+    * query): plane i belongs to band i//r at bit position i%r, so the
+    * per-band signature join reproduces the engine's buckets for ANY
+    * (r, b).
+    */
+  private def sqlRpCtes(prmSql: String): String =
     s"""$SqlNorm,
+       |prm AS ($prmSql),
        |pl AS (
        |  SELECT i, list_transform(generate_series(0, 63),
        |    j -> CAST((((i * 64 + j) * 2654435761 + 12345) % 1024) - 512 AS DOUBLE)
        |         / 512.0) AS pv
-       |  FROM generate_series(0, 15) t(i)),
+       |  FROM generate_series(0, 63) t(i), prm WHERE i < prm.r * prm.b),
        |sig AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, i // r AS band,
        |    CAST(sum(CASE WHEN list_dot_product(v, pv) >= 0
-       |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM n, pl GROUP BY vec_id),
+       |             THEN (CAST(1 AS BIGINT) << (i % r)) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM n, pl, prm GROUP BY vec_id, i // r),
        |sb AS (
-       |  SELECT n.vec_id, n.v, n.nrm, b.band AS band,
-       |         (sig >> (4 * b.band)) & 15 AS bits
-       |  FROM sig JOIN n USING (vec_id), generate_series(0, 3) b(band)),
+       |  SELECT n.vec_id, n.v, n.nrm, s.band, s.bits
+       |  FROM sig s JOIN n USING (vec_id)),
        |rpp AS (
        |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1785,6 +1849,8 @@ object EmbedQueries {
        |    FROM sb a JOIN sb b
        |      ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
        |  WHERE cosine >= 0.3)""".stripMargin
+
+  private lazy val SqlRpCtes: String = sqlRpCtes(SqlRpParamsAdaptive)
 
   private lazy val SqlIvfKnn: String =
       s"""WITH $SqlNorm,
