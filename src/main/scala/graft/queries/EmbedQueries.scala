@@ -61,6 +61,9 @@ object EmbedQueries {
   }
 
   private val NumQueries = 20
+  // thresholds audited by embed_rp_lsh_recall (declared before the
+  // strict `queries`/`sql` maps that interpolate it — see RpTargetBucket)
+  private val RpRecallThresholds = Seq(0.3, 0.45, 0.5)
   private val K          = 5
   private val GraphK     = 4    // kNN-graph degree
   private val DecontamMod    = 50   // bench set: vec_id ≡ 0 (mod 50)
@@ -243,6 +246,31 @@ object EmbedQueries {
     // exact-checked by the driver even though the gate corpus is small.
     "embed_rp_lsh_wide" -> ((s, dir) =>
       rpLshPairs(withNorm(emb(s, dir)), params = Some((8, 8)))),
+
+    // RECALL AUDIT of the scaled banding: fraction of the brute-force
+    // truth pairs (all C(n,2), rounded cosine ≥ threshold) the wide
+    // (8, 8) geometry recovers, per threshold. Deliberately quadratic —
+    // an audit you run at sample scale to certify the production
+    // banding, never on the full corpus (the lm_quality_buckets_exact
+    // pattern). Both counts share the rounded-cosine basis so
+    // found ⊆ truth holds exactly.
+    "embed_rp_lsh_recall" -> { (s, dir) =>
+      val e = withNorm(emb(s, dir))
+      val found = rpLshPairs(e, params = Some((8, 8))).select("cosine")
+      val truth = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+        .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")),
+          col("ia") < col("ib"))
+        .select(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      def byTh(df: DataFrame, cnt: String): DataFrame = df
+        .select(explode(array(RpRecallThresholds.map(lit): _*)).as("threshold"), col("cosine"))
+        .filter(col("cosine") >= col("threshold"))
+        .groupBy("threshold").agg(count(lit(1)).as(cnt))
+      byTh(truth, "n_true").join(byTh(found, "n_found"), Seq("threshold"), "left")
+        .select(col("threshold"), col("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_true").cast("double")).as("recall"))
+    },
 
     // Duplicate GROUPS in embedding space: connected components (the
     // same large-star/small-star engine as dedup_clusters) over the
@@ -1265,6 +1293,20 @@ object EmbedQueries {
     "embed_rp_lsh_wide" ->
       s"""WITH ${sqlRpCtes("SELECT 8 AS r, 8 AS b")}
          |SELECT vec_a, vec_b, cosine FROM rpp""".stripMargin,
+    // recall is an EXACT double quotient of two integer counts (no
+    // round()), so both engines produce the identical IEEE value
+    "embed_rp_lsh_recall" ->
+      s"""WITH ${sqlRpCtes("SELECT 8 AS r, 8 AS b")},
+         |tp AS (SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
+         |       FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         |th AS (SELECT unnest([${RpRecallThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")}]) AS threshold),
+         |tt AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_true
+         |       FROM tp, th WHERE cosine >= threshold GROUP BY threshold),
+         |ff AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_found
+         |       FROM rpp, th WHERE rpp.cosine >= threshold GROUP BY threshold)
+         |SELECT tt.threshold, n_true, COALESCE(n_found, 0) AS n_found,
+         |       CAST(COALESCE(n_found, 0) AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM tt LEFT JOIN ff USING (threshold)""".stripMargin,
     // connected components over the RP-LSH pairs — duplicate groups in
     // embedding space (recursive-CTE oracle, as dedup_clusters)
     "embed_dup_clusters" ->
