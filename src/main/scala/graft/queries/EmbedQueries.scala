@@ -762,14 +762,20 @@ object EmbedQueries {
     // cell-sized rank window. The mutuality self-join runs on the tiny
     // (n·k)-row edge frame.
     "embed_knn_graph" -> { (s, dir) =>
-      // each pair's cosine is computed once; the union mines it in both
-      // directions, so checkpoint the slim pair frame
+      // each unordered pair's cosine is computed once and exploded into
+      // both directed rows INLINE — the within-cell pair stream is the
+      // one quadratic frame in this family, so it must never
+      // materialize (a checkpoint here is 2B rows at 100×); exploded
+      // rows flow straight into topKPerQuery's map-side partial
+      // aggregation, which bounds the shuffle at O(k) per query
       val pairs = cellPairs(withNorm(emb(s, dir)), "knn_graph_cap")
-        .select("vec_a", "vec_b", "cosine").localCheckpoint()
       val directed = pairs
-        .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
-          col("cosine"))
-        .union(pairs.select(col("vec_b"), col("vec_a"), col("cosine")))
+        .select(explode(array(
+          struct(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+            col("cosine")),
+          struct(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id"),
+            col("cosine")))).as("e"))
+        .select("e.*")
       val edges = topKPerQuery(directed, "cosine", GraphK)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
           col("cosine"), col("rank"))
