@@ -152,7 +152,9 @@ object AnalyticsQueries {
         .filter(col("prev_type").isNotNull && col("gap_us") <= 1800000000L)
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n_transitions"),
-          round(avg(col("gap_us").cast("double") / 1000000.0), 6).as("avg_gap_sec"))
+          // exact-decimal mean (ExactStats): cross-engine ulp-stable
+          ExactStats.meanExact6(col("gap_us").cast("double") / 1000000.0,
+            count(lit(1))).as("avg_gap_sec"))
     },
 
     // Conversion funnel view → click → purchase: first-occurrence times per
@@ -968,7 +970,7 @@ object AnalyticsQueries {
         |FROM p JOIN w ON p.ts_us >= w.lo AND p.ts_us <= w.hi
         |GROUP BY incident_id""".stripMargin,
     "events_transition_counts" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
         |           FROM events),
         |l AS (SELECT user_id, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id
@@ -978,7 +980,7 @@ object AnalyticsQueries {
         |      FROM e)
         |SELECT prev_type, event_type AS next_type,
         |  CAST(count(*) AS BIGINT) AS n_transitions,
-        |  round(avg(CAST(gap_us AS DOUBLE) / 1000000.0), 6) + 0.0 AS avg_gap_sec
+        |  ${ExactStats.sqlMeanExact6("CAST(gap_us AS DOUBLE) / 1000000.0")} + 0.0 AS avg_gap_sec
         |FROM l WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
         |GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->

@@ -382,7 +382,9 @@ object DocQueries {
       minhashLshPairs(docs(s, dir), minJac = 0.0)
         .withColumn("bin", floor(col("jac") * 20).cast("long"))
         .groupBy("bin")
-        .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 6).as("avg_jac"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // exact-decimal mean (ExactStats): cross-engine ulp-stable
+          ExactStats.meanExact6(col("jac"), count(lit(1))).as("avg_jac"))
     },
 
     // Dedup-threshold sweep — the downstream half of the calibration
@@ -1235,8 +1237,9 @@ object DocQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
-          round(avg(col("n_types").cast("double") / col("n_tokens")), 6)
-            .as("avg_ttr"))
+          // exact-decimal mean (ExactStats): cross-engine ulp-stable
+          ExactStats.meanExact6(col("n_types").cast("double") / col("n_tokens"),
+            count(lit(1))).as("avg_ttr"))
     },
 
     // Corpus n-gram count table (the LM-data statistic behind vocab
@@ -2740,7 +2743,8 @@ object DocQueries {
     "dedup_similarity_histogram" ->
       s"""WITH $SqlLshCtes
          |SELECT CAST(floor(jac * 20) AS BIGINT) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n_pairs, round(avg(jac), 6) AS avg_jac
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  ${ExactStats.sqlMeanExact6("jac")} AS avg_jac
          |FROM verified GROUP BY 1""".stripMargin,
     "dedup_threshold_sweep" ->
       s"""WITH $SqlLshCtes,
@@ -3493,7 +3497,7 @@ object DocQueries {
       s"""WITH d AS (SELECT source, $SqlToks AS tk FROM documents)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
-         |       round(avg(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)), 6)
+         |       ${ExactStats.sqlMeanExact6("CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)")}
          |         AS avg_ttr
          |FROM d GROUP BY source""".stripMargin,
     "ngram_heavy_hitters_sketch" ->

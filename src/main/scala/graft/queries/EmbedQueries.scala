@@ -205,7 +205,8 @@ object EmbedQueries {
           sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
           round(min("nrm"), 6).as("min_norm"),
           round(max("nrm"), 6).as("max_norm"),
-          round(avg("nrm"), 6).as("avg_norm"))
+          // exact-decimal mean (ExactStats): cross-engine ulp-stable
+          ExactStats.meanExact6(col("nrm"), count(lit(1))).as("avg_norm"))
     },
 
     // Brute-force cosine top-k: broadcast the query vectors, one pass over
@@ -286,7 +287,9 @@ object EmbedQueries {
       emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
-        .agg(round(avg(col("e").cast("double")), 6).as("centroid"))
+        // exact-decimal mean (ExactStats): cross-engine ulp-stable
+        .agg(ExactStats.meanExact6(col("e").cast("double"),
+          count(lit(1))).as("centroid"))
         .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))),
 
     // k-means IVF at FULL probe (nProbe = k) — the trained-quantizer scale
@@ -1191,7 +1194,7 @@ object EmbedQueries {
          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
-         |  round(avg(nrm), 6) AS avg_norm
+         |  ${ExactStats.sqlMeanExact6("nrm")} AS avg_norm
          |FROM n GROUP BY label""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH $SqlNorm,
@@ -1325,7 +1328,8 @@ object EmbedQueries {
          |  SELECT r.src, e.vec_b FROM reach r JOIN edges e ON r.node = e.vec_a)
          |SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "embed_centroids" ->
-      """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(CAST(e AS DOUBLE)), 6) + 0.0 AS centroid
+      s"""SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  ${ExactStats.sqlMeanExact6("CAST(e AS DOUBLE)")} + 0.0 AS centroid
         |FROM (SELECT label, unnest(embedding) AS e,
         |             unnest(generate_series(0, len(embedding) - 1)) AS pos
         |      FROM embeddings)

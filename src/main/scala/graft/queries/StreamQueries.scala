@@ -74,7 +74,11 @@ object StreamQueries {
         .agg(
           min("value").as("minimum_value"),
           max("value").as("maximum_value"),
-          round(avg("value"), 6).as("average_value"),
+          // order-independent exact-decimal mean (see ExactStats): a
+          // plain double avg() differs from the oracle's by a
+          // summation-order ulp, which flips the 6th decimal on
+          // knife-edge groups — found by the round-9 sf1 gate run.
+          ExactStats.meanExact6(col("value"), count(lit(1))).as("average_value"),
           count(lit(1)).as("num_values")
         )),
 
@@ -298,8 +302,8 @@ object StreamQueries {
         |  FROM events)
         |WHERE rn % 10 = 0""".stripMargin,
     "w1_f144_stats" ->
-      """SELECT user_id, min(value) AS minimum_value, max(value) AS maximum_value,
-        |       round(avg(value), 6) + 0.0 AS average_value, CAST(count(*) AS BIGINT) AS num_values
+      s"""SELECT user_id, min(value) AS minimum_value, max(value) AS maximum_value,
+        |       ${ExactStats.sqlMeanExact6("value")} + 0.0 AS average_value, CAST(count(*) AS BIGINT) AS num_values
         |FROM events GROUP BY user_id""".stripMargin,
     "w2_ev44_index_shift" ->
       """WITH b AS (
