@@ -202,7 +202,10 @@ object DocQueries {
         .withColumn("p", col("c").cast("double") / col("n_src"))
         .withColumn("q", col("cw").cast("double") / col("n_all"))
         .groupBy("source")
-        .agg(round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_unigram"),
+        // exact-decimal weighted sum (ExactStats): the vocabulary-sized
+        // fold is the likeliest summation-order ulp site in the repo
+        .agg(ExactStats.sumExact6(col("p") * log(col("p") / col("q")))
+          .as("kl_unigram"),
           max("n_src").as("n_tokens"))
     },
 
@@ -814,7 +817,9 @@ object DocQueries {
           idf * col("tf") * lit(2.2) /
             (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         .groupBy("doc_id")
-        .agg(round(sum("contrib"), 6).as("score"))
+        // exact-decimal weighted sum (ExactStats): cross-engine
+        // ulp-stable fold of the per-term BM25 contributions
+        .agg(ExactStats.sumExact6(col("contrib")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },
@@ -2841,8 +2846,9 @@ object DocQueries {
          |cc AS (SELECT w, sum(c) AS cw FROM sc GROUP BY w),
          |ct AS (SELECT sum(cw) AS n_all FROM cc)
          |SELECT source,
-         |  round(sum((CAST(c AS DOUBLE) / n_src) *
-         |            ln((CAST(c AS DOUBLE) / n_src) / (CAST(cw AS DOUBLE) / n_all))), 6)
+         |  ${ExactStats.sqlSumExact6(
+              "(CAST(c AS DOUBLE) / n_src) * " +
+              "ln((CAST(c AS DOUBLE) / n_src) / (CAST(cw AS DOUBLE) / n_all))")}
          |    + 0.0 AS kl_unigram,
          |  CAST(max(n_src) AS BIGINT) AS n_tokens
          |FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
@@ -3173,7 +3179,7 @@ object DocQueries {
         |SELECT doc_id, lang, n_tokens, cum_before FROM c
         |WHERE cum_before < CASE WHEN lang = 'en' THEN 2000 ELSE 1000 END""".stripMargin,
     "bm25_search" ->
-      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS tk,
         |                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
         |            FROM documents),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dd),
@@ -3183,8 +3189,9 @@ object DocQueries {
         |       GROUP BY doc_id, dl, term),
         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
         |sc AS (SELECT tf.doc_id,
-        |         round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) * tf.tf * 2.2
-        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS score
+        |         ${ExactStats.sqlSumExact6(
+                    "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) * tf.tf * 2.2" +
+                    " / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))")} AS score
         |       FROM tf, df, st WHERE tf.term = df.term GROUP BY tf.doc_id)
         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "tfidf_top_terms" ->

@@ -49,4 +49,21 @@ object ExactStats {
     */
   def sqlMeanExact6(x: String, n: String = "count(*)"): String =
     s"CAST(round(CAST(CAST(CAST(CAST(sum(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / $n AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)"
+
+  /** `round(Σx, 6)` with the round applied directly to the exact
+    * decimal sum (no double hop at all — a weighted sum needs no
+    * division, so the entire fold stays exact and the single rounding
+    * is HALF_UP on both engines). For sums of genuine doubles whose
+    * term count makes summation-order ulps likely (e.g. a
+    * vocabulary-sized KL fold).
+    */
+  def sumExact6(x: Column): Column =
+    round(sum(x.cast(DecimalType(38, 18))), 6).cast("double")
+
+  /** DuckDB mirror of [[sumExact6]]; the decimal→double hop goes
+    * through VARCHAR (exact digits → nearest double) because DuckDB's
+    * native decimal→double cast is 1 ulp off.
+    */
+  def sqlSumExact6(x: String): String =
+    s"CAST(CAST(round(sum(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,18))), 6) AS VARCHAR) AS DOUBLE)"
 }
