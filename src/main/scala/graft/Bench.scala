@@ -18,6 +18,44 @@ import org.apache.spark.sql.SparkSession
   * sum of medians.
   */
 object Bench {
+
+  /** Deterministic per-query byte counters from task metrics. Wall seconds
+    * on a shared host jitter ±25%; shuffle/input/spill BYTES are a property
+    * of the plan + data and repeat exactly run-over-run, so they are the
+    * clean signal for scaling analysis (SCALE.md): a super-linear shuffle
+    * byte exponent across sf0.1 → sf1 → sf10 is a quadratic no amount of
+    * wall-clock noise can hide or fake. Accumulated via SparkListener;
+    * attribution is snapshot-delta per query sample — Bench runs queries
+    * strictly sequentially, so after the listener bus quiesces the delta
+    * belongs to the just-finished query alone.
+    */
+  private final class ByteMeter extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLongArray
+    private val a = new AtomicLongArray(5) // shufW, shufR, spillMem, spillDisk, input
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        a.addAndGet(0, m.shuffleWriteMetrics.bytesWritten)
+        a.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
+        a.addAndGet(2, m.memoryBytesSpilled)
+        a.addAndGet(3, m.diskBytesSpilled)
+        a.addAndGet(4, m.inputMetrics.bytesRead)
+      }
+    }
+    def snap(): Array[Long] = Array.tabulate(5)(a.get)
+    /** Poll until the async listener bus has drained (counters stable
+      * across a sleep window) — there is no public flush API. Runs in the
+      * untimed gap between samples.
+      */
+    def quiesced(): Array[Long] = {
+      var prev = snap(); var cur = prev; var i = 0
+      do {
+        prev = cur; Thread.sleep(60); cur = snap(); i += 1
+      } while (!java.util.Arrays.equals(prev, cur) && i < 30)
+      cur
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,7 +70,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val meter = new ByteMeter
+    spark.sparkContext.addSparkListener(meter)
+    // last observed per-query byte deltas (bytes are plan-deterministic, so
+    // any sample's delta is representative; the last one wins)
+    val bytesByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val before = meter.quiesced()
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -52,6 +97,10 @@ object Bench {
       // timed window — the wait itself sits in this untimed gap
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      if (elapsed >= 0) {
+        val after = meter.quiesced()
+        bytesByQuery(name) = Array.tabulate(5)(i => after(i) - before(i))
+      }
       elapsed
     }
 
@@ -142,7 +191,9 @@ object Bench {
         val raw = samples(name).map(num).mkString("[", ",", "]")
         val ok  = samples(name).filter(_ >= 0)
         val mn  = if (ok.isEmpty) -1.0 else ok.min
-        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw}"""
+        val b   = bytesByQuery.getOrElse(name, Array.fill(5)(-1L))
+        val bs  = s""","bytes":{"shuffle_write":${b(0)},"shuffle_read":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)},"input":${b(4)}}"""
+        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$bs}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(outPath,
         s"""{"total_sec":${num(total)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
