@@ -57,6 +57,87 @@ object AsofJoin {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Hot-key-safe as-of join: identical semantics to [[asofJoin]], built
+    * for the regime where one key holds a macroscopic share of the stream.
+    * [[asofJoin]]'s `Window.partitionBy(key)` puts EVERY row of a key into
+    * one task's sort — window partitions (unlike join/agg skew) are never
+    * subdivided by AQE, so a hot device on a 100 TB stream is a straggler
+    * no configuration fixes. Here the tagged union is range-partitioned on
+    * (key…, ts, side), so a hot key spans many contiguous chunks:
+    *
+    *  1. each chunk runs the last-value-carry-forward fill locally
+    *     (bounded window: chunk ∩ key);
+    *  2. a stitch frame — ONE row per (chunk, key), ≤ #partitions rows per
+    *     key regardless of volume — computes each chunk's carry-out (its
+    *     fill value at the chunk's max (ts, side)) and cascades carry-ins
+    *     across chunks with the SAME carry-forward window, now over the
+    *     tiny frame;
+    *  3. carry-ins broadcast-join back and fill the rows a chunk's own
+    *     history could not.
+    *
+    * Within a key, partition id is monotone in (ts, side) — range
+    * partitioning on the lexicographic key — so chunk adjacency is time
+    * adjacency and the cascade is exact. Same chunk+stitch shape as the
+    * skew-safe sessionize and the ev44 cue-chain walk.
+    */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      chunks: Int
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(tsCol), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(tsCol), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val parted = lTagged.unionByName(rTagged)
+      .repartitionByRange(chunks,
+        keyCols.map(col) ++ Seq(col(tsCol), col("__side")): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((col("__pid") +: keyCols.map(col)): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localFilled = valueCols.foldLeft(parted) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(wLocal))
+    }
+    // carry-out per (chunk, key): the fill value at the chunk's last
+    // (ts, side) — after the local fill that IS the chunk's last non-null
+    // (null only when the whole chunk saw no right row for the key)
+    val carryOut = localFilled
+      .groupBy((col("__pid") +: keyCols.map(col)): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), struct(col(tsCol), col("__side")))
+        .as("__out"))
+    // cascade: what each chunk inherits from ALL previous chunks of its key
+    val wCarry = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = valueCols.foldLeft(carryOut) { (df, c) =>
+      df.withColumn(s"__in_$c",
+        last(col("__out").getField(c), ignoreNulls = true).over(wCarry))
+    }.select((col("__pid") +: keyCols.map(col)) ++
+      valueCols.map(c => col(s"__in_$c")): _*)
+    val stitched = valueCols.foldLeft(
+      localFilled.join(broadcast(carryIn), "__pid" +: keyCols, "left")) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), col(s"__in_$c")))
+    }
+    stitched.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** As-of join keyed by time only (no equality key): same pattern with a
     * single global ordering — use when the right side is one stream.
     */

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-key-safe per-key running sum (the prefix-sum primitive behind
+  * token-budget sampling and sequence packing).
+  *
+  * The direct form — `sum(x).over(Window.partitionBy(key).orderBy(ord))` —
+  * sorts EVERY row of a key in one task; with low-cardinality keys (a
+  * language, a source shard) a single partition holds a macroscopic share
+  * of a 100 TB corpus, and window partitions are never subdivided by AQE.
+  * This is the textbook two-level scan instead:
+  *
+  *  1. range-partition on (key…, ord…) — a hot key spans many contiguous
+  *     chunks, each a bounded local sort;
+  *  2. per-chunk local running sum (window keyed by (chunk, key));
+  *  3. per-(chunk, key) totals — ONE row per chunk and key, ≤ #partitions
+  *     rows per key regardless of data volume — get an exclusive running
+  *     sum over chunks (the tiny stitch window), giving each chunk its
+  *     carry-in offset;
+  *  4. offsets broadcast-join back and shift the local sums.
+  *
+  * Within a key, partition id is monotone in ord (range partitioning on
+  * the lexicographic key), so chunk order IS ord order and the offsets are
+  * exact. Restricted to integral `value` types: a double running sum has
+  * summation-order semantics this re-grouping would change; the LLM
+  * pipeline's prefix sums are token COUNTS (longs).
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = the per-`keyCols` running sum of `valueCol` in
+    * `orderCols` order over `df`, EXCLUSIVE of the current row (the
+    * cum-before form both call sites want; add the row's own value back
+    * for the inclusive form). `chunks` sizes the range partitioning.
+    */
+  def runningSumExclusive(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String,
+      chunks: Int
+  ): DataFrame = {
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType)
+    }, s"$valueCol: chunked running sum re-groups additions — integral types only")
+    val rangeKeys: Seq[Column] = (keyCols ++ orderCols).map(col)
+    val parted = df.repartitionByRange(chunks, rangeKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((col("__pid") +: keyCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn(outCol,
+      coalesce(sum(col(valueCol)).over(wLocal), lit(0L)))
+    // stitch frame: chunk totals per key, exclusive-cascaded over chunks
+    val wStitch = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted
+      .groupBy((col("__pid") +: keyCols.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__chunk_total"))
+      .withColumn("__carry_in",
+        coalesce(sum(col("__chunk_total")).over(wStitch), lit(0L)))
+      .select((col("__pid") +: keyCols.map(col)) :+ col("__carry_in"): _*)
+    local.join(broadcast(offsets), "__pid" +: keyCols)
+      .withColumn(outCol, col(outCol) + col("__carry_in"))
+      .drop("__pid", "__carry_in")
+  }
+}

@@ -106,6 +106,22 @@ object AnalyticsQueries {
       AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_value"))
     },
 
+    // Hot-key-safe as-of join: identical output to `asof_latest_click` via
+    // AsofJoin.asofJoinChunked (range-chunked local carry-forward + a
+    // per-(chunk, key) stitch cascade) — the variant that survives one
+    // device emitting a macroscopic share of the stream; see the operator
+    // Scaladoc and the skew rehearsal in SCALE.md.
+    "asof_latest_click_skewsafe" -> { (s, dir) =>
+      import graft.operators.AsofJoin
+      val ev = Graft.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+      AsofJoin.asofJoinChunked(purchases, clicks, Seq("user_id"), "ts_us",
+        Seq("click_value"), s.sparkContext.defaultParallelism * 4)
+    },
+
     // Pure range join (no equality key): count ALL events inside 2-hour
     // incident windows opened by user 0's purchases — banded equi-join on
     // the bucket id instead of a nested-loop cross product
@@ -136,6 +152,50 @@ object AnalyticsQueries {
             .otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // Skew-safe sessionize: identical semantics to `events_sessionize`,
+    // built for the hot-key regime the bare user-keyed window cannot
+    // survive. `Window.partitionBy(user_id)` puts EVERY event of a user in
+    // ONE task's sort — a device that emits 10% of a 100 TB stream becomes
+    // a straggler no salting or AQE can split, because window partitions
+    // (unlike join/agg skew) are never subdivided at runtime. Here the
+    // stream is range-partitioned on (user_id, ts), so a hot user spans
+    // many contiguous chunks: each chunk counts its local session starts
+    // with a bounded-size window, then a stitch frame — ONE ROW PER
+    // (chunk, user), i.e. ≤ #partitions rows per user regardless of data
+    // volume — cancels the starts that a chunk boundary fabricated
+    // (first event of a chunk within the gap threshold of the previous
+    // chunk's last event). Within a user, partition id is monotone in ts
+    // (range partitioning on the lexicographic key), so chunk adjacency
+    // IS ts adjacency and the correction is exact — same trick as the
+    // ev44 cue-chain walk. Cost on unskewed data: one extra (tiny)
+    // grouped frame; the rehearsal in SCALE.md measures both variants on
+    // a deliberately skewed corpus.
+    "events_sessionize_skewsafe" -> { (s, dir) =>
+      val gapUs  = 1800000000L
+      val chunks = s.sparkContext.defaultParallelism * 4
+      val wLocal = Window.partitionBy("pid", "user_id").orderBy("ts_us")
+      val wStitch = Window.partitionBy("user_id").orderBy("pid")
+      Graft.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select("user_id", "ts_us")
+        .repartitionByRange(chunks, col("user_id"), col("ts_us"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(wLocal))
+        .groupBy("pid", "user_id")
+        .agg(
+          sum(when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L)).as("starts"),
+          count(lit(1)).as("n_chunk_events"),
+          min("ts_us").as("first_ts"), max("ts_us").as("last_ts"))
+        .withColumn("prev_last", lag(col("last_ts"), 1).over(wStitch))
+        .withColumn("boundary_merge",
+          when(col("prev_last").isNotNull &&
+            col("first_ts") - col("prev_last") <= gapUs, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg((sum("starts") - sum("boundary_merge")).cast("long").as("n_sessions"),
+          sum("n_chunk_events").cast("long").as("n_events"))
     },
 
     // Event-type transition matrix (the Markov/path-analysis readout):
@@ -961,6 +1021,16 @@ object AnalyticsQueries {
         |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    // identical output to asof_latest_click — the chunked plan is a
+    // physical re-arrangement for the hot-key regime, not a semantic variant
+    "asof_latest_click_skewsafe" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS click_value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
     "range_join_incidents" ->
       """WITH w AS (SELECT event_id AS incident_id, epoch_us(ts) AS lo,
         |                  epoch_us(ts) + 7200000000 AS hi
@@ -984,6 +1054,20 @@ object AnalyticsQueries {
         |FROM l WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
         |GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
+      """SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS ts_us,
+        |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    // identical output to events_sessionize — the skew-safe plan is a
+    // physical re-arrangement, not a semantic variant
+    "events_sessionize_skewsafe" ->
       """SELECT user_id,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events

@@ -791,6 +791,23 @@ object DocQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
     },
 
+    // Hot-key-safe token-budget sampling: identical output via the chunked
+    // two-level prefix sum (operators/PrefixSum) — `lang` is exactly the
+    // low-cardinality key whose window partition holds a macroscopic share
+    // of a 100 TB corpus; see the operator Scaladoc and SCALE.md's skew
+    // inventory.
+    "sample_token_budget_skewsafe" -> { (s, dir) =>
+      val budget = when(col("lang") === "en", 2000L).otherwise(1000L)
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("ord"))
+      graft.operators.PrefixSum.runningSumExclusive(d, Seq("lang"), Seq("ord"),
+          "n_tokens", "cum_before", s.sparkContext.defaultParallelism * 4)
+        .filter(col("cum_before") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+    },
+
     // BM25 retrieval (Robertson/Lucene formulation, k1=1.2 b=0.75) for a
     // literal query-term set: tf and df from two keyed aggregations, the
     // per-doc score one grouped sum, global top-20 via orderBy+limit
@@ -863,6 +880,22 @@ object DocQueries {
         size(toks).cast("long").as("n_tokens"))
       val w = Window.partitionBy("source").orderBy("doc_id")
       d.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"start_tok div $cap").as("bin_id"),
+          (col("start_tok") % cap).as("bin_offset"))
+    },
+
+    // Hot-key-safe sequence packing: identical layout via the chunked
+    // two-level prefix sum (operators/PrefixSum) — a source shard holding
+    // a macroscopic corpus share is the regime the bare `source`-keyed
+    // window cannot survive; see SCALE.md's skew inventory.
+    "pack_sequences_skewsafe" -> { (s, dir) =>
+      val cap = 2048
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.PrefixSum.runningSumExclusive(d, Seq("source"),
+          Seq("doc_id"), "n_tokens", "start_tok",
+          s.sparkContext.defaultParallelism * 4)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"start_tok div $cap").as("bin_id"),
           (col("start_tok") % cap).as("bin_offset"))
@@ -3178,6 +3211,19 @@ object DocQueries {
         |      FROM d)
         |SELECT doc_id, lang, n_tokens, cum_before FROM c
         |WHERE cum_before < CASE WHEN lang = 'en' THEN 2000 ELSE 1000 END""".stripMargin,
+    // identical output to sample_token_budget — the chunked prefix sum is
+    // a physical re-arrangement, not a semantic variant
+    "sample_token_budget_skewsafe" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS ord
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord)
+        |             - n_tokens AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE WHEN lang = 'en' THEN 2000 ELSE 1000 END""".stripMargin,
     "bm25_search" ->
       s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS tk,
         |                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
@@ -3207,6 +3253,18 @@ object DocQueries {
         |                               ORDER BY tfidf DESC, term) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
     "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |                  - n_tokens AS start_tok FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(start_tok // 2048 AS BIGINT) AS bin_id,
+        |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
+        |FROM c""".stripMargin,
+    // identical output to pack_sequences — the chunked prefix sum is a
+    // physical re-arrangement, not a semantic variant
+    "pack_sequences_skewsafe" ->
       """WITH d AS (SELECT doc_id, source,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
