@@ -87,4 +87,65 @@ object LshJoins {
       .select(bucket :+ col("__anchor").as(outA) :+ col(idCol).as(outB): _*)
     smallPairs.unionByName(starPairs)
   }
+
+  /** [[cappedBandPairs]] with payload columns carried THROUGH the bucket
+    * join: output `(bucketCols…, outA, outB, <p>_a, <p>_b …)` with both
+    * sides' payloads attached, so the caller can verify (cosine, signature
+    * agreement) INSIDE the join's output stream and keep only survivors.
+    *
+    * When to use which: the slim variant + re-attach is right when the
+    * payload is large relative to the candidate count (containment's
+    * shingle arrays — candidates are linear and pre-filtered). This
+    * variant is right when candidates outnumber corpus rows by orders of
+    * magnitude (RP-LSH / within-cell all-pairs at ~100 per bucket →
+    * ~50 candidates per row per band): re-attaching a 0.5 KB vector to a
+    * quadratic-in-bucket pair frame makes the pair frame the dominant
+    * shuffle (measured: the sf10 probe's embedding verify sorted tens of
+    * GB and filled the disk), while carrying the payload through the
+    * band shuffle costs corpus × bands — linear — and the pair stream
+    * with both payloads exists only INSIDE the join's output pipeline,
+    * never on disk.
+    */
+  def cappedBandPairsWithPayload(
+      banded: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      payloadCols: Seq[String],
+      outA: String,
+      outB: String,
+      maxBucket: Int = DefaultMaxBucket,
+      tag: String = "lsh_cap"): DataFrame = {
+    val bucket = bucketCols.map(col)
+    val wAll = Window.partitionBy(bucket: _*)
+    // the anchor's payload rides inside the min-struct: id leads and ids
+    // are unique, so the struct ordering never compares the payload fields
+    val annotated = banded
+      .withColumn("__bsz", count(lit(1)).over(wAll))
+      .withColumn("__anchor",
+        min(struct((col(idCol) +: payloadCols.map(col)): _*)).over(wAll))
+      .observe(
+        tag,
+        sum(when(col("__bsz") > maxBucket &&
+          col(idCol) === col("__anchor").getField(idCol), 1L)
+          .otherwise(0L)).as("hot_buckets"),
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("hot_members"),
+        max(col("__bsz")).as("largest_bucket"))
+    val small = annotated
+      .filter(col("__bsz") <= maxBucket)
+      .select(bucket ++ (col(idCol) +: payloadCols.map(col)): _*)
+    val aSide = small.toDF(bucketCols ++ (outA +: payloadCols.map(_ + "_a")): _*)
+    val bSide = small.toDF(bucketCols ++ (outB +: payloadCols.map(_ + "_b")): _*)
+    val smallPairs = aSide.join(bSide, bucketCols)
+      .filter(col(outA) < col(outB))
+      .select(bucket ++ Seq(col(outA), col(outB)) ++
+        payloadCols.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+    val starPairs = annotated
+      .filter(col("__bsz") > maxBucket &&
+        col(idCol) =!= col("__anchor").getField(idCol))
+      .select(bucket ++ Seq(col("__anchor").getField(idCol).as(outA),
+        col(idCol).as(outB)) ++
+        payloadCols.flatMap(p => Seq(col("__anchor").getField(p).as(s"${p}_a"),
+          col(p).as(s"${p}_b"))): _*)
+    smallPairs.unionByName(starPairs)
+  }
 }

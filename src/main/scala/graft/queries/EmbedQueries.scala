@@ -44,21 +44,23 @@ object EmbedQueries {
     */
   private def cellPairs(
       e: DataFrame, tag: String,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
-    // three consumers below (band build + both re-attach joins): without
-    // this the parquet scan + widening + l2_norm pipeline re-runs per
-    // branch (the same shape DocQueries.shingled checkpoints)
-    val ec = e.localCheckpoint(true)
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame =
+    // The vectors ride THROUGH the single cell-keyed shuffle (corpus × 1 —
+    // linear) and the cosine is computed inside the cell join's output
+    // stream: the within-cell pair frame — the one quadratic frame in
+    // this family — never exists with vectors attached outside the join
+    // pipeline. (The previous slim-pairs + two re-attach joins shape
+    // shuffled pairs × 0.5 KB once the corpus outgrew the broadcast
+    // threshold: the sf10 probe measured a 689× shuffle-byte jump on
+    // exactly this step.)
     graft.operators.LshJoins
-      .cappedBandPairs(ec.select(col("label"), col("vec_id")), Seq("label"),
-        "vec_id", "vec_a", "vec_b", maxBucket, tag)
-      .join(ec.select(col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(ec.select(col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .cappedBandPairsWithPayload(
+        e.select(col("label"), col("vec_id"), col("v"), col("nrm")),
+        Seq("label"), "vec_id", Seq("v", "nrm"), "vec_a", "vec_b",
+        maxBucket, tag)
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
-  }
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cosine"))
 
   private val NumQueries = 20
   // thresholds audited by embed_rp_lsh_recall (declared before the
@@ -1805,34 +1807,39 @@ object EmbedQueries {
       maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
       params: Option[(Int, Int)] = None): DataFrame = {
     import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
-    // three consumers (signature pass + both re-attach joins) — run the
-    // scan + widening + l2_norm pipeline once
+    // count() for the adaptive geometry + one banded pass
     val ec = e.localCheckpoint(true)
     val (r, b) = params.getOrElse(rpParams(ec.count()))
     val planes = dyadicPlanes(b * r, 64)
-    // SLIM banded frame — the vectors stay out of the band shuffle; a
-    // degenerate band (e.g. a near-constant embedding cluster) degrades
-    // to linear star pairs (observed metric `rp_lsh_cap`) instead of B².
-    // Band k's bits come from plane rows [k·r, (k+1)·r) — identical
-    // buckets to the legacy packed-16-bit scheme when (r, b) = (4, 4).
+    // The vector payload rides THROUGH the band shuffle (corpus × bands —
+    // linear) and the cosine is verified INSIDE the bucket join's output
+    // stream, so the quadratic-in-bucket candidate frame never carries
+    // vectors to disk. The previous shape — slim candidates, then
+    // re-attach both vectors by join — sort-merge-sorted a ~candidates ×
+    // 0.5 KB frame once the corpus outgrew the broadcast threshold: the
+    // sf10 probe measured tens of GB of sort spill and a disk-full abort
+    // on exactly this step. Survivors-only reach the final distinct (a
+    // pair colliding in several bands yields identical cosines, so
+    // filter-then-distinct ≡ the old distinct-then-verify-once). A
+    // degenerate band still degrades to linear star pairs (observed
+    // metric `rp_lsh_cap`) instead of B². Band k's bits come from plane
+    // rows [k·r, (k+1)·r) — identical buckets to the legacy packed-16-bit
+    // scheme when (r, b) = (4, 4).
     val banded = ec
-      .select(col("vec_id"), explode(array((0 until b).map(k =>
-        struct(lit(k).as("band"),
-          rp_signature(col("v"), planes.slice(k * r, (k + 1) * r)).as("bits"))): _*)).as("rb"))
-      .select(col("vec_id"), col("rb.band").as("band"), col("rb.bits").as("bits"))
-    val cand = graft.operators.LshJoins
-      .cappedBandPairs(banded, Seq("band", "bits"), "vec_id",
-        "vec_a", "vec_b", maxBucket, "rp_lsh_cap")
-      .select("vec_a", "vec_b")
-      .distinct() // a pair can collide in several bands; verify ONCE
-    cand
-      .join(ec.select(col("vec_id").as("vec_a"),
-        col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(ec.select(col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until b).map(k =>
+          struct(lit(k).as("band"),
+            rp_signature(col("v"), planes.slice(k * r, (k + 1) * r)).as("bits"))): _*)).as("rb"))
+      .select(col("vec_id"), col("rb.band").as("band"), col("rb.bits").as("bits"),
+        col("v"), col("nrm"))
+    graft.operators.LshJoins
+      .cappedBandPairsWithPayload(banded, Seq("band", "bits"), "vec_id",
+        Seq("v", "nrm"), "vec_a", "vec_b", maxBucket, "rp_lsh_cap")
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cosine"))
       .filter(col("cosine") >= 0.3)
+      .distinct()
   }
 
   /** PQ structures as reusable CTEs ending in `codes(vec_id, m, code)`

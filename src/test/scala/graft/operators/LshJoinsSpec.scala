@@ -69,32 +69,69 @@ class LshJoinsSpec extends SparkSpec {
     assert(labels.count() == 60)
   }
 
-  test("band-join shuffles carry no array column (slim-key contract)") {
+  test("TEXT band-join shuffles carry no array column (slim-key contract)") {
+    // text LSH keeps the slim contract: shingle/signature payloads are
+    // large relative to candidate counts, so they re-attach per candidate
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val docs = (1L to 30L).map(i => (i, s"token$i alpha beta gamma delta"))
         .toDF("doc_id", "text")
+      val df = DocQueries.minhashLshPairs(docs)
+      val bandKeys = Set("bkey", "bits", "blk", "band", "rot")
+      val offenders = df.queryExecution.executedPlan.collect {
+        case ex: ShuffleExchangeExec => ex
+      }.filter { ex =>
+        ex.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).exists(a => bandKeys(a.name))
+          case _ => false
+        }
+      }.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      assert(offenders.isEmpty,
+        s"band shuffle ships an array column:\n${offenders.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("EMBEDDING pair-frame exchanges carry no array column (payload-through-band contract)") {
+    // the embedding family inverts the contract (measured, sf10 probe):
+    // candidates outnumber corpus rows ~50:1, so the 0.5 KB vector rides
+    // the band shuffle ONCE (corpus × bands — linear) and cosine is
+    // verified inside the bucket join's output stream. What must never
+    // happen is the reverse: an exchange keyed by pair ids (vec_a/vec_b —
+    // the dedup or re-attach shape) shipping array columns — that is the
+    // candidates × 0.5 KB sort that filled the disk at sf10.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
       val e = (1L to 30L).map(i => (i, i % 3, Array.fill(8)(i.toFloat)))
         .toDF("vec_id", "label", "embedding")
-      for (df <- Seq(DocQueries.minhashLshPairs(docs),
-                     EmbedQueries.rpLshPairs(
-                       e.select(col("vec_id"), col("label"),
-                         transform(col("embedding"), _.cast("double")).as("v"))
-                        .withColumn("nrm",
-                          graft.functions.VectorExpressions.l2_norm(col("v")))))) {
-        val bandKeys = Set("bkey", "bits", "blk", "band", "rot")
-        val offenders = df.queryExecution.executedPlan.collect {
-          case ex: ShuffleExchangeExec => ex
-        }.filter { ex =>
-          ex.outputPartitioning match {
-            case h: HashPartitioning =>
-              h.expressions.flatMap(_.references.toSeq).exists(a => bandKeys(a.name))
-            case _ => false
-          }
-        }.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
-        assert(offenders.isEmpty,
-          s"band shuffle ships an array column:\n${offenders.mkString("\n")}")
+      val df = EmbedQueries.rpLshPairs(
+        e.select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+         .withColumn("nrm", graft.functions.VectorExpressions.l2_norm(col("v"))))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case ex: ShuffleExchangeExec => ex
       }
+      val pairKeyed = exchanges.filter { ex =>
+        ex.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq)
+              .exists(a => a.name == "vec_a" || a.name == "vec_b")
+          case _ => false
+        }
+      }
+      val offenders = pairKeyed.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      assert(offenders.isEmpty,
+        s"pair-keyed exchange ships an array column:\n${offenders.mkString("\n")}")
+      // and the band shuffle does carry the payload — the linear leg exists
+      val bandKeyed = exchanges.filter { ex =>
+        ex.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq).exists(a => a.name == "bits")
+          case _ => false
+        }
+      }
+      assert(bandKeyed.exists(_.output.exists(_.dataType.isInstanceOf[ArrayType])),
+        "expected the band shuffle to carry the vector payload (linear leg)")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 }
