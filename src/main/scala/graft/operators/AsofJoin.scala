@@ -79,6 +79,14 @@ object AsofJoin {
     * partitioning on the lexicographic key — so chunk adjacency is time
     * adjacency and the cascade is exact. Same chunk+stitch shape as the
     * skew-safe sessionize and the ev44 cue-chain walk.
+    *
+    * Precondition (shared with [[asofJoin]], where it is merely latent):
+    * right-side (key…, ts) should be unique — at an equal-timestamp
+    * right-row tie ANY as-of implementation picks an arbitrary row, and
+    * here the arbitrary pick can additionally differ from the
+    * single-window form's when the tie straddles a chunk boundary.
+    * Callers wanting determinism pre-aggregate the right side (e.g.
+    * max(value) per (key, ts) — see asof_latest_click).
     */
   def asofJoinChunked(
       left: DataFrame,
@@ -102,10 +110,21 @@ object AsofJoin {
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
+    // localCheckpoint pins the chunk numbering: __pid is read by TWO
+    // consumers (the local fill and the stitch frame joined back on it),
+    // and without materialization each consumer re-reads the range
+    // exchange independently — AQE may localize or re-plan one read and
+    // renumber its partitions, silently misaligning the stitch (observed:
+    // nondeterministic null fills at sf0.1 before this pin). The frame is
+    // the slim tagged projection only. At cluster scale the
+    // materialization-free alternative is explicit sampled range
+    // boundaries + a broadcast binary-search chunk id — deterministic
+    // data-derived numbering — at the cost of an eager sampling pass.
     val parted = lTagged.unionByName(rTagged)
       .repartitionByRange(chunks,
         keyCols.map(col) ++ Seq(col(tsCol), col("__side")): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window
       .partitionBy((col("__pid") +: keyCols.map(col)): _*)
       .orderBy(col(tsCol), col("__side"))

@@ -49,8 +49,15 @@ object PrefixSum {
         .contains(df.schema(valueCol).dataType)
     }, s"$valueCol: chunked running sum re-groups additions — integral types only")
     val rangeKeys: Seq[Column] = (keyCols ++ orderCols).map(col)
+    // localCheckpoint pins the chunk numbering: __pid feeds TWO consumers
+    // (local sums and the offsets frame joined back on it); an unpinned
+    // re-read of the range exchange can be re-planned by AQE and
+    // renumbered, misaligning the offsets (observed on the chunked as-of
+    // before the same pin — see AsofJoin.asofJoinChunked's note, incl.
+    // the sampled-boundaries alternative for cluster scale).
     val parted = df.repartitionByRange(chunks, rangeKeys: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window
       .partitionBy((col("__pid") +: keyCols.map(col)): _*)
       .orderBy(orderCols.map(col): _*)

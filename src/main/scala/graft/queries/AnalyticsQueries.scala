@@ -101,8 +101,13 @@ object AnalyticsQueries {
       val ev = Graft.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      // unique (user, ts) on the right: equal-timestamp clicks make the
+      // as-of pick undefined (any engine may pick either); max(value) is
+      // the order-free deterministic choice, applied identically in the
+      // oracle (the orders_value_quartiles determinism rule)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(col("value")).as("click_value"))
       AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_value"))
     },
 
@@ -116,8 +121,13 @@ object AnalyticsQueries {
       val ev = Graft.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      // unique (user, ts) on the right: equal-timestamp clicks make the
+      // as-of pick undefined (any engine may pick either); max(value) is
+      // the order-free deterministic choice, applied identically in the
+      // oracle (the orders_value_quartiles determinism rule)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("value").as("click_value"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(col("value")).as("click_value"))
       AsofJoin.asofJoinChunked(purchases, clicks, Seq("user_id"), "ts_us",
         Seq("click_value"), s.sparkContext.defaultParallelism * 4)
     },
@@ -1016,8 +1026,8 @@ object AnalyticsQueries {
     "asof_latest_click" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS click_value FROM events
-        |      WHERE event_type = 'click')
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
@@ -1026,8 +1036,8 @@ object AnalyticsQueries {
     "asof_latest_click_skewsafe" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS click_value FROM events
-        |      WHERE event_type = 'click')
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
