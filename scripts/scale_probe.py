@@ -45,7 +45,12 @@ def main():
     names = sorted(set.intersection(*(set(q) for _, q in runs)))
     rows = []
     for name in names:
+        # a failed query records min == -1; it must not flow into the fit
+        # as a plausible-looking time, and a fit on fewer points than
+        # scales must be visible (coverage shrank)
         tpts = [(sf, q[name].get("min", q[name].get("median"))) for sf, q in runs]
+        failed = [f"sf{sf:g}" for sf, t in tpts if t is None or t < 0]
+        tpts = [(sf, t) for sf, t in tpts if t is not None and t >= 0]
         bpts = [
             (sf, (q[name].get("bytes") or {}).get("shuffle_write", -1))
             for sf, q in runs
@@ -58,32 +63,45 @@ def main():
                 "query": name,
                 "t": {f"sf{sf:g}": round(t, 3) for sf, t in tpts},
                 "t_exp": slope(tpts),
+                "t_pts": len(tpts),
+                "failed_at": failed,
                 "shuffle_write": {f"sf{sf:g}": b for sf, b in bpts},
                 "sw_exp": slope(bpts),
+                "sw_pts": sum(1 for _, b in bpts if b and b > 0),
                 "spill_disk_max": spill,
             }
         )
     rows.sort(key=lambda r: -(r["t_exp"] or 0))
     print(f"{'query':34s} {'t_exp':>6s} {'sw_exp':>6s} " + " ".join(f"t(sf{sf:g})" for sf in sfs))
     flagged = []
+    partial = []
     for r in rows:
         te = f"{r['t_exp']:.2f}" if r["t_exp"] is not None else "-"
         se = f"{r['sw_exp']:.2f}" if r["sw_exp"] is not None else "-"
-        ts = " ".join(f"{r['t'][f'sf{sf:g}']:8.2f}" for sf in sfs)
+        # failed scale points print as FAIL, never as a plausible time
+        ts = " ".join(
+            f"{r['t'][k]:8.2f}" if (k := f"sf{sf:g}") in r["t"] else f"{'FAIL':>8s}"
+            for sf in sfs
+        )
         mark = ""
         if (r["t_exp"] or 0) > 1.2 or (r["sw_exp"] or 0) > 1.1:
             mark = "  <-- superlinear"
             flagged.append(r["query"])
+        if r["failed_at"]:
+            mark += f"  !! fit on {r['t_pts']}/{len(sfs)} points (failed: {','.join(r['failed_at'])})"
+            partial.append(r["query"])
         print(f"{r['query']:34s} {te:>6s} {se:>6s} {ts}{mark}")
     out = {
         "scales": sfs,
         "flag_rule": "t_exp > 1.2 or shuffle_write_exp > 1.1",
         "flagged": flagged,
+        "partial_fit": partial,
         "rows": rows,
     }
     with open("bench_results/scale_probe_summary.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(f"\nflagged: {flagged or 'none'}; summary -> bench_results/scale_probe_summary.json")
+    print(f"\nflagged: {flagged or 'none'}; partial fits: {partial or 'none'}; "
+          "summary -> bench_results/scale_probe_summary.json")
 
 
 if __name__ == "__main__":

@@ -45,14 +45,21 @@ object Bench {
     def snap(): Array[Long] = Array.tabulate(5)(a.get)
     /** Poll until the async listener bus has drained (counters stable
       * across a sleep window) — there is no public flush API. Runs in the
-      * untimed gap between samples.
+      * untimed gap between samples. The second element is false when the
+      * loop exited via the iteration cap WITHOUT observing stability — a
+      * still-draining bus misattributes bytes to the adjacent query, so
+      * the instability must surface in the artifact, not vanish.
       */
-    def quiesced(): Array[Long] = {
+    def quiesced(): (Array[Long], Boolean) = {
       var prev = snap(); var cur = prev; var i = 0
-      do {
+      var stable = false
+      while (!stable && i < 30) {
         prev = cur; Thread.sleep(60); cur = snap(); i += 1
-      } while (!java.util.Arrays.equals(prev, cur) && i < 30)
-      cur
+        stable = java.util.Arrays.equals(prev, cur)
+      }
+      if (!stable)
+        System.err.println("[bench] WARNING: listener bus still draining after quiesce cap; byte attribution for the adjacent query is suspect")
+      (cur, stable)
     }
   }
 
@@ -73,11 +80,12 @@ object Bench {
     val meter = new ByteMeter
     spark.sparkContext.addSparkListener(meter)
     // last observed per-query byte deltas (bytes are plan-deterministic, so
-    // any sample's delta is representative; the last one wins)
-    val bytesByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+    // any sample's delta is representative; the last one wins), plus
+    // whether BOTH bracketing quiesces observed stability
+    val bytesByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Array[Long], Boolean)]
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val before = meter.quiesced()
+      val (before, beforeStable) = meter.quiesced()
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -98,8 +106,9 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       if (elapsed >= 0) {
-        val after = meter.quiesced()
-        bytesByQuery(name) = Array.tabulate(5)(i => after(i) - before(i))
+        val (after, afterStable) = meter.quiesced()
+        bytesByQuery(name) =
+          (Array.tabulate(5)(i => after(i) - before(i)), beforeStable && afterStable)
       }
       elapsed
     }
@@ -128,17 +137,28 @@ object Bench {
     // iterating on one plan — never set by the driver)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Audit-only queries (SparkEntry.auditOnlyQueries): still run and
+    // recorded, but bucketed out of the headline total — they certify an
+    // operator at sample scale and are non-scalable BY DESIGN, so leaving
+    // them in the timed total makes it a scaling-meaningless number.
+    // Scale (sf >= 1) runs drop them entirely with
+    // SPARK_GRAFT_BENCH_SKIP_AUDIT=1.
+    val skipAudit = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP_AUDIT", "0") == "1"
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // One UNTIMED pass of every query before the timed samples: the first
-    // execution of a plan pays whole-stage-codegen javac/JIT compilation
-    // (observed 27s-vs-4s first-sample skew on heavy queries under driver
-    // load), which is startup cost, not plan cost. Median-of-3 already
-    // discards one outlier; the warm-up keeps JIT out of ALL samples so
-    // first/median ratios stay comparable. Disable via
-    // SPARK_GRAFT_BENCH_WARMUP=0 when iterating.
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      .filter { case (n, _) => !(skipAudit && SparkEntry.auditOnlyQueries(n)) }
+    // UNTIMED warm-up passes of every query before the timed samples: the
+    // first executions of a plan pay whole-stage-codegen javac/JIT + code-
+    // cache compilation (observed 27s-vs-4s first-sample skew on heavy
+    // queries; r9 measured the inflation reaching into pass 2 on the full
+    // 195-query suite), which is startup cost, not plan cost. The warm-up
+    // keeps JIT out of ALL samples so first/median ratios stay comparable.
+    // SPARK_GRAFT_BENCH_WARMUP=N runs N full untimed passes (0 disables;
+    // default 1; the clean-artifact protocol uses 2).
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    (1 to warmupPasses).foreach { _ =>
       names.foreach { case (name, fn) => runOne(name, fn) }
+    }
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     (1 to runs).foreach { _ =>
@@ -171,9 +191,14 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // headline total = TIMED queries only; audit-only certifiers get
+    // their own bucket so the total stays comparable across scales
+    val (auditResults, timedResults) =
+      results.partition { case (n, _) => SparkEntry.auditOnlyQueries(n) }
+    val total = timedResults.map(_._2).filter(_ >= 0).sum
+    val auditTotal = auditResults.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"audit_total_sec":${num(auditTotal)}}"""
     println(line)
     // the stdout line rides a log capture that has truncated its tail in
     // past rounds; ALSO write the complete per-query artifact (medians +
@@ -191,12 +216,14 @@ object Bench {
         val raw = samples(name).map(num).mkString("[", ",", "]")
         val ok  = samples(name).filter(_ >= 0)
         val mn  = if (ok.isEmpty) -1.0 else ok.min
-        val b   = bytesByQuery.getOrElse(name, Array.fill(5)(-1L))
-        val bs  = s""","bytes":{"shuffle_write":${b(0)},"shuffle_read":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)},"input":${b(4)}}"""
-        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$bs}"""
+        val (b, stable) = bytesByQuery.getOrElse(name, (Array.fill(5)(-1L), true))
+        val unstable = if (stable) "" else ""","bytes_unstable":true"""
+        val audit = if (SparkEntry.auditOnlyQueries(name)) ""","audit":true""" else ""
+        val bs  = s""","bytes":{"shuffle_write":${b(0)},"shuffle_read":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)},"input":${b(4)}$unstable}"""
+        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$audit$bs}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(outPath,
-        s"""{"total_sec":${num(total)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
+        s"""{"total_sec":${num(total)},"audit_total_sec":${num(auditTotal)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
     }
     spark.stop()
   }

@@ -38,11 +38,14 @@ object SkewGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // Files.walk streams must be closed (each holds open directory fds)
     def copyDir(a: Path, b: Path): Unit =
-      Files.walk(a).forEach { p =>
-        val q = b.resolve(a.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(q)
-        else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
+      scala.util.Using.resource(Files.walk(a)) { walk =>
+        walk.forEach { p =>
+          val q = b.resolve(a.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(q)
+          else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>

@@ -16,4 +16,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     StreamQueries.sql ++ DocQueries.sql ++ EmbedQueries.sql ++ AnalyticsQueries.sql
+
+  /** Queries that exist to AUDIT a production operator at sample scale
+    * and are deliberately non-scalable by design (embed_rp_lsh_recall
+    * compares LSH recall against the quadratic brute-force truth set —
+    * something you certify on a sample, never run on the corpus). Still
+    * correctness-gated like every other query, but Bench buckets them
+    * separately (`audit_total_sec`) so the timed suite total stays a
+    * scaling-meaningful number, and scale (sf ≥ 1) runs skip them via
+    * SPARK_GRAFT_BENCH_SKIP_AUDIT=1.
+    */
+  def auditOnlyQueries: Set[String] = Set("embed_rp_lsh_recall")
 }

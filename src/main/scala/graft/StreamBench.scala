@@ -70,6 +70,7 @@ object StreamBench {
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
 
     wireBench(spark)
+    wideArrayBench(spark)
     decodeBench(spark)
     statefulBench(spark)
     spark.stop()
@@ -166,6 +167,107 @@ object StreamBench {
     val cues = spark.read.parquet(s"$out/data/entry/events/cue").count()
     require(cues > 0, "cue chain never fired — cross-batch state untested")
     println(f"""{"metric":"stream_events_per_sec","value":${events / sec}%.1f,"unit":"events/s","messages":$msgs,"events":$events,"batches":$batches,"cues":$cues,"cue_interval":50000,"sec":$sec%.2f}""")
+  }
+
+  /** Wide-array (tensor payload) wire→sink throughput: real detector
+    * loads are dominated not by f144 scalars but by da00/ad00 messages
+    * carrying kilobyte element arrays, so the scalar-path
+    * `stream_events_per_sec` alone under-describes the sink. This drives
+    * the same full path — raw FlatBuffers wire bytes → envelope + payload
+    * decode → route → kernel → module transform (da00 per-variable pivot,
+    * ad00 shape carry) → parquet append — with a 50/50 da00/ad00 mix:
+    * da00 messages carry one 2048-element f64 variable (16 KB payload),
+    * ad00 a 32×32 f64 frame (8 KB). Reported as ELEMENTS/s (the payload
+    * throughput) alongside msg/s; artifact line in
+    * `bench_results/stream_bench.jsonl`.
+    */
+  private def wideArrayBench(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Decode, FbEncoders}
+    val msgs     = sys.env.getOrElse("SPARK_GRAFT_WIDE_MSGS", "20000").toInt
+    val batches  = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val da00Elems = 2048
+    val ad00Side  = 32 // 32x32 frame
+
+    val template =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "image", "type": "group", "children": [
+        |      { "module": "da00",
+        |        "config": { "source": "arr", "topic": "tp",
+        |                    "variables": [ {"name": "signal",
+        |                                    "data_type": "float64",
+        |                                    "axes": ["x"],
+        |                                    "shape": [2048]} ] } } ] },
+        |    { "name": "frames", "type": "group", "children": [
+        |      { "module": "ad00",
+        |        "config": { "source": "img", "topic": "tp",
+        |                    "cue_interval": 500 } } ] }
+        |  ] } ] }""".stripMargin
+
+    val out = java.nio.file.Files.createTempDirectory("graft-widebench").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(template), out,
+      startMs = 0, stopMs = 1L << 40)
+
+    // bench-only wire generators (UDFs are fine off the measured path);
+    // values vary per message so parquet encoding sees real entropy
+    val genDa00 = udf((id: Long) =>
+      FbEncoders.da00("arr", (1000L + id) * 1000000L, Seq(
+        FbEncoders.Da00Var("signal", "counts", "", Seq("x"), Seq(da00Elems.toLong),
+          "float64", Seq.tabulate(da00Elems)(j => (id % 97) + j * 0.5)))))
+    val genAd00 = udf((id: Long) =>
+      FbEncoders.ad00("img", (1000L + id) * 1000000L,
+        Seq(ad00Side.toLong, ad00Side.toLong),
+        Seq.tabulate(ad00Side * ad00Side)(j => (id % 89) + j * 0.25)))
+    val perBatch = msgs / batches
+    val wireBatches = (0 until batches).map { b =>
+      val base = (b * perBatch).toLong
+      val w = spark.range(perBatch)
+        .select((col("id") + base).as("offset"),
+          when(col("id") % 2 === 0, genDa00(col("id") + base))
+            .otherwise(genAd00(col("id") + base)).as("value"))
+        .persist()
+      w.count() // materialize outside the timed window
+      w
+    }
+
+    val t0 = System.nanoTime()
+    wireBatches.foreach { wire =>
+      val decoded = wire
+        .withColumn("env", Decode.decode_envelope(col("value")))
+        .withColumn("topic", lit("tp"))
+      job.processBatch("da00", decoded
+        .filter(col("env.schema_id") === "da00")
+        .withColumn("d", Decode.decode_da00(col("value")))
+        .select(col("topic"), col("d.source_name").as("source_name"),
+          col("offset"), col("env.timestamp").as("ts"),
+          explode(col("d.data")).as("v"))
+        .select(col("topic"), col("source_name"), col("offset"), col("ts"),
+          col("v.name").as("name"),
+          element_at(col("v.axes"), 1).as("axis_name"),
+          col("v.data").as("data")))
+      job.processBatch("ad00", decoded
+        .filter(col("env.schema_id") === "ad00")
+        .withColumn("d", Decode.decode_ad00(col("value")))
+        .select(col("topic"), col("d.source_name").as("source_name"),
+          col("offset"), col("env.timestamp").as("ts"),
+          col("d.dimensions").as("dimensions"),
+          col("d.data").as("data")))
+    }
+    job.finish()
+    val sec = (System.nanoTime() - t0) / 1e9
+    wireBatches.foreach(_.unpersist(blocking = false))
+
+    // sanity OUTSIDE the timed window: every message landed with its
+    // full payload
+    val da00Msgs = (msgs + 1) / 2
+    val ad00Msgs = msgs - da00Msgs
+    val daRows = spark.read.parquet(s"$out/data/entry/image/data").count()
+    require(daRows == da00Msgs.toLong, s"da00 sink holds $daRows of $da00Msgs")
+    val adRows = spark.read.parquet(s"$out/data/entry/frames/data").count()
+    require(adRows == ad00Msgs.toLong, s"ad00 sink holds $adRows of $ad00Msgs")
+    val elems = da00Msgs.toLong * da00Elems + ad00Msgs.toLong * ad00Side * ad00Side
+    println(f"""{"metric":"stream_wide_elems_per_sec","value":${elems / sec}%.1f,"unit":"elems/s","messages":$msgs,"elements":$elems,"msg_per_sec":${msgs / sec}%.1f,"da00_elems":$da00Elems,"ad00_shape":"${ad00Side}x$ad00Side","batches":$batches,"sec":$sec%.2f}""")
   }
 
   /** Stateful-operator throughput at production trigger sizes: the

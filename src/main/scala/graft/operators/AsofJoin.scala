@@ -72,8 +72,11 @@ object AsofJoin {
     *     fill value at the chunk's max (ts, side)) and cascades carry-ins
     *     across chunks with the SAME carry-forward window, now over the
     *     tiny frame;
-    *  3. carry-ins broadcast-join back and fill the rows a chunk's own
-    *     history could not.
+    *  3. carry-ins join back on (chunk, key) and fill the rows a chunk's
+    *     own history could not. No broadcast hint: the stitch frame is one
+    *     row per (chunk, key), so at high key cardinality a forced
+    *     broadcast is a driver OOM — AQE picks broadcast when the frame
+    *     measures small at runtime and a shuffle join otherwise.
     *
     * Within a key, partition id is monotone in (ts, side) — range
     * partitioning on the lexicographic key — so chunk adjacency is time
@@ -110,21 +113,17 @@ object AsofJoin {
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
-    // localCheckpoint pins the chunk numbering: __pid is read by TWO
-    // consumers (the local fill and the stitch frame joined back on it),
-    // and without materialization each consumer re-reads the range
-    // exchange independently — AQE may localize or re-plan one read and
-    // renumber its partitions, silently misaligning the stitch (observed:
-    // nondeterministic null fills at sf0.1 before this pin). The frame is
-    // the slim tagged projection only. At cluster scale the
-    // materialization-free alternative is explicit sampled range
-    // boundaries + a broadcast binary-search chunk id — deterministic
-    // data-derived numbering — at the cost of an eager sampling pass.
-    val parted = lTagged.unionByName(rTagged)
-      .repartitionByRange(chunks,
-        keyCols.map(col) ++ Seq(col(tsCol), col("__side")): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+    // chunk numbering is strategy-pluggable (ChunkIds): `checkpoint` pins
+    // a range exchange's partition ids with localCheckpoint — __pid is
+    // read by TWO consumers (the local fill and the stitch frame joined
+    // back on it), and without the pin an AQE re-plan of one consumer's
+    // read renumbers its partitions, silently misaligning the stitch
+    // (observed: nondeterministic null fills at sf0.1). `sampled` derives
+    // __pid from sampled boundary literals — deterministic, recomputable,
+    // no materialization: the cluster-scale strategy.
+    val parted = ChunkIds.withChunkIds(
+      lTagged.unionByName(rTagged),
+      keyCols.map(col) ++ Seq(col(tsCol), col("__side")), chunks)
     val wLocal = Window
       .partitionBy((col("__pid") +: keyCols.map(col)): _*)
       .orderBy(col(tsCol), col("__side"))
@@ -150,7 +149,7 @@ object AsofJoin {
     }.select((col("__pid") +: keyCols.map(col)) ++
       valueCols.map(c => col(s"__in_$c")): _*)
     val stitched = valueCols.foldLeft(
-      localFilled.join(broadcast(carryIn), "__pid" +: keyCols, "left")) { (df, c) =>
+      localFilled.join(carryIn, "__pid" +: keyCols, "left")) { (df, c) =>
       df.withColumn(c, coalesce(col(c), col(s"__in_$c")))
     }
     stitched.filter(col("__side") === 1)

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *     rows per key regardless of data volume — get an exclusive running
   *     sum over chunks (the tiny stitch window), giving each chunk its
   *     carry-in offset;
-  *  4. offsets broadcast-join back and shift the local sums.
+  *  4. offsets join back on (chunk, key) and shift the local sums. The
+  *     join carries NO broadcast hint: the stitch frame is small per KEY
+  *     but holds one row per (chunk, key) — with 10⁸ distinct keys a
+  *     forced broadcast is a driver OOM. AQE broadcasts it at runtime
+  *     when it measures small and shuffles it otherwise (the big side
+  *     is re-shuffling onto (chunk, key…) for the window anyway).
   *
   * Within a key, partition id is monotone in ord (range partitioning on
   * the lexicographic key), so chunk order IS ord order and the offsets are
@@ -49,15 +54,13 @@ object PrefixSum {
         .contains(df.schema(valueCol).dataType)
     }, s"$valueCol: chunked running sum re-groups additions — integral types only")
     val rangeKeys: Seq[Column] = (keyCols ++ orderCols).map(col)
-    // localCheckpoint pins the chunk numbering: __pid feeds TWO consumers
-    // (local sums and the offsets frame joined back on it); an unpinned
-    // re-read of the range exchange can be re-planned by AQE and
-    // renumbered, misaligning the offsets (observed on the chunked as-of
-    // before the same pin — see AsofJoin.asofJoinChunked's note, incl.
-    // the sampled-boundaries alternative for cluster scale).
-    val parted = df.repartitionByRange(chunks, rangeKeys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+    // chunk numbering is strategy-pluggable (ChunkIds): `checkpoint`
+    // pins a range exchange's partition ids with localCheckpoint so the
+    // TWO consumers of __pid (local sums and the offsets frame joined
+    // back on it) cannot be renumbered by an AQE re-plan; `sampled`
+    // derives __pid from sampled boundary literals — recomputable, no
+    // materialization, the cluster-scale strategy.
+    val parted = ChunkIds.withChunkIds(df, rangeKeys, chunks)
     val wLocal = Window
       .partitionBy((col("__pid") +: keyCols.map(col)): _*)
       .orderBy(orderCols.map(col): _*)
@@ -75,7 +78,7 @@ object PrefixSum {
       .withColumn("__carry_in",
         coalesce(sum(col("__chunk_total")).over(wStitch), lit(0L)))
       .select((col("__pid") +: keyCols.map(col)) :+ col("__carry_in"): _*)
-    local.join(broadcast(offsets), "__pid" +: keyCols)
+    local.join(offsets, "__pid" +: keyCols)
       .withColumn(outCol, col(outCol) + col("__carry_in"))
       .drop("__pid", "__carry_in")
   }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The chunk+stitch operators must be numbering-strategy-agnostic
+  * (ChunkIds: `checkpoint` vs `sampled` produce identical OUTPUT), and
+  * must survive HIGH KEY CARDINALITY: the stitch frame holds one row per
+  * (chunk, key), so with 10⁶ distinct keys a forced broadcast of it would
+  * be a driver OOM at cluster scale — the join must carry no broadcast
+  * hint and the plan must leave the choice to AQE.
+  */
+class ChunkNumberingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(ChunkIds.ConfKey, mode)
+    try body finally spark.conf.unset(ChunkIds.ConfKey)
+  }
+
+  private val prefixRows = ((0 until 10000).map(i => ("hot", f"$i%06d", 1L)) ++
+    Seq(("cold", "a", 5L), ("cold", "b", 7L), ("cold", "c", 11L)))
+
+  private def prefixOut(): Map[(String, String), Long] =
+    PrefixSum.runningSumExclusive(
+      prefixRows.toDF("k", "ord", "v").repartition(8),
+      Seq("k"), Seq("ord"), "v", "cum", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+
+  private def asofOut(): Map[Long, Option[Double]] = {
+    val purchases = (0 until 3000).map(i => (i.toLong, 0L, i.toLong * 1000000L)) ++
+      Seq((9001L, 1L, 5L), (9002L, 1L, 50L), (9003L, 2L, 7L))
+    val clicks = Seq(
+      (0L, 0L, 111.0), (0L, 1000000000L, 222.0), (0L, 2500000000L, 333.0),
+      (1L, 20L, 444.0), (2L, 7L, 555.0))
+    AsofJoin.asofJoinChunked(
+      purchases.toDF("event_id", "user_id", "ts_us"),
+      clicks.toDF("user_id", "ts_us", "click_value"),
+      Seq("user_id"), "ts_us", Seq("click_value"), 64)
+      .select("event_id", "click_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+  }
+
+  test("sampled numbering: prefix sum output identical to checkpoint numbering") {
+    val cp = withMode("checkpoint")(prefixOut())
+    val sm = withMode("sampled")(prefixOut())
+    assert(sm.size == 10003)
+    assert(sm == cp)
+    // and both match the hand math, not just each other
+    assert(sm(("hot", "007777")) == 7777L)
+    assert(sm(("cold", "c")) == 12L)
+  }
+
+  test("sampled numbering: chunked as-of output identical to checkpoint numbering") {
+    val cp = withMode("checkpoint")(asofOut())
+    val sm = withMode("sampled")(asofOut())
+    assert(sm.size == 3003)
+    assert(sm == cp)
+    assert(sm(2999L).contains(333.0)) // carry cascaded across click-free chunks
+    assert(sm(9001L).isEmpty)         // left row before any right row
+  }
+
+  test("sampled numbering materializes nothing: no checkpointed RDD scan in the plan") {
+    withMode("sampled") {
+      val df = PrefixSum.runningSumExclusive(
+        prefixRows.toDF("k", "ord", "v"), Seq("k"), Seq("ord"), "v", "cum", 16)
+      // checkpoint mode bottoms out in `Scan ExistingRDD` (PrefixSumSpec
+      // pins that); sampled mode must stay a pure recomputable lineage
+      assert(!df.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+        "sampled numbering must not materialize the chunk frame")
+    }
+  }
+
+  test("1e6 distinct keys: stitch join carries no broadcast hint and completes") {
+    // one million keys, two rows each — the stitch frame itself holds ~1e6
+    // rows, the exact regime where a forced broadcast is a driver OOM at
+    // cluster scale. The logical plan must carry NO hint (AQE free to pick
+    // a shuffle join from measured sizes), and the job must complete with
+    // exact results, checked DISTRIBUTED (no 2M-row collect).
+    val n = 1000000L
+    val df = spark.range(n).select(
+        col("id").as("k"), lit("a").as("ord"), (col("id") % 7).cast("long").as("v"))
+      .unionAll(spark.range(n).select(
+        col("id").as("k"), lit("b").as("ord"), lit(1L).as("v")))
+    val out = PrefixSum.runningSumExclusive(df, Seq("k"), Seq("ord"), "v", "cum", 32)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "stitch join must not force a broadcast (1e6-key stitch frame)")
+    // per key: cum('a') = 0, cum('b') = k % 7 → sum over all rows of cum
+    // = Σ_{k<n} (k % 7); rows where cum is wrong would break either sum
+    val got = out.agg(
+      sum(col("cum")).as("s"), count(lit(1)).as("c"),
+      sum(when(col("ord") === "a" && col("cum") =!= 0L, 1).otherwise(0)).as("badA"))
+      .collect()(0)
+    val expect = (0L until n).map(_ % 7).sum
+    assert(got.getLong(1) == 2 * n)
+    assert(got.getLong(2) == 0L, "every first-of-key row must have cum = 0")
+    assert(got.getLong(0) == expect)
+  }
+
+  test("1e6 distinct keys: chunked as-of carries no broadcast hint and fills exactly") {
+    val n = 1000000L
+    val left = spark.range(n).select(
+      col("id").as("event_id"), col("id").as("user_id"), lit(2L).as("ts_us"))
+    val right = spark.range(n).select(
+      col("id").as("user_id"), lit(1L).as("ts_us"),
+      (col("id") * 2).cast("double").as("click_value"))
+    val out = AsofJoin.asofJoinChunked(
+      left, right, Seq("user_id"), "ts_us", Seq("click_value"), 32)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "stitch join must not force a broadcast (1e6-key stitch frame)")
+    val got = out.agg(
+      count(lit(1)).as("c"),
+      sum(when(col("click_value") =!= col("user_id") * 2.0, 1).otherwise(0)).as("bad"),
+      sum(when(col("click_value").isNull, 1).otherwise(0)).as("nulls"))
+      .collect()(0)
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == 0L)
+    assert(got.getLong(2) == 0L)
+  }
+}
