@@ -67,15 +67,29 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // The generated-class cache (static conf, default 100 entries) is far
+    // too small for a 195-plan suite visited round-robin: every plan's
+    // WholeStageCodegen classes are LRU-evicted between two visits of the
+    // same query, so EVERY timed sample pays a fresh Janino compile — a
+    // flat per-query floor that grew with the suite (r10 measured it at
+    // ~+0.08 s/query vs the 119-query r8 suite; raising the cache removes
+    // it). A real deployment runs ONE plan repeatedly — the small cache is
+    // a harness artifact, not a production cost.
+    val codegenCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measure alternate chunk-numbering strategies (ChunkIds.ConfKey)
+    // without touching the default: SPARK_GRAFT_CHUNK_NUMBERING=sampled
+    sys.env.get("SPARK_GRAFT_CHUNK_NUMBERING")
+      .foreach(m => spark.conf.set(graft.operators.ChunkIds.ConfKey, m))
 
     val meter = new ByteMeter
     spark.sparkContext.addSparkListener(meter)
@@ -84,7 +98,18 @@ object Bench {
     // whether BOTH bracketing quiesces observed stability
     val bytesByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Array[Long], Boolean)]
 
+    // Janino compilations inside the timed window, per query sample: a
+    // warm plan should compile NOTHING — a nonzero steady-state count is
+    // the generated-class cache evicting between visits (the flat
+    // per-query floor the r9 artifact suffered). Driver-side registry;
+    // codegen runs on the driver, so no listener lag.
+    def compileCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    val compilesByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val compilesBefore = compileCount()
       val (before, beforeStable) = meter.quiesced()
       val t0 = System.nanoTime()
       val elapsed =
@@ -109,6 +134,7 @@ object Bench {
         val (after, afterStable) = meter.quiesced()
         bytesByQuery(name) =
           (Array.tabulate(5)(i => after(i) - before(i)), beforeStable && afterStable)
+        compilesByQuery(name) = compileCount() - compilesBefore
       }
       elapsed
     }
@@ -220,7 +246,8 @@ object Bench {
         val unstable = if (stable) "" else ""","bytes_unstable":true"""
         val audit = if (SparkEntry.auditOnlyQueries(name)) ""","audit":true""" else ""
         val bs  = s""","bytes":{"shuffle_write":${b(0)},"shuffle_read":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)},"input":${b(4)}$unstable}"""
-        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$audit$bs}"""
+        val cc  = s""","last_sample_compiles":${compilesByQuery.getOrElse(name, -1L)}"""
+        s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$audit$bs$cc}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(outPath,
         s"""{"total_sec":${num(total)},"audit_total_sec":${num(auditTotal)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
