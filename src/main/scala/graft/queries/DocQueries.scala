@@ -719,12 +719,25 @@ object DocQueries {
         .toDF()
     },
 
-    // SimHash near-dup pairs: multi-rotation 16-bit prefix blocking,
-    // verify hamming ≤ 6 (see [[simhashPairs]]).
+    // SimHash near-dup pairs: multi-rotation prefix blocking with
+    // corpus-adaptive block width ([[simhashBlockBits]]), verify
+    // hamming ≤ 6 (see [[simhashPairs]]).
     "dedup_simhash_pairs" -> { (s, dir) =>
       import graft.functions.SimHash32.simhash32
       simhashPairs(
         docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
+    },
+
+    // The SCALED block geometry (20-bit prefixes — what simhashBlockBits
+    // picks past 8.4M docs) forced at gate scale, so the wide-block
+    // engine path AND its oracle mirror are exact-checked by the driver
+    // even though the gate corpus is small (the embed_rp_lsh_wide
+    // pattern).
+    "dedup_simhash_wide" -> { (s, dir) =>
+      import graft.functions.SimHash32.simhash32
+      simhashPairs(
+        docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")),
+        blockBits = Some(20))
     },
 
     // Dedup DROP LIST — the step real pipelines ship: for every verified
@@ -2400,16 +2413,45 @@ object DocQueries {
     * degrades to linear star pairs instead of B² (observed metric
     * `simhash_cap`); hashes re-attach per distinct candidate.
     */
+  /** Expected-occupancy target for the simhash block buckets — the same
+    * constant the RP-LSH banding targets ([[EmbedQueries.RpTargetBucket]]).
+    */
+  final val SimhashTargetBucket = 128
+
+  /** Block width for a corpus of `n` docs: the smallest b ≥ 16 with
+    * n ≤ TargetBucket·2^b, capped at 26 (≥ 6 bits must stay outside the
+    * window so the rotations still move differing bits out of the block).
+    * With the legacy FIXED 16-bit prefix, random block collisions put
+    * ~n²/2¹⁶ spurious candidate pairs into the verify join — measured at
+    * sf10 (500k docs) as a ~1.4×-per-decade super-linear byte factor on
+    * top of the (legitimately growing) true-pair mass, and extrapolating,
+    * the random floor OVERTAKES true pairs near ~5M docs and is fatal at
+    * 50M. Holding expected occupancy ≤ 128 keeps random candidates linear
+    * in n; true near-dup pairs (the output itself) are unaffected because
+    * widening only sharpens the block equality. Same discipline, same
+    * constant, and the same integer-exact oracle mirror as the round-9
+    * RP-LSH fix ([[EmbedQueries.rpParams]]); at every gate/bench corpus
+    * (n ≤ 8.4M) this is bit-identical to the legacy 16-bit scheme, and
+    * the wide path is pinned at gate scale by `dedup_simhash_wide`.
+    */
+  def simhashBlockBits(n: Long): Int = {
+    var b = 16
+    while (b < 26 && n > (SimhashTargetBucket.toLong << b)) b += 1
+    b
+  }
+
   def simhashPairs(
       sh: DataFrame,
       maxHamming: Int = 6,
-      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
+      blockBits: Option[Int] = None): DataFrame = {
     val shc = sh.localCheckpoint() // feeds block build + both verify joins
+    val bb = blockBits.getOrElse(simhashBlockBits(shc.count()))
     val rotBlocks = (0 until 4).map { r =>
       val rot = 8 * r
       struct(lit(r).as("rot"),
         expr(s"((shiftleft(simhash, $rot) % 4294967296) + " +
-          s"shiftright(simhash, ${32 - rot})) >> 16").as("blk"))
+          s"shiftright(simhash, ${32 - rot})) >> ${32 - bb}").as("blk"))
     }
     val blocks = shc
       .select(col("doc_id"), explode(array(rotBlocks: _*)).as("rb"))
@@ -2428,6 +2470,43 @@ object DocQueries {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The adaptive block-width choice of [[simhashBlockBits]] as a one-row
+    * subquery `(bb)` — integer-exact (no float log2): the smallest
+    * bb ≥ 16 with count ≤ TargetBucket·2^bb, capped at 26 (the engine's
+    * while-loop cap mirrors as the COALESCE fallback).
+    */
+  private lazy val SqlSimhashBitsAdaptive: String =
+    s"""SELECT COALESCE(min(bb), 26) AS bb FROM generate_series(16, 26) t(bb)
+       |WHERE (SELECT count(*) FROM documents)
+       |      <= $SimhashTargetBucket * (CAST(1 AS BIGINT) << bb)""".stripMargin
+
+  /** SimHash candidate pairs as reusable CTEs ending in
+    * `cand(doc_a, doc_b, hamming)` — mirrors [[simhashPairs]] exactly for
+    * the block width delivered by `prmSql` (a one-row `(bb)` query): the
+    * top `bb` bits of each of the four byte-rotations key the equality
+    * join, so the bucket structure reproduces the engine's for ANY bb.
+    */
+  private def sqlSimhashCtes(prmSql: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
+       |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |prm AS ($prmSql),
+       |blk AS (
+       |  SELECT doc_id, simhash, r.rot AS rot,
+       |    (((simhash << (8 * r.rot)) % 4294967296) + (simhash >> (32 - 8 * r.rot))) >> (32 - prm.bb) AS blk
+       |  FROM sh, generate_series(0, 3) AS r(rot), prm),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |    FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id))""".stripMargin
 
   /** dedup_substring_spans as reusable CTEs ending in
     * `spd(doc_id, tok_start, tok_end, char_start, char_end, span_fp,
@@ -3132,43 +3211,16 @@ object DocQueries {
         |FROM documents, generate_series(0, 3) AS t(i)
         |WHERE length(text) >= 16""".stripMargin,
     "dedup_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
-        |bits AS (
-        |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
-        |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |blk AS (
-        |  SELECT doc_id, simhash, r.rot AS rot,
-        |    (((simhash << (8 * r.rot)) % 4294967296) + (simhash >> (32 - 8 * r.rot))) >> 16 AS blk
-        |  FROM sh, generate_series(0, 3) AS r(rot))
-        |SELECT DISTINCT doc_a, doc_b, hamming FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |  FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      s"""WITH ${sqlSimhashCtes(SqlSimhashBitsAdaptive)}
+        |SELECT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= 6""".stripMargin,
+    // forced 20-bit blocks: the wide geometry exact-checked at gate scale
+    "dedup_simhash_wide" ->
+      s"""WITH ${sqlSimhashCtes("SELECT 20 AS bb")}
+        |SELECT doc_a, doc_b, hamming FROM cand
         |WHERE hamming <= 6""".stripMargin,
     "simhash_distance_histogram" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |n AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT AS num FROM tok),
-        |bits AS (
-        |  SELECT doc_id, b, sum(2 * ((num >> b) & 1) - 1) AS sgn
-        |  FROM n, generate_series(0, 31) AS t(b) GROUP BY 1, 2),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |blk AS (
-        |  SELECT doc_id, simhash, r.rot AS rot,
-        |    (((simhash << (8 * r.rot)) % 4294967296) + (simhash >> (32 - 8 * r.rot))) >> 16 AS blk
-        |  FROM sh, generate_series(0, 3) AS r(rot)),
-        |cand AS (
-        |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |    FROM blk a JOIN blk b ON a.rot = b.rot AND a.blk = b.blk AND a.doc_id < b.doc_id))
+      s"""WITH ${sqlSimhashCtes(SqlSimhashBitsAdaptive)}
         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM cand GROUP BY hamming""".stripMargin,
     "dedup_drop_list" ->

@@ -50,4 +50,27 @@ class SimHashBlockingSpec extends SparkSpec {
     val out = pairs((0L, 0x01010101L))
     assert(out.isEmpty)
   }
+
+  test("block width scales with corpus size, 16-bit up to 8.4M docs, capped at 26") {
+    // legacy geometry preserved through every gate/bench/probe corpus
+    assert(DocQueries.simhashBlockBits(0) == 16)
+    assert(DocQueries.simhashBlockBits(500000) == 16)
+    assert(DocQueries.simhashBlockBits(128L << 16) == 16)      // boundary in
+    assert(DocQueries.simhashBlockBits((128L << 16) + 1) == 17) // boundary out
+    // the random-collision floor (~n²/2^bb) stays linear: occupancy ≤ 128
+    assert(DocQueries.simhashBlockBits(128L << 20) == 20)
+    assert(DocQueries.simhashBlockBits(Long.MaxValue / 4) == 26) // cap
+  }
+
+  test("wider blocks are a strict candidate subset (sharper equality)") {
+    // same corpus, forced 20-bit vs 16-bit blocks: every wide pair must
+    // also be a legacy pair (widening only sharpens the block equality)
+    val df = Seq.tabulate(64)(i =>
+      (i.toLong, (i.toLong * 0x9E3779B9L) & 0xFFFFFFFFL)).toDF("doc_id", "simhash")
+    def set(bb: Int) = DocQueries.simhashPairs(df, maxHamming = 32,
+        blockBits = Some(bb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = set(20); val legacy = set(16)
+    assert(wide.subsetOf(legacy), "wide blocks must not invent pairs")
+  }
 }
