@@ -18,6 +18,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder-side alternate-strategy gate runs (never set by the driver):
+    // SPARK_GRAFT_CHUNK_NUMBERING=sampled re-runs the chunk+stitch
+    // queries under the sampled numbering for an oracle-exact check
+    sys.env.get("SPARK_GRAFT_CHUNK_NUMBERING")
+      .foreach(m => spark.conf.set(graft.operators.ChunkIds.ConfKey, m))
     new java.io.File(outDir).mkdirs()
     // Schema-drift canary: print each driver table's physical schema up
     // front and fail fast (readable observed-vs-expected message) if the
