@@ -67,6 +67,40 @@ object Diag {
         occ.orderBy(desc("b")).show(20, false)
         val out = SparkEntry.queries("winnow_matches")(spark, sfDir)
         println(s"winnow_matches output pairs: ${out.count()}")
+      case "explain" =>
+        // AQE-final plan of a named query at this SF: execute (collect
+        // drives AQE to its final plan), then summarize the join
+        // strategies — the broadcast→shuffle flip evidence
+        val name = args(1)
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        println(plan)
+        Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin").foreach { j =>
+          println(s"JOINCOUNT $j = ${j.r.findAllIn(plan).length}")
+        }
+      case "stages" =>
+        // per-stage shuffle-write bytes for a named query: which exchange
+        // grows across scales
+        val name = args(1)
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = s.stageInfo.taskMetrics
+            rows.add((s.stageInfo.stageId, m.shuffleWriteMetrics.bytesWritten,
+              m.shuffleReadMetrics.totalBytesRead,
+              s.stageInfo.name.take(60)))
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        SparkEntry.queries(name)(spark, sfDir).collect()
+        Thread.sleep(2000)
+        import scala.jdk.CollectionConverters._
+        rows.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (id, w, r, n) =>
+          println(f"STAGE $id%4d write=${w / 1e6}%10.1f MB read=${r / 1e6}%10.1f MB  $n")
+        }
       case other => sys.error(s"unknown diag: $other")
     }
     spark.stop()

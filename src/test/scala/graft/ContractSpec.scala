@@ -29,4 +29,12 @@ class ContractSpec extends SparkSpec {
   test("the flagship entry returns rows on the smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("audit-only names resolve: a typo would silently un-bucket a query") {
+    val phantom = SparkEntry.auditOnlyQueries -- SparkEntry.queries.keySet
+    assert(phantom.isEmpty, s"audit names without queries: $phantom")
+    // audit queries stay correctness-gated: each must keep its oracle
+    val unoracled = SparkEntry.auditOnlyQueries -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"audit queries without oracles: $unoracled")
+  }
 }
