@@ -2445,7 +2445,7 @@ object DocQueries {
       maxHamming: Int = 6,
       maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
       blockBits: Option[Int] = None): DataFrame = {
-    val shc = sh.localCheckpoint() // feeds block build + both verify joins
+    val shc = sh.localCheckpoint() // feeds the width count + block build
     val bb = blockBits.getOrElse(simhashBlockBits(shc.count()))
     val rotBlocks = (0 until 4).map { r =>
       val rot = 8 * r
@@ -2454,21 +2454,26 @@ object DocQueries {
           s"shiftright(simhash, ${32 - rot})) >> ${32 - bb}").as("blk"))
     }
     val blocks = shc
-      .select(col("doc_id"), explode(array(rotBlocks: _*)).as("rb"))
-      .select(col("doc_id"), col("rb.rot").as("rot"), col("rb.blk").as("blk"))
-    val cand = graft.operators.LshJoins
-      .cappedBandPairs(blocks, Seq("rot", "blk"), "doc_id",
-        "doc_a", "doc_b", maxBucket, "simhash_cap")
-      .select("doc_a", "doc_b")
-      .distinct() // a pair may collide in several rotations; verify ONCE
-    cand
-      .join(shc.select(col("doc_id").as("doc_a"), col("simhash").as("h_a")), "doc_a")
-      .join(shc.select(col("doc_id").as("doc_b"), col("simhash").as("h_b")), "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .select(col("doc_id"), col("simhash"), explode(array(rotBlocks: _*)).as("rb"))
+      .select(col("doc_id"), col("simhash"),
+        col("rb.rot").as("rot"), col("rb.blk").as("blk"))
+    // the 8-byte signature rides the block shuffle (corpus × 4 rotations —
+    // linear, and a SCALAR, so the text family's no-arrays-on-band-shuffle
+    // contract holds) and hamming is verified INSIDE the bucket join's
+    // output stream: the candidate frame — the only thing here that grows
+    // super-linearly on a clustered corpus — is never joined again, and
+    // the cross-rotation distinct dedups verified SURVIVORS only. The
+    // previous shape distinct-ed all candidates and re-attached the hash
+    // by two joins, which flipped broadcast→sort-merge past ~500k docs
+    // and shuffled the candidate frame three times.
+    graft.operators.LshJoins
+      .cappedBandPairsWithPayload(blocks, Seq("rot", "blk"), "doc_id",
+        Seq("simhash"), "doc_a", "doc_b", maxBucket, "simhash_cap")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several rotations; emit ONCE
   }
 
   /** The adaptive block-width choice of [[simhashBlockBits]] as a one-row
