@@ -120,14 +120,18 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      // Release localCheckpoint blocks deterministically (untimed):
-      // ContextCleaner frees them only after a GC notices the dead weak
-      // refs, so storage memory otherwise ACCUMULATES across the suite and
+      // Release reuse-pin storage deterministically (untimed). Two layers:
+      // CacheManager entries (the Reuse persist pins) must be DROPPED, not
+      // just have their blocks freed — a surviving entry would serve the
+      // NEXT timed sample of the same plan from cache and fake its time —
+      // and localCheckpoint blocks are freed only after a GC notices dead
+      // weak refs, so storage otherwise ACCUMULATES across the suite and
       // randomly throttles later queries (observed: dsir 2 s alone vs 16 s
       // mid-suite behind a dozen checkpoint-heavy dedup plans).
       // blocking = true: async removal would let the freeing work (and
       // the still-occupied storage memory) land inside the NEXT query's
       // timed window — the wait itself sits in this untimed gap
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       if (elapsed >= 0) {
@@ -223,8 +227,15 @@ object Bench {
       results.partition { case (n, _) => SparkEntry.auditOnlyQueries(n) }
     val total = timedResults.map(_._2).filter(_ >= 0).sum
     val auditTotal = auditResults.map(_._2).filter(_ >= 0).sum
+    // Harness config rides IN the artifact (ADVICE r10): a cross-round
+    // ratio is only code-attributable when both artifacts record the same
+    // codegen-cache size and warm-up count — without the stamp, a harness
+    // change silently reads as a code change.
+    val chunkMode = spark.conf.get(graft.operators.ChunkIds.ConfKey, "auto")
+    val harness =
+      s""""codegen_cache":$codegenCache,"warmup_passes":$warmupPasses,"chunk_numbering":"$chunkMode","cpus":$cpus"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"audit_total_sec":${num(auditTotal)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"audit_total_sec":${num(auditTotal)},$harness}"""
     println(line)
     // the stdout line rides a log capture that has truncated its tail in
     // past rounds; ALSO write the complete per-query artifact (medians +
@@ -250,7 +261,7 @@ object Bench {
         s""""$name":{"median":${num(results(i)._2)},"min":${num(mn)},"samples":$raw$audit$bs$cc}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(outPath,
-        s"""{"total_sec":${num(total)},"audit_total_sec":${num(auditTotal)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},"queries":$perQuery}""" + "\n")
+        s"""{"total_sec":${num(total)},"audit_total_sec":${num(auditTotal)},"sf":"$sfDir","runs":$runs,"n_queries":${names.size},$harness,"queries":$perQuery}""" + "\n")
     }
     spark.stop()
   }

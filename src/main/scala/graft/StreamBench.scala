@@ -29,8 +29,10 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val msgs = sys.env.getOrElse("SPARK_GRAFT_STREAM_MSGS", "100000").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    // derive every count from the GENERATED total (truncating division)
+    val msgsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_MSGS", "100000").toInt / batches
+    val msgs = msgsPerBatch * batches
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +47,7 @@ object StreamBench {
     val job = new StreamingJob(spark, NexusPlan.parse(template), out,
       startMs = 0, stopMs = 1L << 40)
 
-    val perBatch = msgs / batches
+    val perBatch = msgsPerBatch
     val t0 = System.nanoTime()
     var off = 0L
     (0 until batches).foreach { b =>
@@ -66,7 +68,9 @@ object StreamBench {
     }
     job.finish()
     val sec = (System.nanoTime() - t0) / 1e9
-    val total = msgs + msgs / 10 // ev44 messages carry 10 events each
+    // ev44 messages carry 10 events each; the ev44 count truncates PER
+    // BATCH, so derive from what the loop actually generated
+    val total = msgs + batches * (perBatch / 10)
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
 
     wireBench(spark)
@@ -92,8 +96,10 @@ object StreamBench {
   private def wireBench(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.{Decode, FbEncoders}
-    val msgs    = sys.env.getOrElse("SPARK_GRAFT_WIRE_MSGS", "200000").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    // derive every count from the GENERATED total (truncating division)
+    val perBatch = sys.env.getOrElse("SPARK_GRAFT_WIRE_MSGS", "200000").toInt / batches
+    val msgs    = perBatch * batches
     val evPer   = 100
 
     val wireTemplate =
@@ -121,7 +127,6 @@ object StreamBench {
       FbEncoders.ev44("det", Seq((1000L + id) * 1000000L), Seq(0),
         Seq.tabulate(evPer)(j => (id % 1000).toInt + j),
         Seq.tabulate(evPer)(j => (id % 1000).toInt + j + 1)))
-    val perBatch = msgs / batches
     val wireBatches = (0 until batches).map { b =>
       val base = (b * perBatch).toLong
       val w = spark.range(perBatch)
@@ -184,8 +189,12 @@ object StreamBench {
   private def wideArrayBench(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.{Decode, FbEncoders}
-    val msgs     = sys.env.getOrElse("SPARK_GRAFT_WIDE_MSGS", "20000").toInt
     val batches  = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    // truncating division: only perBatch*batches messages are generated, so
+    // every downstream count (the sink-row requires, the throughput
+    // denominator) derives from the GENERATED total, not the requested one
+    val perBatch = sys.env.getOrElse("SPARK_GRAFT_WIDE_MSGS", "20000").toInt / batches
+    val msgs     = perBatch * batches
     val da00Elems = 2048
     val ad00Side  = 32 // 32x32 frame
 
@@ -219,12 +228,11 @@ object StreamBench {
       FbEncoders.ad00("img", (1000L + id) * 1000000L,
         Seq(ad00Side.toLong, ad00Side.toLong),
         Seq.tabulate(ad00Side * ad00Side)(j => (id % 89) + j * 0.25)))
-    val perBatch = msgs / batches
     val wireBatches = (0 until batches).map { b =>
       val base = (b * perBatch).toLong
       val w = spark.range(perBatch)
         .select((col("id") + base).as("offset"),
-          when(col("id") % 2 === 0, genDa00(col("id") + base))
+          when((col("id") + base) % 2 === 0, genDa00(col("id") + base))
             .otherwise(genAd00(col("id") + base)).as("value"))
         .persist()
       w.count() // materialize outside the timed window

@@ -36,6 +36,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      } finally {
+        // drop reuse-pin storage (Reuse persists + checkpoint blocks)
+        // between queries — 196 accumulated DISK_ONLY pins would otherwise
+        // exhaust local disk on a big-SF run
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

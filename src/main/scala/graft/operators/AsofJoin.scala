@@ -113,8 +113,9 @@ object AsofJoin {
         leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
-    // chunk numbering is strategy-pluggable (ChunkIds): `checkpoint` pins
-    // a range exchange's partition ids with localCheckpoint — __pid is
+    // chunk numbering is strategy-pluggable (ChunkIds; default `auto` =
+    // checkpoint on local masters, sampled on clusters): `checkpoint` pins
+    // a range exchange's partition ids with a lineage cut — __pid is
     // read by TWO consumers (the local fill and the stitch frame joined
     // back on it), and without the pin an AQE re-plan of one consumer's
     // read renumbers its partitions, silently misaligning the stitch

@@ -88,9 +88,8 @@ object BpeVocab {
     * so iteration N doesn't re-evaluate iterations 0..N-1.
     */
   def learn(wordFreq: DataFrame, nMerges: Int, checkpointEvery: Int = 4): Seq[Merge] = {
-    var symbols = wordFreq
-      .select(initialSymbols(col("word")).as("symbols"), col("freq"))
-      .localCheckpoint()
+    var symbols = Reuse.lineageCut(wordFreq
+      .select(initialSymbols(col("word")).as("symbols"), col("freq")))
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
@@ -106,7 +105,7 @@ object BpeVocab {
         merges += Merge(rank, l, r, c)
         symbols = symbols.select(fusePair(col("symbols"), l, r).as("symbols"), col("freq"))
         rank += 1
-        if (rank % checkpointEvery == 0) symbols = symbols.localCheckpoint()
+        if (rank % checkpointEvery == 0) symbols = Reuse.lineageCut(symbols)
       }
     }
     merges.result()

@@ -12,31 +12,38 @@ import org.apache.spark.sql.functions._
   * on it), and an inconsistent numbering silently misaligns the stitch.
   *
   * Two interchangeable strategies, selected by the session conf
-  * `spark.graft.chunkNumbering`:
+  * `spark.graft.chunkNumbering` (default `auto`):
   *
-  *  - `checkpoint` (default): `repartitionByRange` + `spark_partition_id`,
-  *    pinned with `localCheckpoint` so AQE cannot re-plan one consumer's
-  *    read of the range exchange and renumber its partitions (observed:
+  *  - `checkpoint`: `repartitionByRange` + `spark_partition_id`, pinned
+  *    with a lineage cut so AQE cannot re-plan one consumer's read of the
+  *    range exchange and renumber its partitions (observed:
   *    nondeterministic null fills before the pin). Zero extra jobs, but
-  *    the checkpoint eagerly materializes the frame (a full extra pass at
-  *    100 TB) and its blocks are non-recomputable — local-mode/bench-safe,
-  *    not the numbering you want on a lossy 1000-executor cluster.
+  *    the pin eagerly materializes the frame (a full extra pass at
+  *    100 TB) and a lost block is unrecoverable without a reliable
+  *    checkpoint dir — local-mode/bench-appropriate.
   *
   *  - `sampled`: an eager SLIM sampling pass (count + sample over
   *    `rangeCols` only — column-pruned at the scan) picks `chunks - 1`
   *    boundary tuples; the chunk id is then a pure expression of the row
-  *    (count of boundaries ≤ the row's range key, evaluated as a codegen'd
-  *    comparison chain over struct literals). Deterministic and
+  *    (`#{boundaries <= key}`, binary search inside whole-stage codegen —
+  *    [[graft.functions.BoundaryBucket]], O(log chunks) per row with
+  *    constant generated-code size at ANY chunk count). Deterministic and
   *    recomputable — every re-read derives the same id from the data, so
   *    nothing needs pinning and lost blocks recompute fine. This is the
-  *    cluster-scale strategy; the sampling pass costs two slim jobs.
+  *    cluster-scale strategy; the sampling pass costs two slim jobs
+  *    (priced at sf10 in SCALE.md).
   *
-  * Both strategies satisfy (a) and (b); the stitch operators are
+  *  - `auto` (default): `sampled` on a non-local master (a real cluster
+  *    loses executors; numbering must be recomputable), `checkpoint` on
+  *    local masters (bench determinism, zero extra jobs) — so a cluster
+  *    deployment gets the scale-safe numbering WITHOUT knowing the conf.
+  *
+  * All strategies satisfy (a) and (b); the stitch operators are
   * numbering-agnostic (equivalence pinned in `ChunkNumberingSpec`).
   */
 object ChunkIds {
 
-  /** Session conf key: `checkpoint` (default) | `sampled`. */
+  /** Session conf key: `auto` (default) | `checkpoint` | `sampled`. */
   val ConfKey = "spark.graft.chunkNumbering"
 
   /** Boundary-sample size multiplier: ~SampleFactor rows are drawn per
@@ -49,13 +56,21 @@ object ChunkIds {
     * lexicographic (key…, order…) tuple the stitch order derives from.
     */
   def withChunkIds(df: DataFrame, rangeCols: Seq[Column], chunks: Int): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "checkpoint") match {
-      case "sampled" => withSampledChunkIds(df, rangeCols, chunks)
+    df.sparkSession.conf.get(ConfKey, "auto") match {
+      case "sampled"    => withSampledChunkIds(df, rangeCols, chunks)
+      case "checkpoint" => withCheckpointChunkIds(df, rangeCols, chunks)
       case _ =>
-        df.repartitionByRange(chunks, rangeCols: _*)
-          .withColumn("__pid", spark_partition_id())
-          .localCheckpoint(false)
+        if (df.sparkSession.sparkContext.master.startsWith("local"))
+          withCheckpointChunkIds(df, rangeCols, chunks)
+        else withSampledChunkIds(df, rangeCols, chunks)
     }
+
+  private def withCheckpointChunkIds(
+      df: DataFrame, rangeCols: Seq[Column], chunks: Int): DataFrame =
+    Reuse.lineageCut(
+      df.repartitionByRange(chunks, rangeCols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      eager = false)
 
   private def withSampledChunkIds(
       df: DataFrame, rangeCols: Seq[Column], chunks: Int): DataFrame = {
@@ -80,22 +95,21 @@ object ChunkIds {
     val boundaryRows = (1 until chunks)
       .map(i => sample(math.min(sample.length - 1, (i * step).toInt)))
       .distinct
-    // field names and types must match EXACTLY on both comparison sides
-    // (struct comparison is name- and type-sensitive); a sampled null
-    // field would otherwise lit() as NullType and mismatch
-    val fieldTypes = slim.schema.fields.map(_.dataType)
+    // External rows → InternalRows once on the driver; they ride the
+    // BoundaryBucket expression as a reference object. The sample was
+    // sorted by Spark under the same interpreted ordering the expression
+    // compares with, so the array arrives sorted.
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(slim.schema)
+    val boundaries = boundaryRows
+      .map(r => toInternal(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .toArray
     val key = struct(rangeCols.zipWithIndex.map { case (c, i) => c.as(s"_c$i") }: _*)
-    def boundaryLit(r: org.apache.spark.sql.Row): Column =
-      struct(sampleCols.indices.map(i =>
-        lit(r.get(i)).cast(fieldTypes(i)).as(s"_c$i")): _*)
-    // __pid = #{boundaries <= key}: monotone in the range tuple (each
-    // indicator is), identical for every re-evaluation (pure expression
-    // over literals), and a null range field lands the row in chunk 0
-    // consistently (null comparison -> otherwise-branch on every
-    // indicator). O(chunks) codegen'd struct compares per row.
-    val pid = boundaryRows
-      .map(b => when(key >= boundaryLit(b), 1).otherwise(0))
-      .reduce(_ + _)
-    df.withColumn("__pid", pid)
+    // __pid = #{boundaries <= key}: monotone in the range tuple, identical
+    // for every re-evaluation (pure function of row + literals), null
+    // range fields ordered nulls-first (chunk 0 against non-null
+    // boundaries). Binary search per row, constant codegen size.
+    df.withColumn("__pid",
+      graft.functions.BoundaryBucket.boundary_bucket(key, boundaries))
   }
 }

@@ -34,8 +34,9 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       // truncate lineage so each round's plan stays O(1); lazy — the
-      // count below materializes it in the same job
-      .localCheckpoint(false)
+      // count below materializes it in the same job. Reliable checkpoint
+      // when a checkpoint dir is set (cluster), executor-local otherwise.
+      .transform(g => Reuse.lineageCut(g, eager = false))
     var curCount  = cur.count()
     var converged = curCount == 0L
     var rounds    = 0
@@ -45,7 +46,7 @@ object ConnectedComponents {
       // LAZY checkpoint: the count below materializes it in the same
       // job, so a round costs one job (+ the set-equality probe only
       // when the counts match)
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val next = Reuse.lineageCut(smallStar(largeStar(cur)), eager = false)
       val nextCount = next.count()
       // distinct sets of equal size are equal iff the difference is empty
       converged = nextCount == curCount &&

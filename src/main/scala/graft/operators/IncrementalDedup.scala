@@ -84,8 +84,11 @@ object IncrementalDedup {
       } else fp
     // materialize BEFORE the index append: the anti-join is lazy, and
     // evaluating it after the append would see the batch's own
-    // fingerprints in the index and admit nothing (read-your-own-writes)
-    val admitted = novel.localCheckpoint(true)
+    // fingerprints in the index and admit nothing (read-your-own-writes).
+    // This is a SEMANTIC lineage cut, not a reuse pin — a recomputable
+    // persist would be WRONG here, because a block recomputed after the
+    // append replays the anti-join against the mutated index
+    val admitted = Reuse.lineageCut(novel, eager = true)
     writeOut(admitted.drop("fp"))
     if (!spark.catalog.tableExists(indexTable)) {
       java.nio.file.Files.createDirectories(dirPath(spark, indexTable))

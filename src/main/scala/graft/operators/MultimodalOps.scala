@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, processed per-partition
   * in batches (the Scala analog of `mapInPandas` batch processing).
   *
-  * The actual codecs (image decode, audio resample, video frame extract)
-  * are STUBBED — this container has no media libraries — as
-  * deterministic byte-level functions, clearly marked below. Everything
-  * around them is the real engine surface: schema, typed Dataset plumbing,
-  * per-partition iteration (one codec init per partition, not per row),
-  * partitioning and batch shape.
+  * The P6-PPM image and RIFF/PCM16 WAV codecs are REAL, from-scratch
+  * byte-level implementations of the public formats ([[ppmFeatures]],
+  * [[ppmResize]], [[wavFeatures]], [[wavResample]]), wire-fuzzed in
+  * `PpmCodecSpec`/`WavCodecSpec`. Only formats that genuinely need an
+  * external library (JPEG entropy coding, video containers) are reduced
+  * to deterministic byte-level stand-ins, marked at their definitions
+  * ([[AssetFeatures.head_sum]], [[sampleFrames]]). Everything around the
+  * codecs is the real engine surface either way: schema, typed Dataset
+  * plumbing, per-partition iteration (one codec init per partition, not
+  * per row), partitioning and batch shape.
   */
 object MultimodalOps {
 

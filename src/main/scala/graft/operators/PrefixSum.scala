@@ -54,12 +54,14 @@ object PrefixSum {
         .contains(df.schema(valueCol).dataType)
     }, s"$valueCol: chunked running sum re-groups additions — integral types only")
     val rangeKeys: Seq[Column] = (keyCols ++ orderCols).map(col)
-    // chunk numbering is strategy-pluggable (ChunkIds): `checkpoint`
-    // pins a range exchange's partition ids with localCheckpoint so the
+    // chunk numbering is strategy-pluggable (ChunkIds; default `auto` =
+    // checkpoint on local masters, sampled on clusters): `checkpoint`
+    // pins a range exchange's partition ids with a lineage cut so the
     // TWO consumers of __pid (local sums and the offsets frame joined
     // back on it) cannot be renumbered by an AQE re-plan; `sampled`
-    // derives __pid from sampled boundary literals — recomputable, no
-    // materialization, the cluster-scale strategy.
+    // derives __pid from sampled boundaries via a binary-search
+    // expression — recomputable, no materialization, the cluster-scale
+    // strategy.
     val parted = ChunkIds.withChunkIds(df, rangeKeys, chunks)
     val wLocal = Window
       .partitionBy((col("__pid") +: keyCols.map(col)): _*)

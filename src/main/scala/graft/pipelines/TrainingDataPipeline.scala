@@ -3,6 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Reuse
 import graft.queries.DocQueries
 
 /** End-to-end training-data assembly — the library surface a pipeline
@@ -25,14 +26,23 @@ import graft.queries.DocQueries
   * Every stage is a narrow transformation over the previous frame plus
   * the already-audited keyed shuffles of its operator — composing them
   * adds NO new shuffle shape. `run` returns the surviving corpus and a
-  * per-stage attrition report. Each stage frame is eagerly
-  * `localCheckpoint`ed before its count, so the corpus materializes ONCE
-  * per stage: the count reads the checkpointed blocks and stage N+1
-  * builds on them instead of re-executing stages 1..N (unchecked, the
-  * report alone would cost O(stages²) corpus passes). Blocks of
-  * superseded stages are reclaimed by the ContextCleaner once their
-  * frames go out of scope (the [[graft.operators.ConnectedComponents]]
-  * round pattern).
+  * per-stage attrition report. Each stage frame is pinned with
+  * [[graft.operators.Reuse.lineageCut]] — a LINEAGE CUT, not a
+  * recomputable persist, and deliberately so: the stages compose, and
+  * each one's plan contains several references to its predecessor (the
+  * dedup operators' own diamond reuse), so an uncut six-stage plan
+  * multiplies subtree occurrences combinatorially — measured: the
+  * persist variant spent 37 MINUTES inside
+  * `TreeNode.generateTreeString` producing the plan description every
+  * action posts to the listener bus, before any task ran. Cutting at
+  * stage boundaries keeps every plan one stage deep (the
+  * ConnectedComponents round discipline), the stage count reads the cut
+  * blocks, and stage N+1 builds on them instead of re-executing stages
+  * 1..N. On a cluster with a checkpoint dir the cut is a RELIABLE
+  * checkpoint (replicated, block-loss-tolerant — the 1000-executor
+  * shape); locally it is a localCheckpoint, where block loss means the
+  * process died anyway. Blocks of superseded stages are reclaimed by
+  * the ContextCleaner once their frames go out of scope.
   */
 object TrainingDataPipeline {
 
@@ -42,7 +52,7 @@ object TrainingDataPipeline {
           lmKeepAtMost: Double = 5.36): Result = {
     val report = Seq.newBuilder[(String, Long)]
     def stage(name: String, d: DataFrame): DataFrame = {
-      val cp = d.localCheckpoint(true)
+      val cp = Reuse.lineageCut(d, eager = true)
       report += name -> cp.count()
       cp
     }
@@ -70,7 +80,7 @@ object TrainingDataPipeline {
 
     // 3 — near-dedup: verified pair frame ONCE, persisted, then the
     // lower-quality member of every pair dropped
-    val pairs = DocQueries.minhashLshPairs(exact).persist()
+    val pairs = Reuse.corpus(DocQueries.minhashLshPairs(exact))
     val q = exact
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
       .select(col("doc_id"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
+import graft.operators.Reuse
 
 /** General analytics over the TPC-H-ish star schema + events stream table —
   * the engine's scan/filter/aggregate/join/window coverage beyond the
@@ -738,7 +739,7 @@ object AnalyticsQueries {
     // scalar — computed as a 1-row aggregate and broadcast, not a global
     // window).
     "q15_top_supplier" -> { (s, dir) =>
-      // rev feeds both the max and the equality join back — checkpointed
+      // rev feeds both the max and the equality join back — Reuse-pinned
       // (one small keyed frame) so the fact scan runs once, not twice
       val rev = Graft.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -746,7 +747,7 @@ object AnalyticsQueries {
         .groupBy("l_suppkey")
         .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
           .as("rev_c"))
-        .localCheckpoint()
+        .transform(Reuse.slim)
       val top = rev.agg(max("rev_c").as("max_c"))
       rev.join(broadcast(top), col("rev_c") === col("max_c"))
         .join(broadcast(Graft.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
@@ -816,12 +817,12 @@ object AnalyticsQueries {
       val unitC = expr(
         "CAST(round(l_extendedprice * 100) AS BIGINT) * 100 div CAST(l_quantity AS BIGINT)")
       // cost feeds both the per-part min and the equality join back —
-      // checkpointed so the fact scan happens once, not twice
+      // Reuse-pinned so the fact scan happens once, not twice
       val cost = Graft.lineitem(s, dir)
         .join(broadcast(euroSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(unitC).as("unit_c"))
-        .localCheckpoint()
+        .transform(Reuse.slim)
       val best = cost.groupBy(col("l_partkey").as("bp_key")).agg(min("unit_c").as("best_c"))
       cost.join(best, col("l_partkey") === col("bp_key") && col("unit_c") === col("best_c"))
         .join(broadcast(Graft.part(s, dir).filter(col("p_size") === 15)),
@@ -863,13 +864,13 @@ object AnalyticsQueries {
         .join(broadcast(Graft.nation(s, dir).filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      // value feeds both the total and the threshold filter — checkpointed
+      // value feeds both the total and the threshold filter — Reuse-pinned
       // so the fact scan happens once
       val value = Graft.lineitem(s, dir)
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey").as("ps_partkey"))
         .agg(sum(cents(col("l_extendedprice"))).as("val_c"))
-        .localCheckpoint()
+        .transform(Reuse.slim)
       val total = value.agg(sum("val_c").as("total_c"))
       value.crossJoin(broadcast(total))
         .filter(col("val_c") * 1000 > col("total_c"))
@@ -932,14 +933,14 @@ object AnalyticsQueries {
     // re-execution.
     "q21_waiting_supplier" -> { (s, dir) =>
       // the joined fact feeds both the per-order aggregate and the late
-      // lines — checkpointed so lineitem⋈orders runs once, not twice
+      // lines — Reuse-pinned (corpus: lineitem-scale) so it runs once, not twice
       val li = Graft.lineitem(s, dir)
         .join(Graft.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS")).as("late"))
-        .localCheckpoint()
+        .transform(Reuse.corpus)
       val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
         .agg(countDistinct("l_suppkey").as("n_supp"),
           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))

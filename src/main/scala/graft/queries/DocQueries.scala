@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
+import graft.operators.Reuse
 import graft.functions.TextFunctions._
 
 /** Training-data-pipeline operators over the `documents` table: text
@@ -117,7 +118,7 @@ object DocQueries {
     // never a pair space.
     "dedup_dup_ngram_fraction" -> { (s, dir) =>
       val n = 5
-      // gram arrays built once (checkpoint) — the doc-frequency branch and
+      // gram arrays built once (Reuse pin) — the doc-frequency branch and
       // the occurrence join would otherwise each re-run tokenize+gram-build
       // over the corpus (different join keys, no exchange reuse)
       val garr = docs(s, dir).select(col("doc_id"), toks.as("tk"))
@@ -125,7 +126,7 @@ object DocQueries {
         .select(col("doc_id"),
           transform(sequence(lit(1), size(col("tk")) - (n - 1)),
             i => concat_ws(" ", slice(col("tk"), i, lit(n)))).as("gs"))
-        .localCheckpoint()
+        .transform(Reuse.corpus)
       val grams = garr.select(col("doc_id"), explode(col("gs")).as("g"))
       val gdf = grams.distinct().groupBy("g").agg(count(lit(1)).as("gdf"))
       grams.join(gdf, "g")
@@ -394,14 +395,14 @@ object DocQueries {
     // story: at each candidate Jaccard cutoff, how many verified pairs
     // survive and how many DOCUMENTS are implicated (the corpus-loss
     // figure a dedup rollout is judged by). One verified-pair pass
-    // (checkpointed), thresholds fan out map-side; the literal threshold
+    // (Reuse-pinned), thresholds fan out map-side; the literal threshold
     // spine left-joins so a cutoff with zero pairs still reports 0
     // (the split_ngram_leakage dropped-row lesson).
     "dedup_threshold_sweep" -> { (s, dir) =>
       val ths = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
       val thArr = array(ths.map(lit): _*)
       val pairs = minhashLshPairs(docs(s, dir), minJac = 0.0)
-        .localCheckpoint() // feeds the pair count AND the flagged-doc count
+        .transform(Reuse.corpus) // feeds the pair count AND the flagged-doc count
       val byT = pairs
         .select(col("doc_a"), col("doc_b"), explode(thArr).as("threshold"),
           col("jac"))
@@ -426,9 +427,12 @@ object DocQueries {
     // shape as the pair query it parameterizes.
     "simhash_distance_histogram" -> { (s, dir) =>
       import graft.functions.SimHash32.simhash32
+      // width from the documents-table count — the exact quantity the
+      // oracle's adaptive-bits subquery counts (single-source, ADVICE r10)
       simhashPairs(
         docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")),
-        maxHamming = 32)
+        maxHamming = 32,
+        blockBits = Some(simhashBlockBits(docs(s, dir).count())))
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"))
     },
@@ -498,7 +502,7 @@ object DocQueries {
     "dedup_minhash_estimate" -> { (s, dir) =>
       // the signature frame feeds band build + both estimate joins;
       // materialize the (tokenize → shingle → minhash) pipeline once
-      val sig = minhashSigs(shingled(docs(s, dir))).localCheckpoint()
+      val sig = Reuse.corpus(minhashSigs(shingled(docs(s, dir))))
       val cand = minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
         "minhash_est_cap")
       minhashEstimateFromSigs(sig, cand)
@@ -546,10 +550,10 @@ object DocQueries {
     // both scorers here — half the corpus scans of composing the two
     // standalone queries.
     "dedup_estimate_vs_exact" -> { (s, dir) =>
-      val sh   = shingled(docs(s, dir)).localCheckpoint()
-      val sig  = minhashSigs(sh).localCheckpoint()
-      val cand = minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
-        "est_vs_exact_cap").localCheckpoint()
+      val sh   = Reuse.corpus(shingled(docs(s, dir)))
+      val sig  = Reuse.corpus(minhashSigs(sh))
+      val cand = Reuse.corpus(minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
+        "est_vs_exact_cap"))
       val exact = minhashLshPairsFromShingles(sh, cand, 0.4).select("doc_a", "doc_b")
       val est   = minhashEstimateFromSigs(sig, cand).select("doc_a", "doc_b")
       est.except(exact).withColumn("side", lit("estimate_only"))
@@ -724,8 +728,11 @@ object DocQueries {
     // hamming ≤ 6 (see [[simhashPairs]]).
     "dedup_simhash_pairs" -> { (s, dir) =>
       import graft.functions.SimHash32.simhash32
+      // width from the documents-table count — the exact quantity the
+      // oracle's adaptive-bits subquery counts (single-source, ADVICE r10)
       simhashPairs(
-        docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")))
+        docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash")),
+        blockBits = Some(simhashBlockBits(docs(s, dir).count())))
     },
 
     // The SCALED block geometry (20-bit prefixes — what simhashBlockBits
@@ -1139,12 +1146,12 @@ object DocQueries {
     "winnow_matches" -> { (s, dir) =>
       // the winnow pipeline (tokenize → rolling hashes → window minima)
       // feeds BOTH the band join and the per-doc set aggregation —
-      // checkpoint the slim (doc_id, fp) frame so it runs once
+      // pin the slim (doc_id, fp) frame (Reuse) so it runs once
       val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp")
-        .distinct().localCheckpoint()
+        .distinct().transform(Reuse.corpus)
       val sets = fps.groupBy("doc_id")
         .agg(sort_array(collect_list(col("fp"))).as("fset"))
-        .localCheckpoint() // feeds both re-attach joins
+        .transform(Reuse.corpus) // feeds both re-attach joins
       val cand = graft.operators.LshJoins
         .cappedBandPairs(fps, Seq("fp"), "doc_id", "doc_a", "doc_b", tag = "winnow_cap")
         .select("doc_a", "doc_b")
@@ -1327,7 +1334,7 @@ object DocQueries {
         .filter(size(col("tk")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("tk")) - lit(1)),
           i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("g2"))
-        .localCheckpoint(true) // three consumers: N, sketch, exact counts
+        .transform(Reuse.corpus) // three consumers: N, sketch, exact counts
       val eps   = 0.0002
       val total = grams.count()
       // 1-row fixed-size binary — the bloom-sketch collect pattern
@@ -1446,7 +1453,7 @@ object DocQueries {
     "bpe_encode_stats" -> { (s, dir) =>
       import graft.operators.BpeVocab
       val d  = docs(s, dir)
-      val wf = BpeVocab.wordFrequencies(d).localCheckpoint()
+      val wf = Reuse.slim(BpeVocab.wordFrequencies(d))
       val ranks = BpeVocab.learn(wf, BpeMerges)
         .map(m => (m.left, m.right) -> m.rank).toMap
       val nSyms = udf((w: String) => BpeVocab.encodeWord(ranks, w).size.toLong)
@@ -1546,7 +1553,7 @@ object DocQueries {
       val n = 8
       val d = docs(s, dir)
       // cheap projection off the parquet scan — rebuilt per pass rather
-      // than checkpointing an exploded corpus-sized string frame
+      // than pinning an exploded corpus-sized string frame
       def gramStream = d.select(col("doc_id"), col("source"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"), col("source"),
@@ -1722,7 +1729,7 @@ object DocQueries {
     // audit: how much of each doc's distinct 5-grams are NEW to the
     // corpus, first-occurrence attributed by min doc_id). One gram-keyed
     // min-agg; the novelty join reuses the same gram key, and the gram
-    // arrays are built once (checkpoint) for both branches — the
+    // arrays are built once (Reuse pin) for both branches — the
     // dup_ngram_fraction shuffle shape with first-owner semantics.
     "ngram_novelty" -> { (s, dir) =>
       val n = 5
@@ -1731,7 +1738,7 @@ object DocQueries {
         .select(col("doc_id"),
           array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
             i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("gs"))
-        .localCheckpoint()
+        .transform(Reuse.corpus)
       val grams  = garr.select(col("doc_id"), explode(col("gs")).as("g"))
       val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
       grams.join(firsts, "g")
@@ -1803,7 +1810,7 @@ object DocQueries {
   def dsirWeights(d: DataFrame): DataFrame = {
     // the count frame feeds the bucket-model agg AND the scoring join;
     // materialize once (same pattern as containmentPairs)
-    val perDoc = dsirBucketCounts(d).localCheckpoint()
+    val perDoc = Reuse.corpus(dsirBucketCounts(d))
     val isTgt  = col("source") === DsirTarget
     val bucket = perDoc.groupBy("b").agg(
       sum(when(isTgt, col("c")).otherwise(0L)).as("tc"),
@@ -1921,7 +1928,7 @@ object DocQueries {
 
   /** Exact + sketched pairwise source overlap over distinct 5-gram
     * shingles. One corpus shuffle builds the distinct (source, gram)
-    * frame (checkpointed — it feeds the sketch agg and both sides of the
+    * frame (Reuse-pinned — it feeds the sketch agg and both sides of the
     * exact join); the HLL-4 sketches (lgK=14, ~0.8% rel. std. err.)
     * reduce per source and combine by inclusion-exclusion, so the
     * estimate is reproducible (DataSketches HLL is deterministic) and
@@ -1934,7 +1941,7 @@ object DocQueries {
       .filter(size(col("tk")) >= 5)
       .select(col("source"), explode(shingles(col("tk"), 5)).as("g"))
       .distinct()
-      .localCheckpoint()
+      .transform(Reuse.corpus)
     val sk = grams.groupBy("source")
       .agg(hll_sketch_agg(col("g"), 14).as("sk"), count(lit(1)).as("n"))
     val est = sk.select(col("source").as("src_a"), col("sk").as("ska"), col("n").as("n_a"))
@@ -2040,12 +2047,12 @@ object DocQueries {
   def containmentPairs(d: DataFrame, t: Double): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0, 1], got $t")
     // the shingle frame feeds FIVE plan branches (df agg, probe join both
-    // sides, two verify joins); materialize it once — uncheckpointed, each
+    // sides, two verify joins); materialize it once (Reuse pin) — unpinned, each
     // branch re-runs tokenize+shingle+distinct over the corpus (measured
     // 9.4 s → 3.4 s at sf0.1). Same pattern as ConnectedComponents.
-    val sh = shingled(d).localCheckpoint()
+    val sh = Reuse.corpus(shingled(d))
     // Candidate generation runs entirely on 64-bit gram HASHES: the string
-    // shingle never rides a shuffle or the checkpointed order arrays. The
+    // shingle never rides a shuffle or the pinned order arrays. The
     // per-row array_distinct collapses any intra-doc collision BEFORE the
     // explode (two shingles of one doc sharing a hash would otherwise
     // inflate |A| and over-tighten ⌈t·|A|⌉ — a candidate-LOSS path); after
@@ -2072,7 +2079,7 @@ object DocQueries {
         transform(col("o"), x => x.getField("gh")).as("gs"),
         size(col("o")).as("n"),
         col("ns"))
-      .localCheckpoint()
+      .transform(Reuse.corpus)
     val probes = ordered.select(
       col("doc_id").as("doc_a"), col("n").as("na"),
       posexplode(slice(
@@ -2136,7 +2143,7 @@ object DocQueries {
     * linear star pairs instead of going quadratic (observed metric
     * `minhash_lsh_cap`). Shingle sets are re-attached per DISTINCT
     * candidate for the verify step — candidates ≪ corpus×bands, so two
-    * keyed joins against the checkpointed shingle frame beat replicating
+    * keyed joins against the pinned shingle frame beat replicating
     * KB-sized arrays through every band row. A real pipeline computes
     * this once and feeds clusters / drop-list / survivor selection from
     * the same frame (`.persist()` at the call site); the oracle harness
@@ -2212,7 +2219,7 @@ object DocQueries {
       minJac: Double = 0.4): DataFrame = {
     // the shingle frame feeds THREE branches (signature pass + both
     // verify joins); materialize once, same pattern as containmentPairs
-    val sh   = shingled(d).localCheckpoint()
+    val sh   = Reuse.corpus(shingled(d))
     val cand = minhashBandCands(minhashSigs(sh), maxBucket, "minhash_lsh_cap")
     minhashLshPairsFromShingles(sh, cand, minJac)
   }
@@ -2445,7 +2452,12 @@ object DocQueries {
       maxHamming: Int = 6,
       maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
       blockBits: Option[Int] = None): DataFrame = {
-    val shc = sh.localCheckpoint() // feeds the width count + block build
+    // Width decision and block build must read the SAME frame exactly
+    // once. When the caller supplies blockBits (the oracle-mirrored
+    // queries derive it from the documents-table count — see
+    // `dedup_simhash_pairs` — so engine and oracle provably use one
+    // number; ADVICE r10), `sh` has a single consumer and needs no pin.
+    val shc = if (blockBits.isDefined) sh else Reuse.corpus(sh)
     val bb = blockBits.getOrElse(simhashBlockBits(shc.count()))
     val rotBlocks = (0 until 4).map { r =>
       val rot = 8 * r

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
+import graft.operators.Reuse
 
 /** Similarity search over the `embeddings` table (`embedding:
   * Array[Float]`, 64-d): brute-force cosine top-k as the exact baseline and
@@ -105,7 +106,7 @@ object EmbedQueries {
   /** The corpus in the PCA-rotated frame y = V(x−μ), same shape as
     * [[withNorm]] output (orthonormal V ⇒ L2 geometry preserved exactly).
     * The rotation is ONE codegen'd affine kernel per row (no interpreted
-    * zip_with on the hot path), and the frame is checkpointed because
+    * zip_with on the hot path), and the frame is Reuse-pinned because
     * [[pqKnnOver]] consumes it from three plan branches (codes, codebook,
     * query side) — the cellPairs multi-consumer pattern. Empty corpus →
     * empty frame (no basis to rotate by).
@@ -123,7 +124,7 @@ object EmbedQueries {
           mat_vec_affine(transform(col("embedding"), _.cast("double")), vall, vmu)
             .as("v"))
           .withColumn("nrm", l2_norm(col("v")))
-          .localCheckpoint(true)
+          .transform(Reuse.corpus)
     }
   }
 
@@ -605,7 +606,7 @@ object EmbedQueries {
     "embed_cluster_sample" -> { (s, dir) =>
       // two consumers (centroid build + the scored cross join) — run the
       // scan + widening + l2_norm pipeline once
-      val e = withNorm(emb(s, dir)).localCheckpoint(true)
+      val e = Reuse.corpus(withNorm(emb(s, dir)))
       val cents = e
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
@@ -673,7 +674,7 @@ object EmbedQueries {
     // aggregates; the full vectors re-attach to the shortlist through one
     // keyed join on slim (query_id, neighbor_id) candidates.
     "embed_mrl_rerank_knn" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir)).localCheckpoint(true)
+      val e = Reuse.corpus(withNorm(emb(s, dir)))
       val t = e.select(col("vec_id"), slice(col("v"), 1, MrlDim).as("tv"))
         .withColumn("tn", l2_norm(col("tv")))
       val q = t.filter(col("vec_id") < NumQueries)
@@ -770,7 +771,7 @@ object EmbedQueries {
       // each unordered pair's cosine is computed once and exploded into
       // both directed rows INLINE — the within-cell pair stream is the
       // one quadratic frame in this family, so it must never
-      // materialize (a checkpoint here is 2B rows at 100×); exploded
+      // materialize (a pin here is 2B rows at 100×); exploded
       // rows flow straight into topKPerQuery's map-side partial
       // aggregation, which bounds the shuffle at O(k) per query
       val pairs = cellPairs(withNorm(emb(s, dir)), "knn_graph_cap")
@@ -784,7 +785,7 @@ object EmbedQueries {
       val edges = topKPerQuery(directed, "cosine", GraphK)
         .select(col("query_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
           col("cosine"), col("rank"))
-        .localCheckpoint() // feeds both sides of the mutuality join
+        .transform(Reuse.corpus) // feeds both sides of the mutuality join
       edges
         .join(edges.select(col("vec_id").as("nbr_id"), col("nbr_id").as("vec_id"),
           lit(1L).as("__m")), Seq("vec_id", "nbr_id"), "left")
@@ -802,7 +803,7 @@ object EmbedQueries {
     // shape this runs at 100 TB, where bench = the eval suites.
     "embed_decontaminate" -> { (s, dir) =>
       // bench + corpus split from one scan/widen/norm pass
-      val e = withNorm(emb(s, dir)).localCheckpoint(true)
+      val e = Reuse.corpus(withNorm(emb(s, dir)))
       val bench = e.filter(col("vec_id") % DecontamMod === 0)
         .select(col("vec_id").as("neighbor_id"), col("v").as("bv"),
           col("nrm").as("bn"))
@@ -1797,7 +1798,7 @@ object EmbedQueries {
     * the bench corpus produced 52× the runtime); holding expected bucket
     * size constant makes candidates linear in n. The corpus count that
     * drives the choice is one metadata-cheap job (parquet footer
-    * row-counts; here a count over the already-checkpointed frame).
+    * row-counts; here a count over the already-pinned frame).
     * `params` forces an explicit (bitsPerBand, bands) — the oracle-pinned
     * wide-band query uses it to exercise the scaled geometry at gate
     * scale.
@@ -1807,8 +1808,10 @@ object EmbedQueries {
       maxBucket: Int = graft.operators.LshJoins.DefaultMaxBucket,
       params: Option[(Int, Int)] = None): DataFrame = {
     import graft.functions.VectorExpressions.{dyadicPlanes, rp_signature}
-    // count() for the adaptive geometry + one banded pass
-    val ec = e.localCheckpoint(true)
+    // the pin serves exactly two consumers — the adaptive-geometry count
+    // and the banded pass; with explicit params there is ONE consumer and
+    // no pin is needed (the simhashPairs discipline)
+    val ec = if (params.isDefined) e else Reuse.corpus(e)
     val (r, b) = params.getOrElse(rpParams(ec.count()))
     val planes = dyadicPlanes(b * r, 64)
     // The vector payload rides THROUGH the band shuffle (corpus × bands —

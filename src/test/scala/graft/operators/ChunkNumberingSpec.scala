@@ -22,10 +22,10 @@ class ChunkNumberingSpec extends SparkSpec {
   private val prefixRows = ((0 until 10000).map(i => ("hot", f"$i%06d", 1L)) ++
     Seq(("cold", "a", 5L), ("cold", "b", 7L), ("cold", "c", 11L)))
 
-  private def prefixOut(): Map[(String, String), Long] =
+  private def prefixOut(chunks: Int = 64): Map[(String, String), Long] =
     PrefixSum.runningSumExclusive(
       prefixRows.toDF("k", "ord", "v").repartition(8),
-      Seq("k"), Seq("ord"), "v", "cum", 64)
+      Seq("k"), Seq("ord"), "v", "cum", chunks)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
 
   private def asofOut(): Map[Long, Option[Double]] = {
@@ -97,6 +97,46 @@ class ChunkNumberingSpec extends SparkSpec {
     assert(got.getLong(1) == 2 * n)
     assert(got.getLong(2) == 0L, "every first-of-key row must have cum = 0")
     assert(got.getLong(0) == expect)
+  }
+
+  test("auto default: local master resolves to the checkpoint strategy") {
+    // no conf set → auto; on a local master that must be the pinned
+    // range-exchange numbering (ExistingRDD scan), keeping bench-mode
+    // behavior identical to the pre-auto default
+    assert(spark.conf.getOption(ChunkIds.ConfKey).isEmpty)
+    val df = ChunkIds.withChunkIds(
+      prefixRows.toDF("k", "ord", "v"), Seq(col("k"), col("ord")), 8)
+    assert(df.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "auto on local[*] must pick the checkpoint strategy")
+  }
+
+  test("512 chunks: sampled numbering stays correct at high chunk counts") {
+    // the r10 shape unrolled one struct compare per boundary — O(chunks)
+    // generated code that blows the whole-stage-codegen method limit past
+    // a few hundred chunks. The binary-search expression must stay exact
+    // (equivalent to checkpoint numbering's output) at cluster-scale
+    // chunk counts.
+    val cp = withMode("checkpoint")(prefixOut(512))
+    val sm = withMode("sampled")(prefixOut(512))
+    assert(sm.size == 10003)
+    assert(sm == cp)
+    assert(sm(("hot", "007777")) == 7777L)
+  }
+
+  test("sampled numbering: __pid monotone + consistent across two reads") {
+    withMode("sampled") {
+      val df = ChunkIds.withChunkIds(
+        prefixRows.toDF("k", "ord", "v"), Seq(col("k"), col("ord")), 64)
+      // consistency: the id derives purely from the row, so re-evaluating
+      // the frame twice (the stitch operators' read pattern) must agree
+      val a = df.select("k", "ord", "__pid").collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      val b = df.select("k", "ord", "__pid").collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      assert(a == b)
+      // monotone: sorting by (k, ord) must never see __pid decrease
+      val sorted = prefixRows.sortBy(r => (r._1, r._2)).map(r => a((r._1, r._2)))
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x <= y },
+        "__pid must be monotone in the lexicographic range order")
+    }
   }
 
   test("1e6 distinct keys: chunked as-of carries no broadcast hint and fills exactly") {
