@@ -90,6 +90,9 @@ object Bench {
     // without touching the default: SPARK_GRAFT_CHUNK_NUMBERING=sampled
     sys.env.get("SPARK_GRAFT_CHUNK_NUMBERING")
       .foreach(m => spark.conf.set(graft.operators.ChunkIds.ConfKey, m))
+    // A/B the reuse-pin storage (Reuse.ConfKey): SPARK_GRAFT_REUSE=checkpoint
+    sys.env.get("SPARK_GRAFT_REUSE")
+      .foreach(m => spark.conf.set(graft.operators.Reuse.ConfKey, m))
 
     val meter = new ByteMeter
     spark.sparkContext.addSparkListener(meter)
@@ -232,8 +235,9 @@ object Bench {
     // codegen-cache size and warm-up count — without the stamp, a harness
     // change silently reads as a code change.
     val chunkMode = spark.conf.get(graft.operators.ChunkIds.ConfKey, "auto")
+    val reuseMode = spark.conf.get(graft.operators.Reuse.ConfKey, "cut")
     val harness =
-      s""""codegen_cache":$codegenCache,"warmup_passes":$warmupPasses,"chunk_numbering":"$chunkMode","cpus":$cpus"""
+      s""""codegen_cache":$codegenCache,"warmup_passes":$warmupPasses,"chunk_numbering":"$chunkMode","reuse":"$reuseMode","cpus":$cpus"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"audit_total_sec":${num(auditTotal)},$harness}"""
     println(line)

@@ -3,80 +3,86 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-/** Multi-consumer reuse pins with RECOMPUTABLE lineage.
+/** Multi-consumer reuse pins.
   *
   * Many operators materialize an intermediate frame once because several
   * plan branches consume it (a shingle frame feeding a signature pass and
   * two verify joins; a per-key aggregate feeding both a max and the
-  * equality join back). Through round 10 those pins were eager
-  * `localCheckpoint`s — correct and bench-fast, but a localCheckpoint
-  * block is NON-recomputable: its lineage is severed, so on a real
-  * cluster one lost executor kills the job, and the eager materialization
-  * is a full extra pass over a corpus-sized frame at 100 TB. None of
-  * these sites *needs* severed lineage — the pinned frames are pure
-  * deterministic transforms of source data (no sampling, no
-  * `spark_partition_id`, no `rand`), so a recomputed block is identical
-  * to the lost one.
+  * equality join back). Every such pin routes through here, classified
+  * [[corpus]] (corpus-sized) or [[slim]] (key-domain-bounded) at the call
+  * site, so the pin policy is ONE decision instead of thirty.
   *
-  * This helper replaces those pins with `persist(...)`: lineage stays
-  * attached, lost blocks recompute from source, and nothing is eagerly
-  * forced beyond the first consumer's own job. Two tiers:
+  * The default pin is a lineage cut: eager `localCheckpoint` on a local
+  * master, upgraded automatically to a RELIABLE `checkpoint()` when the
+  * session has a checkpoint dir (`sc.setCheckpointDir`) — the cluster
+  * deployment shape, where the cut blocks are replicated files and an
+  * executor loss costs nothing. The obvious-seeming alternative — a
+  * recomputable `persist(DISK_ONLY)` — was built and MEASURED in round
+  * 11, and it loses, for a mechanism worth recording:
   *
-  *  - [[corpus]] — corpus-sized frames (shingle/gram arrays, embedding
-  *    frames, per-doc feature counts): `DISK_ONLY` by default. At 100 TB
-  *    a corpus-sized cache must not compete with execution memory; the
-  *    serialized columnar batches land on local disk (page-cached at
-  *    bench scale, spill-tier on a cluster) and evicted/lost blocks
-  *    recompute.
-  *  - [[slim]] — frames bounded by a KEY domain, not the corpus (per-
-  *    suppkey aggregates, vocab tables, per-source profiles):
-  *    `MEMORY_AND_DISK` — they fit, and re-reads are memory-speed.
+  *  - AQE's exchange/stage reuse does not cross cached-table scans. The
+  *    LSH families hang a band self-join over one exchange; over a
+  *    checkpointed scan the two sides canonicalize equal and the final
+  *    plan carries `ReusedExchange` (band shuffle executes ONCE), while
+  *    over `TableCacheQueryStage` scans nothing reuses and the same
+  *    exchange executes once PER CONSUMER — measured on
+  *    `dedup_minhash_estimate` as 3 ReusedExchanges → 0, shuffle-write
+  *    784 KB → 2.3 MB (3.0×), and 1.3–1.7× shuffle growth across the
+  *    winnow/DSIR/overlap families (`bench_results/ab_reuse_*.json`).
+  *    At 100 TB that is an extra full corpus shuffle per consumer —
+  *    strictly worse than the one materialization pass the persist
+  *    saves.
+  *  - Lazy persist is worse still: an unmaterialized InMemoryRelation
+  *    reports its child's size ESTIMATE, so downstream joins planned
+  *    against the pin flip broadcast → sort-merge.
   *
-  * Storage for [[corpus]] is conf-overridable (`spark.graft.reuseStorage`
-  * = `disk` | `memory` | `checkpoint`) so a deployment with memory to
-  * spare can promote, and the pre-round-11 checkpoint behavior stays
-  * reproducible for A/B measurement.
+  * `spark.graft.reuseStorage` = `disk` | `memory` selects the
+  * recomputable persist anyway (eagerly materialized, for the stats
+  * reason above) for deployments whose operators don't lean on exchange
+  * reuse and that prefer recompute-on-loss over replicated checkpoints;
+  * `cut` (default) is the measured choice.
   *
-  * [[lineageCut]] is the separate, SEMANTIC tool: iterative algorithms
+  * [[lineageCut]] is the pin for sites where severed lineage is
+  * SEMANTICALLY required, not just faster: iterative algorithms
   * (connected components, BPE merge rounds) must truncate a growing
-  * lineage or round N re-evaluates rounds 0..N-1, and read-your-own-
-  * writes barriers (incremental dedup's index append) must pin the result
-  * because a recompute after the write would observe the write. Those
-  * sites keep severed-lineage semantics — but on a cluster with a
-  * reliable checkpoint dir configured (`sc.setCheckpointDir`), they
-  * upgrade from executor-local blocks to replicated reliable checkpoints
-  * automatically, which is the correct 1000-executor deployment shape.
+  * lineage or round N re-evaluates rounds 0..N-1; read-your-own-writes
+  * barriers (incremental dedup's index append) must pin the result
+  * because a recompute after the write would observe the write; and
+  * composed pipelines (TrainingDataPipeline) must cut at stage
+  * boundaries or diamond references multiply plan subtrees
+  * combinatorially (measured: 37 min of driver CPU in
+  * `TreeNode.generateTreeString` on the uncut six-stage plan).
   */
 object Reuse {
 
-  /** Session conf: storage behind [[corpus]] pins.
-    * `disk` (default) | `memory` | `checkpoint`.
-    */
+  /** Session conf: pin mode. `cut` (default) | `disk` | `memory`. */
   val ConfKey = "spark.graft.reuseStorage"
 
-  /** Pin a corpus-sized frame for multiple consumers. Recomputable:
-    * DISK_ONLY persist by default (see object doc). Lazy — the first
-    * consumer materializes it; later consumers read blocks.
-    */
+  /** Pin a corpus-sized frame for multiple consumers (see object doc). */
   def corpus(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "disk") match {
-      case "checkpoint" => df.localCheckpoint(true)
-      case "memory"     => df.persist(StorageLevel.MEMORY_AND_DISK)
-      case _            => df.persist(StorageLevel.DISK_ONLY)
+    df.sparkSession.conf.get(ConfKey, "cut") match {
+      case "memory" => eager(df.persist(StorageLevel.MEMORY_AND_DISK))
+      case "disk"   => eager(df.persist(StorageLevel.DISK_ONLY))
+      case _        => lineageCut(df, eager = true)
     }
 
   /** Pin a key-domain-bounded (slim) frame for multiple consumers. */
   def slim(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "disk") match {
-      case "checkpoint" => df.localCheckpoint(true)
-      case _            => df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.conf.get(ConfKey, "cut") match {
+      case "memory" | "disk" => eager(df.persist(StorageLevel.MEMORY_AND_DISK))
+      case _                 => lineageCut(df, eager = true)
     }
 
-  /** Severed-lineage pin for the two cases that NEED it (iteration
-    * lineage truncation, read-your-own-writes barriers): reliable
-    * `checkpoint` when the session has a checkpoint dir (cluster
-    * deployment), executor-local `localCheckpoint` otherwise
-    * (local/bench — no dir to write to).
+  /** Eager materialization of a persist pin: a lazy InMemoryRelation
+    * reports its child's size estimate until blocks exist, flipping
+    * downstream broadcasts to sort-merge (see object doc).
+    */
+  private def eager(df: DataFrame): DataFrame = { df.count(); df }
+
+  /** Severed-lineage pin: reliable `checkpoint` when the session has a
+    * checkpoint dir (cluster deployment — replicated, block-loss
+    * tolerant), executor-local `localCheckpoint` otherwise (local/bench —
+    * nothing to write to, and block loss means the process died anyway).
     */
   def lineageCut(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)

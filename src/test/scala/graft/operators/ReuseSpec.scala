@@ -4,10 +4,11 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** The Reuse pins must (1) change nothing about results, (2) keep lineage
-  * RECOMPUTABLE (no severed-lineage `Scan ExistingRDD` in the plan — the
-  * r10 localCheckpoint defect class), and (3) land on the storage tier
-  * their class names (corpus → DISK_ONLY, slim → MEMORY_AND_DISK).
+/** The Reuse pins must (1) change nothing about results in ANY mode,
+  * (2) default to the lineage cut (the measured choice — AQE exchange
+  * reuse does not cross cached-table scans, see Reuse's Scaladoc), and
+  * (3) keep the recomputable persist modes working behind the conf,
+  * eagerly materialized and on the storage tier their class names.
   */
 class ReuseSpec extends SparkSpec {
   import spark.implicits._
@@ -15,42 +16,47 @@ class ReuseSpec extends SparkSpec {
   private def df = (1 to 1000).map(i => (i.toLong, s"doc $i word$i"))
     .toDF("doc_id", "text")
 
-  test("corpus pin: results identical, lineage recomputable, DISK_ONLY") {
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Reuse.ConfKey, mode)
+    try body finally spark.conf.unset(Reuse.ConfKey)
+  }
+
+  test("default: corpus pin is a lineage cut (localCheckpoint without a dir)") {
     val pinned = Reuse.corpus(df.withColumn("n", length(col("text"))))
-    try {
-      // plan must NOT bottom out in a severed-lineage RDD scan
-      assert(!pinned.queryExecution.analyzed.toString.contains("LogicalRDD"),
-        "corpus pin must keep recomputable lineage (no localCheckpoint)")
-      assert(pinned.storageLevel == StorageLevel.DISK_ONLY)
-      // two consumers agree with the unpinned computation
-      val plain = df.withColumn("n", length(col("text")))
-      assert(pinned.count() == plain.count())
-      assert(pinned.agg(sum("n")).head.getLong(0) ==
-        plain.agg(sum("n")).head.getLong(0))
-      // blocks dropped + recomputed still agree (the lost-executor path)
-      pinned.unpersist(blocking = true)
-      assert(pinned.agg(sum("n")).head.getLong(0) ==
-        plain.agg(sum("n")).head.getLong(0))
-    } finally pinned.unpersist(blocking = true)
+    // severed lineage shows as an RDD scan — the shape whose exchanges
+    // downstream self-joins can reuse (the measured r11 decision)
+    assert(pinned.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    assert(pinned.count() == 1000)
   }
 
-  test("slim pin: MEMORY_AND_DISK, recomputable") {
-    val pinned = Reuse.slim(df.groupBy(col("doc_id") % 10).count())
-    try {
-      assert(pinned.storageLevel == StorageLevel.MEMORY_AND_DISK)
-      assert(!pinned.queryExecution.analyzed.toString.contains("LogicalRDD"))
-      assert(pinned.count() == 10)
-    } finally pinned.unpersist(blocking = true)
+  test("disk mode: results identical, lineage recomputable, DISK_ONLY, eager") {
+    withMode("disk") {
+      val pinned = Reuse.corpus(df.withColumn("n", length(col("text"))))
+      try {
+        assert(!pinned.queryExecution.analyzed.toString.contains("LogicalRDD"),
+          "persist pin must keep recomputable lineage")
+        assert(pinned.storageLevel == StorageLevel.DISK_ONLY)
+        val plain = df.withColumn("n", length(col("text")))
+        assert(pinned.count() == plain.count())
+        assert(pinned.agg(sum("n")).head.getLong(0) ==
+          plain.agg(sum("n")).head.getLong(0))
+        // blocks dropped + recomputed still agree (the lost-executor path)
+        pinned.unpersist(blocking = true)
+        assert(pinned.agg(sum("n")).head.getLong(0) ==
+          plain.agg(sum("n")).head.getLong(0))
+      } finally pinned.unpersist(blocking = true)
+    }
   }
 
-  test("conf override: checkpoint mode reproduces the pre-r11 pin") {
-    spark.conf.set(Reuse.ConfKey, "checkpoint")
-    try {
-      val pinned = Reuse.corpus(df)
-      // localCheckpoint severs lineage — the A/B-measurable legacy shape
-      assert(pinned.queryExecution.analyzed.toString.contains("LogicalRDD"))
-      assert(pinned.count() == 1000)
-    } finally spark.conf.unset(Reuse.ConfKey)
+  test("memory mode: slim pin is MEMORY_AND_DISK, recomputable") {
+    withMode("memory") {
+      val pinned = Reuse.slim(df.groupBy(col("doc_id") % 10).count())
+      try {
+        assert(pinned.storageLevel == StorageLevel.MEMORY_AND_DISK)
+        assert(!pinned.queryExecution.analyzed.toString.contains("LogicalRDD"))
+        assert(pinned.count() == 10)
+      } finally pinned.unpersist(blocking = true)
+    }
   }
 
   test("lineageCut: localCheckpoint without a checkpoint dir, reliable with one") {
