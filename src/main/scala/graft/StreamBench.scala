@@ -42,6 +42,18 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_STREAM_ONLY=scalar|wire|wide|decode|stateful narrows to
+    // one bench for profiling runs (never set by the driver)
+    val onlyBench = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+    def enabled(name: String): Boolean = onlyBench.forall(_ == name)
+    if (!enabled("scalar")) {
+      if (enabled("wire")) wireBench(spark)
+      if (enabled("wide")) wideArrayBench(spark)
+      if (enabled("decode")) decodeBench(spark)
+      if (enabled("stateful")) statefulBench(spark)
+      spark.stop(); return
+    }
+
     val out = java.nio.file.Files.createTempDirectory("graft-sbench").toString
     // window wide enough that every message lands
     val job = new StreamingJob(spark, NexusPlan.parse(template), out,
@@ -73,10 +85,10 @@ object StreamBench {
     val total = msgs + batches * (perBatch / 10)
     println(f"""{"metric":"stream_msg_per_sec","value":${total / sec}%.1f,"unit":"msg/s","messages":$total,"batches":$batches,"sec":$sec%.2f}""")
 
-    wireBench(spark)
-    wideArrayBench(spark)
-    decodeBench(spark)
-    statefulBench(spark)
+    if (enabled("wire")) wireBench(spark)
+    if (enabled("wide")) wideArrayBench(spark)
+    if (enabled("decode")) decodeBench(spark)
+    if (enabled("stateful")) statefulBench(spark)
     spark.stop()
   }
 

@@ -88,6 +88,35 @@ class HotExprCodegenSpec extends SparkSpec {
     }
   }
 
+  test("boundary_bucket GENERATES code (no fallback) and buckets correctly") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      // mixed-type range key (string, long) — the ChunkIds shape
+      val input = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(("a", 1L), ("a", 5L), ("b", 0L), ("b", 9L), ("c", 2L), ("a", 3L))
+            .map { case (k, o) => Row(k, o) }, 2),
+        StructType(Seq(StructField("k", StringType), StructField("o", LongType))))
+      val schema = StructType(Seq(
+        StructField("_c0", StringType), StructField("_c1", LongType)))
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      val boundaries = Array(Row("a", 4L), Row("b", 5L)).map(r =>
+        conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      val df = input.select(F.col("k"), F.col("o"),
+        BoundaryBucket.boundary_bucket(
+          F.struct(F.col("k").as("_c0"), F.col("o").as("_c1")), boundaries).as("pid"))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // #{boundaries <= key} under (k, o) lexicographic order
+      assert(got(("a", 1L)) == 0 && got(("a", 3L)) == 0)
+      assert(got(("a", 5L)) == 1) // ("a",4) <= ("a",5) < ("b",5)
+      assert(got(("b", 0L)) == 1)
+      assert(got(("b", 9L)) == 2 && got(("c", 2L)) == 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"boundary_bucket Project not inside a WholeStageCodegen span:\n$plan")
+    }
+  }
+
   test("token_hashes passes null elements through as null hashes") {
     // the transform(tk, t => rolling_hash(t)) contract this expression
     // replaced: a null element yields a null hash, not an NPE'd task
