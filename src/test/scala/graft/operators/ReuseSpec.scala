@@ -59,6 +59,24 @@ class ReuseSpec extends SparkSpec {
     }
   }
 
+  test("cluster mode: a pin-heavy query under a reliable checkpoint dir " +
+    "matches the local-mode output exactly") {
+    // the 1000-executor deployment shape: every Reuse pin and lineage cut
+    // becomes a replicated reliable checkpoint. Values must be identical.
+    def run(): Set[String] =
+      graft.queries.DocQueries.queries("dedup_minhash_estimate")(
+        spark, "/root/testdata/sf0.001")
+        .collect().map(_.mkString("|")).toSet
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable =
+      try run()
+      finally org.apache.spark.GraftTestBridge.clearCheckpointDir(spark.sparkContext)
+    assert(reliable == local)
+    assert(local.nonEmpty)
+  }
+
   test("lineageCut: localCheckpoint without a checkpoint dir, reliable with one") {
     assert(spark.sparkContext.getCheckpointDir.isEmpty)
     val local = Reuse.lineageCut(df, eager = true)
