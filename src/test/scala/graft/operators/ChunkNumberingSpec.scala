@@ -99,6 +99,35 @@ class ChunkNumberingSpec extends SparkSpec {
     assert(got.getLong(0) == expect)
   }
 
+  test("sampled numbering: null range fields bucket consistently (nulls first)") {
+    withMode("sampled") {
+      // nulls in BOTH the data and (necessarily) the boundary sample:
+      // Spark's interpreted row ordering sorts nulls first, so null-keyed
+      // rows must land in the lowest chunks, consistently across reads
+      val rows = (0 until 2000).map(i =>
+        (if (i % 5 == 0) null else s"k${i % 40}",
+         if (i % 7 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i.toLong)))
+      val df = ChunkIds.withChunkIds(
+        rows.toDF("k", "o"), Seq(col("k"), col("o")), 16)
+      val got = df.select("k", "o", "__pid").collect()
+        .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1))) -> r.getInt(2))
+      // consistent: same key tuple → same pid on a second evaluation
+      val again = df.select("k", "o", "__pid").collect()
+        .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1))) -> r.getInt(2))
+      assert(got.toMap == again.toMap)
+      // monotone under nulls-first lexicographic order
+      implicit val ordS: Ordering[Option[String]] = Ordering.Option(Ordering.String)
+      implicit val ordL: Ordering[Option[Long]] = Ordering.Option(Ordering.Long)
+      val sorted = got.toMap.toSeq.sortBy(_._1).map(_._2)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        "__pid must be monotone with null fields ordered first")
+      // and the null-key rows occupy the lowest chunk(s)
+      val nullPids = got.toMap.collect { case ((None, _), pid) => pid }
+      assert(nullPids.nonEmpty && nullPids.max <= sorted.max)
+      assert(nullPids.max <= got.toMap.collect { case ((Some(_), _), pid) => pid }.min)
+    }
+  }
+
   test("auto default: local master resolves to the checkpoint strategy") {
     // no conf set → auto; on a local master that must be the pinned
     // range-exchange numbering (ExistingRDD scan), keeping bench-mode
