@@ -83,6 +83,10 @@ object Reuse {
     * checkpoint dir (cluster deployment — replicated, block-loss
     * tolerant), executor-local `localCheckpoint` otherwise (local/bench —
     * nothing to write to, and block loss means the process died anyway).
+    * Reliable-checkpoint files accumulate under the dir by Spark default;
+    * long-running deployments should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * out-of-scope pins are reclaimed.
     */
   def lineageCut(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
