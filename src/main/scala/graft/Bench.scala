@@ -133,10 +133,14 @@ object Bench {
       // mid-suite behind a dozen checkpoint-heavy dedup plans).
       // blocking = true: async removal would let the freeing work (and
       // the still-occupied storage memory) land inside the NEXT query's
-      // timed window — the wait itself sits in this untimed gap
-      spark.catalog.clearCache()
+      // timed window — the wait itself sits in this untimed gap.
+      // ORDER MATTERS: clearCache() unpersists cached plans NON-blocking
+      // and removes their RDDs from persistentRdds, so run the blocking
+      // unpersist sweep FIRST (it covers the cache-backed RDDs too), then
+      // clearCache() to drop the now-empty CacheManager entries.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       if (elapsed >= 0) {
         val (after, afterStable) = meter.quiesced()
         bytesByQuery(name) =
@@ -234,7 +238,9 @@ object Bench {
     // ratio is only code-attributable when both artifacts record the same
     // codegen-cache size and warm-up count — without the stamp, a harness
     // change silently reads as a code change.
-    val chunkMode = spark.conf.get(graft.operators.ChunkIds.ConfKey, "auto")
+    // stamp the RESOLVED strategy, not the raw conf: 'auto' on local and
+    // explicit 'checkpoint' behave identically and must stamp identically
+    val chunkMode = graft.operators.ChunkIds.resolvedStrategy(spark)
     val reuseMode = spark.conf.get(graft.operators.Reuse.ConfKey, "cut")
     val harness =
       s""""codegen_cache":$codegenCache,"warmup_passes":$warmupPasses,"chunk_numbering":"$chunkMode","reuse":"$reuseMode","cpus":$cpus"""

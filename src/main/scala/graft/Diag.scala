@@ -34,7 +34,7 @@ object Diag {
         import graft.functions.SimHash32.simhash32
         val sh = Graft.documents(spark, sfDir)
           .select(col("doc_id"), simhash32(col("text")).as("simhash"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Reuse.lineageCut(_))
         println(s"docs: ${sh.count()}")
         // block-bucket occupancy (4 rotations x 16-bit prefix)
         val rotBlocks = (0 until 4).map { r =>
@@ -45,21 +45,21 @@ object Diag {
         }
         val occ = sh.select(explode(array(rotBlocks: _*)).as("rb"))
           .groupBy(col("rb.rot"), col("rb.blk")).agg(count(lit(1)).as("b"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Reuse.lineageCut(_))
         occ.agg(count(lit(1)).as("buckets"), max(col("b")).as("max_occ"),
             sum(col("b") * (col("b") - 1) / 2).as("pair_work"),
             sum(when(col("b") > 4096, col("b")).otherwise(0)).as("capped_docs"))
           .show(false)
         occ.orderBy(desc("b")).show(20, false)
         val pairs = DocQueries.simhashPairs(
-          sh.select(col("doc_id"), col("simhash"))).localCheckpoint(true)
+          sh.select(col("doc_id"), col("simhash"))).transform(graft.operators.Reuse.lineageCut(_))
         println(s"verified pairs (hamming<=6): ${pairs.count()}")
         println(s"identical-hash pairs: ${pairs.filter(col("hamming") === 0).count()}")
       case "winnow" =>
         val fps = DocQueries.winnowFingerprints(Graft.documents(spark, sfDir))
-          .select("doc_id", "fp").distinct().localCheckpoint(true)
+          .select("doc_id", "fp").distinct().transform(graft.operators.Reuse.lineageCut(_))
         println(s"(doc, fp) rows: ${fps.count()}")
-        val occ = fps.groupBy("fp").agg(count(lit(1)).as("b")).localCheckpoint(true)
+        val occ = fps.groupBy("fp").agg(count(lit(1)).as("b")).transform(graft.operators.Reuse.lineageCut(_))
         occ.agg(count(lit(1)).as("fps"), max(col("b")).as("max_occ"),
             sum(col("b") * (col("b") - 1) / 2).as("pair_work"),
             sum(when(col("b") > 4096, col("b")).otherwise(0)).as("capped_docs"))

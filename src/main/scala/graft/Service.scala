@@ -42,6 +42,37 @@ object Service {
   def defaultServiceId: String =
     s"${java.net.InetAddress.getLocalHost.getHostName}:${ProcessHandle.current().pid()}"
 
+  /** Cluster-hygiene session defaults, applied by [[main]]'s builder and
+    * skipped per-key when the deployment already sets the key
+    * (`--conf` / system property — spark-submit confs land in system
+    * properties before the builder runs, so a present property means an
+    * explicit operator choice and wins):
+    *
+    *  - `spark.cleaner.referenceTracking.cleanCheckpoints=true`: the
+    *    reliable-checkpoint reuse pins ([[graft.operators.Reuse]]) write
+    *    files under the checkpoint dir that Spark NEVER deletes by
+    *    default — a long-running service leaks a checkpoint's worth of
+    *    cluster disk per job without this.
+    *  - `spark.sql.maxPlanStringLength=8m`: composed pipelines measured
+    *    37 minutes of driver CPU inside `TreeNode.generateTreeString`
+    *    on an uncut six-stage plan (round 11, jstack-caught); the
+    *    TrainingDataPipeline stage cuts fix the cause, this bounds the
+    *    blast radius if a caller composes around them. Static SQL conf —
+    *    must ride the context-creating builder, which is why it lives
+    *    here and not in a post-hoc `spark.conf.set`.
+    */
+  val clusterHygiene: Seq[(String, String)] = Seq(
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true",
+    "spark.sql.maxPlanStringLength" -> (8 * 1024 * 1024).toString)
+
+  /** Applies [[clusterHygiene]] to a session builder, key-by-key
+    * overridable via system property (see [[clusterHygiene]] doc).
+    */
+  def withClusterHygiene(b: SparkSession.Builder): SparkSession.Builder =
+    clusterHygiene.foldLeft(b) { case (bb, (k, v)) =>
+      if (sys.props.contains(k)) bb else bb.config(k, v)
+    }
+
   /** Installed by deployments/tests; the default refuses to start rather
     * than pretending a broker connection exists.
     */
@@ -192,12 +223,12 @@ object Service {
         println("graft-service 0.1")
       case Right(cfg) =>
         val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-        val spark = SparkSession.builder()
+        val spark = withClusterHygiene(SparkSession.builder()
           .master(s"local[$cpus]")
           .appName(s"graft-service ${cfg.serviceName}")
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
+          .config("spark.ui.enabled", "false"))
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         run(spark, cfg, transportFactory(cfg))

@@ -39,10 +39,12 @@ object Verify {
       } finally {
         // drop reuse-pin storage (Reuse persists + checkpoint blocks)
         // between queries — 196 accumulated DISK_ONLY pins would otherwise
-        // exhaust local disk on a big-SF run
-        spark.catalog.clearCache()
+        // exhaust local disk on a big-SF run. Unpersist the RDDs FIRST:
+        // clearCache() removes cached plans' RDDs from persistentRdds, so
+        // running it first would hide them from the sweep.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -52,17 +52,33 @@ object ChunkIds {
     */
   private val SampleFactor = 32
 
+  /** The strategy `withChunkIds` will actually run under this session's
+    * conf + master — `auto` resolved to its concrete choice. Exposed so
+    * harness stamps record behavior, not the raw conf string (an explicit
+    * `checkpoint` and a local-master `auto` behave identically and should
+    * stamp identically; `auto` across different masters behaves
+    * differently and should stamp differently).
+    *
+    * Only TRUE local masters (`local`, `local[...]`) resolve to
+    * `checkpoint`: `local-cluster[...]` runs separate executor JVMs whose
+    * `localCheckpoint` blocks can be lost — exactly the topology the
+    * recomputable `sampled` strategy exists for.
+    */
+  def resolvedStrategy(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get(ConfKey, "auto") match {
+      case s @ ("sampled" | "checkpoint") => s
+      case _ =>
+        val m = spark.sparkContext.master
+        if (m == "local" || m.startsWith("local[")) "checkpoint" else "sampled"
+    }
+
   /** Adds `__pid` to `df` per the configured strategy. `rangeCols` is the
     * lexicographic (key…, order…) tuple the stitch order derives from.
     */
   def withChunkIds(df: DataFrame, rangeCols: Seq[Column], chunks: Int): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "auto") match {
-      case "sampled"    => withSampledChunkIds(df, rangeCols, chunks)
-      case "checkpoint" => withCheckpointChunkIds(df, rangeCols, chunks)
-      case _ =>
-        if (df.sparkSession.sparkContext.master.startsWith("local"))
-          withCheckpointChunkIds(df, rangeCols, chunks)
-        else withSampledChunkIds(df, rangeCols, chunks)
+    resolvedStrategy(df.sparkSession) match {
+      case "sampled" => withSampledChunkIds(df, rangeCols, chunks)
+      case _         => withCheckpointChunkIds(df, rangeCols, chunks)
     }
 
   private def withCheckpointChunkIds(

@@ -84,11 +84,26 @@ object Reuse {
     * tolerant), executor-local `localCheckpoint` otherwise (local/bench —
     * nothing to write to, and block loss means the process died anyway).
     * Reliable-checkpoint files accumulate under the dir by Spark default;
-    * long-running deployments should set
+    * [[graft.Service]] sets
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
-    * out-of-scope pins are reclaimed.
+    * out-of-scope pins are reclaimed (other long-running deployments
+    * should do the same).
+    *
+    * The reliable path ignores `eager = false` and always materializes
+    * through a transient persist: Spark writes reliable checkpoint files
+    * in a SECOND job that re-runs the RDD lineage after the first action
+    * unless the RDD's blocks are cached, so a bare lazy `checkpoint()`
+    * would pay ~2x compute per cut — fatal for the iterative callers
+    * (every ConnectedComponents/BPE round). persist → eager checkpoint
+    * → unpersist makes the write job read blocks, then frees them; the
+    * checkpoint files are the durable copy. `doCheckpoint` runs
+    * synchronously at the end of the materializing count job, so the
+    * files exist before the unpersist.
     */
   def lineageCut(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try pinned.checkpoint(eager = true)
+      finally pinned.unpersist(blocking = false)
+    } else df.localCheckpoint(eager)
 }

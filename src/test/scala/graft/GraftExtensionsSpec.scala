@@ -20,12 +20,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // `.config("spark.sql.extensions", "graft.GraftExtensions")` works on a
     // fresh JVM; under a shared test SparkContext that conf isn't re-read,
     // so use the equivalent programmatic registration here
-    val s = SparkSession.builder()
+    // hygiene applied here too: if THIS suite runs first it creates the
+    // JVM's one SparkContext, and the context-level defaults must hold
+    // for ServiceHygieneSpec regardless of suite order
+    val s = Service.withClusterHygiene(SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     prevDefault.foreach(SparkSession.setDefaultSession)
     s

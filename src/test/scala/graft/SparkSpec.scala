@@ -8,14 +8,18 @@ import org.scalatest.BeforeAndAfterAll
   * sized to cores (matching the engine's own session policy).
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession
+  // routed through Service.withClusterHygiene so the test context carries
+  // the deployment defaults and ServiceHygieneSpec can assert them on a
+  // real session (the cleaner conf is context-level, the plan-string
+  // bound is a static SQL conf — both only apply at context creation)
+  lazy val spark: SparkSession = Service.withClusterHygiene(SparkSession
     .builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
     .getOrCreate()
 
   override def afterAll(): Unit = {
