@@ -27,6 +27,44 @@ object StreamBench {
       |                    "cue_interval": 1000000 } } ] }
       |  ] } ] }""".stripMargin
 
+  /** SPARK_GRAFT_STREAM_PROFILE=1: per-job wall/desc histogram printed at
+    * exit — the instrument behind the per-trigger fixed-cost work (never
+    * set by the driver).
+    */
+  private def installProfiler(spark: SparkSession): Option[() => Unit] =
+    sys.env.get("SPARK_GRAFT_STREAM_PROFILE").map { _ =>
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Long)]())
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = js.stageInfos.lastOption.map(_.name)
+              .orElse(Option(js.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")
+            jobs.put(js.jobId, (js.time, s"$desc [stages=${js.stageInfos.size}]"))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(jobs.remove(je.jobId)).foreach { case (t0, desc) =>
+              done.add((desc, je.time - t0))
+            }
+        })
+      () => {
+        import scala.jdk.CollectionConverters._
+        val byDesc = done.asScala.toSeq.groupBy(_._1).map { case (d, xs) =>
+          (d, xs.size, xs.map(_._2).sum)
+        }.toSeq.sortBy(-_._3)
+        System.err.println("== job profile (desc, count, total_ms) ==")
+        byDesc.foreach { case (d, n, ms) =>
+          System.err.println(f"$ms%8d ms  x$n%-5d $d")
+        }
+        System.err.println(f"TOTAL ${byDesc.map(_._3).sum}%d ms across ${done.size} jobs")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
@@ -46,11 +84,13 @@ object StreamBench {
     // one bench for profiling runs (never set by the driver)
     val onlyBench = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
     def enabled(name: String): Boolean = onlyBench.forall(_ == name)
+    val dumpProfile = installProfiler(spark)
     if (!enabled("scalar")) {
       if (enabled("wire")) wireBench(spark)
       if (enabled("wide")) wideArrayBench(spark)
       if (enabled("decode")) decodeBench(spark)
       if (enabled("stateful")) statefulBench(spark)
+      dumpProfile.foreach(_())
       spark.stop(); return
     }
 
@@ -89,6 +129,7 @@ object StreamBench {
     if (enabled("wide")) wideArrayBench(spark)
     if (enabled("decode")) decodeBench(spark)
     if (enabled("stateful")) statefulBench(spark)
+    dumpProfile.foreach(_())
     spark.stop()
   }
 
