@@ -60,10 +60,17 @@ object Service {
     *    blast radius if a caller composes around them. Static SQL conf —
     *    must ride the context-creating builder, which is why it lives
     *    here and not in a post-hoc `spark.conf.set`.
+    *  - `spark.sql.codegen.cache.maxEntries=2000`: the per-trigger
+    *    working set of a multi-schema streaming job exceeds the default
+    *    100-entry compiled-class LRU, so every trigger re-Janino-compiles
+    *    most of its stages — measured 65 compiles/trigger (≈30% of the
+    *    per-trigger fixed cost) at default vs 2 once sized (round 12,
+    *    CodegenMetrics). Static SQL conf, builder-only, ~KBs per entry.
     */
   val clusterHygiene: Seq[(String, String)] = Seq(
     "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true",
-    "spark.sql.maxPlanStringLength" -> (8 * 1024 * 1024).toString)
+    "spark.sql.maxPlanStringLength" -> (8 * 1024 * 1024).toString,
+    "spark.sql.codegen.cache.maxEntries" -> "2000")
 
   /** Applies [[clusterHygiene]] to a session builder, key-by-key
     * overridable via system property (see [[clusterHygiene]] doc).

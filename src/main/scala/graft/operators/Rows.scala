@@ -36,33 +36,111 @@ object Rows {
     * Eager: runs the small stats job at call time; the returned frame's
     * final pass stays lazy and reuses the shuffle output.
     */
+  /** Below this size (when the caller knows it) the global sort runs as
+    * `coalesce(1)` + in-partition sort instead of a range exchange — one
+    * task, and crucially NO RangePartitioner boundary sampling, which is
+    * a whole extra job over the input. Profiled on the streaming
+    * per-trigger path: sampling + 32-partition stats cost ~400 ms/trigger
+    * at 1k-msg triggers for sub-millisecond work. The real budget of the
+    * single task is BYTES (wide-array rows run ~16 KB — a rows-only bound
+    * routed 160 MB triggers into one task, −16% at 20k-msg triggers), so
+    * a byte hint, when the caller has one, both relaxes the row bound for
+    * tiny rows and vetoes the small path for wide ones. Overridable via
+    * spark.graft.rows.smallRenumber{,Bytes}.
+    */
+  private val SmallRenumberDefault      = 65536L
+  private val SmallRenumberBytesDefault = 32L * 1024 * 1024
+
   def indexed(
       df: DataFrame,
       orderCol: String,
       rowCol: String = "row",
       start: Long = 0L,
-      weight: Option[(String, String, Long)] = None
-  ): DataFrame = {
-    val sorted = df
-      .repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      weight: Option[(String, String, Long)] = None,
+      sizeHint: Long = -1L,
+      byteHint: Long = -1L
+  ): DataFrame =
+    core(df, orderCol, rowCol, start, weight, sizeHint, byteHint,
+      needCount = false)._1
+
+  /** [[indexed]] plus the exact total row count — free, because the job-1
+    * prefix-sum stats already hold it. Callers that would otherwise
+    * `count()` the result (one more job over the same data) should use
+    * this instead (the streaming write path does: the count gates
+    * empty-table skips and sizes the append shaping).
+    *
+    * `sizeHint` is the caller's row-count estimate (exact or upper
+    * bound), used ONLY to shape the exchange — small batches skip the
+    * range sampling entirely, large ones size their partition count from
+    * the hint (~256k rows each) instead of inheriting the session shuffle
+    * width. Ids are exact regardless of hint quality.
+    */
+  def indexedCounted(
+      df: DataFrame,
+      orderCol: String,
+      rowCol: String = "row",
+      start: Long = 0L,
+      weight: Option[(String, String, Long)] = None,
+      sizeHint: Long = -1L,
+      byteHint: Long = -1L
+  ): (DataFrame, Long) =
+    core(df, orderCol, rowCol, start, weight, sizeHint, byteHint,
+      needCount = true)
+
+  private def core(
+      df: DataFrame,
+      orderCol: String,
+      rowCol: String,
+      start: Long,
+      weight: Option[(String, String, Long)],
+      sizeHint: Long,
+      byteHint: Long,
+      needCount: Boolean
+  ): (DataFrame, Long) = {
+    val conf     = df.sparkSession.conf
+    val rowsMax  = conf
+      .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong
+    val bytesMax = conf
+      .get("spark.graft.rows.smallRenumberBytes", SmallRenumberBytesDefault.toString).toLong
+    // with a byte hint the byte bound decides (rows only guard sort CPU);
+    // without one, the conservative row bound stands alone
+    val small =
+      if (byteHint >= 0) sizeHint >= 0 && sizeHint <= (1L << 20) && byteHint <= bytesMax
+      else sizeHint >= 0 && sizeHint <= rowsMax
+    val sorted =
+      if (small)
+        df.coalesce(1).sortWithinPartitions(col(orderCol))
+      else if (sizeHint >= 0) {
+        val width = conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val byRows  = (sizeHint + 262143) / 262144
+        val byBytes = if (byteHint >= 0) (byteHint + (64L << 20) - 1) / (64L << 20) else 0L
+        val parts = math.max(width, math.min(4096L, math.max(byRows, byBytes)).toInt)
+        df.repartitionByRange(parts, col(orderCol)).sortWithinPartitions(col(orderCol))
+      } else
+        df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
     val fields = sorted.schema.fields
     val wIdx   = weight.map { case (w, _, _) => fields.indexWhere(_.name == w) }
     wIdx.foreach(i => require(i >= 0, s"weight column not found"))
 
     val rdd = sorted.rdd
-    // job 1: per-partition counts (+ weight sums) — O(numPartitions) longs
-    val stats: Array[(Int, Long, Long)] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var n = 0L; var w = 0L
-        it.foreach { r =>
-          n += 1
-          wIdx.foreach(i => if (!r.isNullAt(i)) w += r.getAs[Number](i).longValue())
+    // job 1: per-partition counts (+ weight sums) — O(numPartitions) longs.
+    // A single-partition frame needs no prefix sums at all: partition 0
+    // stamps from `start`/`wStart` directly, so when the caller doesn't
+    // need the total either, the stats job is skipped entirely (the
+    // streaming per-trigger path: one job saved per renumbered table).
+    val stats: Array[(Int, Long, Long)] =
+      if (small && !needCount) Array((0, -1L, -1L))
+      else rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var n = 0L; var w = 0L
+          it.foreach { r =>
+            n += 1
+            wIdx.foreach(i => if (!r.isNullAt(i)) w += r.getAs[Number](i).longValue())
+          }
+          Iterator((pid, n, w))
         }
-        Iterator((pid, n, w))
-      }
-      .collect()
-      .sortBy(_._1)
+        .collect()
+        .sortBy(_._1)
     val rowOffsets = new Array[Long](stats.length + 1)
     val wOffsets   = new Array[Long](stats.length + 1)
     rowOffsets(0) = start
@@ -100,6 +178,8 @@ object Rows {
         Row.fromSeq(out)
       }
     }
-    df.sparkSession.createDataFrame(stamped, outSchema)
+    val total =
+      if (small && !needCount) -1L else rowOffsets(stats.length) - start
+    (df.sparkSession.createDataFrame(stamped, outSchema), total)
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.json4s._
 
+import graft.functions.StableLong.{intDiv, stableLit}
+
 /** The per-stream transform operators — Spark re-expressions of the
   * reference's writer modules (`src/WriterModule/⋆`, SURVEY §2.5). Each turns
   * a decoded, filtered message DataFrame into named output tables whose
@@ -56,7 +58,24 @@ object WriterModules {
   final case class Cursor(
       rowStart: Long = 0L,
       eventsWritten: Long = 0L,
-      lastCue: Long = 0L)
+      lastCue: Long = 0L,
+      /** message count of THIS batch (−1 unknown) — an exchange-shaping
+        * hint only (small batches skip the range-sampling job in
+        * [[Rows.indexedCounted]]); never feeds row values.
+        */
+      sizeHint: Long = -1L,
+      /** total payload elements of THIS batch (−1 unknown), from the
+        * module's [[WriterModule.elementCountCol]] via the streaming
+        * job's fused aggregate — lets the renumber bound its BYTES, not
+        * just its row count (wide-array rows run ~16 KB; a rows-only
+        * bound routed 160 MB triggers into one task).
+        */
+      elemHint: Long = -1L) {
+    /** crude batch payload bytes: 8 B/element + envelope per message. */
+    def byteHint: Long =
+      if (sizeHint < 0) -1L
+      else math.max(elemHint, 0L) * 8 + sizeHint * 48
+  }
 
   trait WriterModule {
     def id: String
@@ -77,6 +96,12 @@ object WriterModules {
       * vs `ev44_Writer.cpp:133`).
       */
     def nextLastCue(maxCueIndex: Long): Long = maxCueIndex + 1
+    /** Per-message exploded-element count (modules whose data rows explode
+      * the payload array): lets the streaming job fold the batch's exact
+      * element total into its one fused scalar aggregate, so the
+      * append-side renumber and the ev44 event cursor need no extra job.
+      */
+    def elementCountCol: Option[org.apache.spark.sql.Column] = None
     /** Tables whose `row` sort keys are ALREADY globally unique and
       * monotone as emitted (dense data rows started at `cur.rowStart`;
       * cue rows reuse their message's global row) — the sink appends them
@@ -96,7 +121,8 @@ object WriterModules {
     * non-exploding tables need no second numbering pass at append time.
     */
   private def withRow(df: DataFrame, cur: Cursor = Cursor()): DataFrame =
-    Rows.indexed(df, "offset", start = cur.rowStart)
+    Rows.indexed(df, "offset", start = cur.rowStart,
+      sizeHint = cur.sizeHint, byteHint = cur.byteHint)
 
   /** Sparse sort key for exploded rows: message row in the high 32 bits,
     * element position low — unique and monotone within a batch (renumbered
@@ -126,7 +152,7 @@ object WriterModules {
           // exactly (`f144_Writer.cpp:259-263`); rows are global already
           val gw = col("row") + 1 // 1-based global write count
           Map("cue" -> data
-            .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
+            .filter(gw > stableLit(cur.lastCue) && (gw - stableLit(cur.lastCue)) % n === 0)
             .select(col("row"), (gw - 1).as("cue_index"),
               col("time").as("cue_timestamp_zero")))
         case _ => Map.empty[String, DataFrame] // default u32::max ⇒ off (f144_Writer.h:79-80)
@@ -211,12 +237,14 @@ object WriterModules {
     override def nextLastCue(maxCueIndex: Long): Long = maxCueIndex
     /** events/index carry sparse exploded keys → dense renumber at append. */
     override def denseRowTables: Set[String] = Set("cue")
+    override def elementCountCol = Some(size(col("time_of_flight")))
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
       // one distributed pass assigns both the message row index and the
       // exclusive running event count (EventsWritten, ev44_Writer.cpp:118-126)
       val base = Rows.indexed(
         df.withColumn("__n_ev", size(col("time_of_flight")).cast("long")),
-        "offset", weight = Some(("__n_ev", "events_written", 0L)))
+        "offset", weight = Some(("__n_ev", "events_written", 0L)),
+        sizeHint = cur.sizeHint, byteHint = cur.byteHint)
       val cum = base
         .withColumn("events_after", col("events_written") + col("__n_ev"))
         .drop("__n_ev")
@@ -254,8 +282,8 @@ object WriterModules {
       val L0 = cur.lastCue
       val proj = nonEmpty.select(
         col("row"),
-        (col("events_after") + lit(cur.eventsWritten)).as("ea"),
-        (col("events_written") + lit(cur.eventsWritten)).as("ea_prev"),
+        (col("events_after") + stableLit(cur.eventsWritten)).as("ea"),
+        (col("events_written") + stableLit(cur.eventsWritten)).as("ea_prev"),
         (element_at(col("reference_time"), -1) +
           element_at(col("time_of_flight"), -1).cast("long")).as("cue_ts"))
       val (maxEa, nMsgs) =
@@ -273,8 +301,8 @@ object WriterModules {
       val interval = requested.max(floor)
       Ev44.lastCueInterval = interval
       val cand = proj.filter(
-        expr(s"(ea - 1 - ${L0}L) div ${interval}L") >
-          expr(s"(ea_prev - 1 - ${L0}L) div ${interval}L"))
+        intDiv(col("ea") - 1 - stableLit(L0), stableLit(interval)) >
+          intDiv(col("ea_prev") - 1 - stableLit(L0), stableLit(interval)))
         .orderBy("row").collect()
       Ev44.lastCueCandidates  = cand.length
       Ev44.lastCueFallbacks   = 0
@@ -389,6 +417,7 @@ object WriterModules {
     */
   object Ad00 extends WriterModule {
     val id = "ad00"
+    override def elementCountCol = Some(size(col("data")))
     override def units(cfg: ModuleConfig): Map[String, String] =
       Map("time" -> "ns", "value" -> "")
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
@@ -413,6 +442,10 @@ object WriterModules {
     */
   object Da00 extends WriterModule {
     val id = "da00"
+    /** input rows are per-variable (pre-pivot): summing each row's array
+      * size totals the batch payload across variables.
+      */
+    override def elementCountCol = Some(size(col("data")))
     override def nxClass = "NXdata"
     /** NXdata signal/axes attributes with `time` prepended to the axes —
       * computed at plan time (`da00_Writer.cpp:132-227`).
@@ -558,8 +591,10 @@ object WriterModules {
       * zero-element messages rejected (F8, `se00_Writer.cpp:202-204`).
       */
     override def denseRowTables: Set[String] = Set.empty
+    override def elementCountCol = Some(size(col("values")))
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
-      val ex = withRow(df.filter(size(col("values")) > 0))
+      val ex = withRow(df.filter(size(col("values")) > 0),
+        Cursor(sizeHint = cur.sizeHint, elemHint = cur.elemHint))
         .select(col("row"), col("ts"), col("time_delta"), col("timestamps"),
           posexplode(col("values")).as(Seq("pos", "value")))
       val data = ex.select(
@@ -581,8 +616,10 @@ object WriterModules {
     val id = "tdct"
     /** exploded rows → sparse keys, renumbered at append. */
     override def denseRowTables: Set[String] = Set.empty
+    override def elementCountCol = Some(size(col("timestamps")))
     def tables(df: DataFrame, cfg: ModuleConfig, cur: Cursor): Map[String, DataFrame] = {
-      val ex = withRow(df.filter(size(col("timestamps")) > 0))
+      val ex = withRow(df.filter(size(col("timestamps")) > 0),
+        Cursor(sizeHint = cur.sizeHint, elemHint = cur.elemHint))
         .select(col("row"), posexplode(col("timestamps")).as(Seq("pos", "t")))
       Map("data" -> ex.select(sparseKey, col("t").as("time")))
     }

@@ -54,4 +54,53 @@ class AsofChunkedSpec extends SparkSpec {
         .sortBy(_._1).toSeq
     assert(run("asof_latest_click_skewsafe") == run("asof_latest_click"))
   }
+
+  test("null keys carry across chunks like the single-window form") {
+    // Window.partitionBy groups null keys into ONE partition, so the
+    // single-window asof carries values within the null-key stream; the
+    // chunked stitch must do the same across chunk boundaries (its
+    // join-back is null-safe — a plain equi-join would never match the
+    // null-key carry rows and silently null the cross-chunk fills)
+    val purchases = (0 until 400).map(i =>
+      (i.toLong, Option.empty[Long], i.toLong * 1000L)) ++
+      Seq((900L, Some(1L), 500000L))
+    val clicks = Seq((Option.empty[Long], 10L, 42.0), (Some(1L), 10L, 7.0))
+    val p = purchases.toDF("event_id", "user_id", "ts_us")
+    val c = clicks.toDF("user_id", "ts_us", "click_value")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "click_value").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val base = collect(
+      AsofJoin.asofJoin(p, c, Seq("user_id"), "ts_us", Seq("click_value")))
+    val chunked = collect(AsofJoin.asofJoinChunked(
+      p, c, Seq("user_id"), "ts_us", Seq("click_value"), 32))
+    assert(chunked == base)
+    assert(chunked(399L).contains(42.0)) // null-key carry crossed chunks
+    assert(chunked(900L).contains(7.0))
+  }
+
+  test("null-VALUED right rows stay invisible, per column, across chunks") {
+    // last(value, ignoreNulls) skips null-valued right rows in the
+    // single-window form; the chunked carry-out must too — and each value
+    // column carries independently (one column's later null-valued row
+    // must not mask another's)
+    val purchases = (0 until 300).map(i => (i.toLong, 0L, 1000L + i))
+    val clicks = Seq(
+      (0L, 1L, Some(1.0), Some(10.0)),
+      (0L, 2L, Option.empty[Double], Some(20.0)),
+      (0L, 3L, Some(3.0), Option.empty[Double]))
+    val p = purchases.toDF("event_id", "user_id", "ts_us")
+    val c = clicks.toDF("user_id", "ts_us", "a", "b")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "a", "b").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val base = collect(
+      AsofJoin.asofJoin(p, c, Seq("user_id"), "ts_us", Seq("a", "b")))
+    val chunked = collect(AsofJoin.asofJoinChunked(
+      p, c, Seq("user_id"), "ts_us", Seq("a", "b"), 16))
+    assert(chunked == base)
+    // hand math: latest non-null a = 3.0 (t=3), latest non-null b = 20.0 (t=2)
+    assert(chunked.contains((299L, Some(3.0), Some(20.0))))
+  }
 }
