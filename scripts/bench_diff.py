@@ -6,14 +6,58 @@ time moved but whose bytes did not is warm-up/host noise, while a row
 whose bytes moved has a real plan/data change to name.
 
 Usage: python3 scripts/bench_diff.py OLD.json NEW.json [ratio_threshold]
+       python3 scripts/bench_diff.py --movers OLD.json NEW.json
+
+--movers prints the NOTES-ready byte-parity block: every query whose
+shuffle-write ratio is not EXACTLY 1.0 with its full-precision ratio and
+raw byte counts, plus each artifact's config stamp (or its absence) — so
+the cross-round parity claim is machine-derived, never transcribed from
+the 2-decimal display (VERDICT r11 "what's wrong" #1).
 """
 import json
 import sys
+
+STAMP_KEYS = ("codegen_cache", "warmup_passes", "chunk_numbering", "reuse",
+              "cpus", "runs", "sf")
 
 
 def load(path):
     with open(path) as f:
         return json.load(f)["queries"]
+
+
+def movers(old_path, new_path):
+    def stamp(path):
+        with open(path) as f:
+            art = json.load(f)
+        present = {k: art[k] for k in STAMP_KEYS if k in art}
+        if not present:
+            return f"{path}: NO config stamp (pre-stamping artifact)"
+        return f"{path}: " + " ".join(f"{k}={present[k]}" for k in sorted(present))
+
+    old, new = load(old_path), load(new_path)
+    print(stamp(old_path))
+    print(stamp(new_path))
+    common = sorted(set(old) & set(new))
+    exact, rows, unmeasured = 0, [], 0
+    for q in common:
+        ob = (old[q].get("bytes") or {}).get("shuffle_write")
+        nb = (new[q].get("bytes") or {}).get("shuffle_write")
+        if not ob or ob <= 0 or nb is None or nb < 0:
+            unmeasured += 1
+            continue
+        if nb == ob:
+            exact += 1
+        else:
+            rows.append((q, ob, nb, nb / ob))
+    rows.sort(key=lambda r: abs(r[3] - 1.0), reverse=True)
+    print(f"common {len(common)} queries: {exact} shuffle-write EXACTLY equal, "
+          f"{len(rows)} movers, {unmeasured} without byte metrics")
+    for q, ob, nb, r in rows:
+        print(f"  {q:40s} {ob:>14d} -> {nb:>14d} bytes  ratio {r:.6f} "
+              f"({(r - 1) * 100:+.3f}%)")
+    if not rows:
+        print("  (none)")
 
 
 def fmt_b(x):
@@ -27,6 +71,10 @@ def fmt_b(x):
 
 
 def main():
+    if "--movers" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--movers"]
+        movers(args[0], args[1])
+        return
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     common = sorted(set(old) & set(new))
