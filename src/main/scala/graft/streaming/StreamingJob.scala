@@ -206,7 +206,7 @@ class StreamingJob(
     */
   private def withBatchConf[T](f: => T): T =
     if (spark.conf.get("spark.graft.stream.aqe", "off") == "keep") f
-    else {
+    else StreamingJob.sessionConfLock.synchronized {
       // Shuffle width for the per-trigger jobs: the kernel's only wide
       // dependencies key on source_name (≤ a handful of live keys per
       // schema) and the scalar aggregates reduce to one row, so the
@@ -215,6 +215,11 @@ class StreamingJob(
       // renumber exchanges — the one per-trigger shuffle whose width
       // should track DATA size — size themselves from the batch hint
       // (Rows.indexedCounted) and ignore this narrow default.
+      //
+      // The set/restore pair is guarded by a GLOBAL lock, not this job's
+      // monitor: two StreamingJobs sharing one session would otherwise
+      // interleave (B reads A's "false" as its prior and restores it),
+      // leaving AQE off for the session after both batches finish.
       val priorAqe   = spark.conf.get("spark.sql.adaptive.enabled", "true")
       val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -574,6 +579,12 @@ class StreamingJob(
 }
 
 object StreamingJob {
+
+  /** Serializes every job's per-trigger conf window (see
+    * [[StreamingJob.withBatchConf]]) — session confs are process-global
+    * state, so the guard must be too.
+    */
+  private[streaming] val sessionConfLock = new Object
 
   /** Mutable per-stream state surviving micro-batch boundaries — the Spark
     * re-homing of SourceFilter/ev44_Writer member fields.

@@ -305,4 +305,25 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq ==
       Seq(10.0, 15.0, 20.0))
   }
+
+  test("concurrent jobs restore the session confs they flip per batch") {
+    // processBatch temporarily disables AQE / narrows shuffle width for
+    // its window; with TWO jobs on one session the set/restore pairs must
+    // serialize on a global lock — per-job monitors would let job B read
+    // job A's "false" as its prior and restore it, leaving AQE off for
+    // the session. Stress the interleave and assert the conf comes back.
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val jobs = Seq(
+      newJob(Files.createTempDirectory("sjob-conf-a").toString),
+      newJob(Files.createTempDirectory("sjob-conf-b").toString))
+    val threads = jobs.zipWithIndex.map { case (j, i) =>
+      new Thread(() => (0 until 5).foreach { b =>
+        j.processBatch("f144",
+          Seq(f144(b * 2 + i, 10010 + b, b.toDouble)).toDF())
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == priorAqe)
+    jobs.foreach(_.finish())
+  }
 }
