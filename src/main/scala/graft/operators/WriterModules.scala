@@ -109,6 +109,17 @@ object WriterModules {
       * `row·2³² + pos` keys need the write-side dense renumber.
       */
     def denseRowTables: Set[String] = Set("data", "cue")
+    /** Exact driver-side cue-row count for this batch, when the module's
+      * cue grid is pure cursor arithmetic (unit-increment chains over
+      * one-data-row-per-message tables: f144/ad00). `rows` is the exact
+      * data-row count of the batch (the streaming job's msgHint). `None`
+      * means not predictable (ev44's candidate walk is data-dependent).
+      * The streaming write path uses `Some(0)` to skip the cue append
+      * outright — at production cue intervals (reference ev44 default is
+      * 10⁸ events) most triggers fire no cue, and a provably-empty append
+      * is a whole Spark write job for zero rows.
+      */
+    def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] = None
     /** scalar datasets written at job close (running aggregates). */
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
@@ -159,6 +170,13 @@ object WriterModules {
       }
       Map("data" -> data) ++ cue
     }
+    // grid points lastCue + k·n (k ≥ 1) with 1-based write count in
+    // (rowStart, rowStart + rows] — the same arithmetic the cue filter
+    // evaluates per row, closed-form (CueGridSpec pins them equal)
+    override def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] =
+      cfg.long("cue_interval").filter(_ > 0).map(n =>
+        math.max(0L, (cur.rowStart + rows - cur.lastCue) / n) -
+          math.max(0L, (cur.rowStart - cur.lastCue) / n))
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       if (cfg.bool("meta_data").getOrElse(true))
         Map("meta" -> df.agg(
@@ -433,6 +451,13 @@ object WriterModules {
         .select(col("row"), (gw - 1).as("cue_index"),
           col("time").as("cue_timestamp_zero"))
       Map("data" -> data, "cue" -> cue)
+    }
+    // same unit-increment grid as f144, with ad00's 1000-message default
+    override def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] = {
+      val n = cfg.long("cue_interval").getOrElse(1000L)
+      if (n <= 0) None
+      else Some(math.max(0L, (cur.rowStart + rows - cur.lastCue) / n) -
+        math.max(0L, (cur.rowStart - cur.lastCue) / n))
     }
   }
 

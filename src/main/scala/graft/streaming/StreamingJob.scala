@@ -502,7 +502,28 @@ class StreamingJob(
           System.err.println(s"[graft] transform failed for $key: ${e.getMessage}")
           return false
       }
-    tables.foreach { case (table, out0) =>
+    // Every table append is an independent output (own directory, own
+    // counters); a write job's cost is dominated by FIXED overhead —
+    // ~160 ms of scheduling + FileFormatWriter + commit for a 500-row
+    // file, measured flat in data size (round 12) — so a module with
+    // data+cue (+index) pays 2-3× that PER TRIGGER sequentially. Two
+    // cuts, both measured on the per-trigger floor:
+    //   1. provably-empty appends are SKIPPED driver-side (cue grids
+    //      that cursor arithmetic proves fired zero times, and tables
+    //      the transform already materialized as an empty local
+    //      relation — ev44's collected cue hits); zero rows means zero
+    //      counter movement, so skipping is observationally identical
+    //      except for the 0-row part file the old shape left behind;
+    //   2. the surviving appends run CONCURRENTLY on a small daemon
+    //      pool — independent Spark jobs overlap their fixed cost (the
+    //      single-MessageWriter serialization the reference needs for
+    //      HDF5 constrains streams, which stay serialized on the job
+    //      monitor; per-table parquet directories have no such coupling).
+    // Counter updates stay deterministic: outcomes apply in table order
+    // AFTER every append returns, under the processBatch monitor.
+    final case class Outcome(table: String, n: Long, cueMax: Option[Long],
+      err: Option[String])
+    def appendOne(table: String, out0: DataFrame): Outcome =
       try {
         // dense tables emit global row keys directly (module numbering
         // started at the cursor); only sparse exploded keys need the
@@ -548,17 +569,48 @@ class StreamingJob(
           else math.max(elemHint, msgHint)
         sink.append(key, table, observed, rows = shapeHint)
         val n = obs.get("n").asInstanceOf[Long]
-        if (n > 0) {
+        val mx =
+          if (table == "cue" && n > 0) Some(obs.get("mx").asInstanceOf[Long])
+          else None
+        Outcome(table, n, mx, None)
+      } catch {
+        case e: Exception => Outcome(table, 0L, None, Some(e.getMessage))
+      }
+    def provablyEmpty(table: String, out0: DataFrame): Boolean =
+      (table == "cue" &&
+        module.plannedCueCount(ModuleConfig(s.config), cursor, msgHint)
+          .contains(0L)) || {
+        // transforms that collect on the driver (ev44 cue hits) hand back
+        // a local relation — emptiness is visible without a job
+        out0.queryExecution.logical match {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            l.data.isEmpty
+          case _ => false
+        }
+      }
+    val live = tables.toSeq.filter { case (t, out0) => !provablyEmpty(t, out0) }
+    val outcomes: Seq[Outcome] =
+      if (live.sizeIs <= 1) live.map { case (t, o) => appendOne(t, o) }
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val fs = live.map { case (t, o) =>
+          Future(appendOne(t, o))(StreamingJob.appendPool)
+        }
+        fs.map(Await.result(_, Duration.Inf))
+      }
+    outcomes.foreach { oc =>
+      oc.err match {
+        case Some(msg) =>
+          state.writeErrors += 1
+          System.err.println(s"[graft] append failed for $key/${oc.table}: $msg")
+        case None if oc.n > 0 =>
           // advance the greedy cue-chain anchor (modules emit GLOBAL
           // cue_index values from the cursor)
-          if (table == "cue")
-            state.lastCue = module.nextLastCue(obs.get("mx").asInstanceOf[Long])
-          state.rowsWritten(table) = state.rowsWritten.getOrElse(table, 0L) + n
-        }
-      } catch {
-        case e: Exception =>
-          state.writeErrors += 1
-          System.err.println(s"[graft] append failed for $key/$table: ${e.getMessage}")
+          oc.cueMax.foreach(mx => state.lastCue = module.nextLastCue(mx))
+          state.rowsWritten(oc.table) =
+            state.rowsWritten.getOrElse(oc.table, 0L) + oc.n
+        case _ => ()
       }
     }
     // da00 constants-consistency warnings surface as write errors in the
@@ -585,6 +637,23 @@ object StreamingJob {
     * state, so the guard must be too.
     */
   private[streaming] val sessionConfLock = new Object
+
+  /** Driver-side pool for concurrent per-table appends (see `write`):
+    * one stream writes at most events+index+cue concurrently, so a small
+    * fixed pool shared by every job suffices; daemon threads so an
+    * embedded caller's JVM exit is never held up. Session confs are
+    * process-global, so jobs launched from these threads still run under
+    * the batch window's AQE/shuffle settings.
+    */
+  private[streaming] lazy val appendPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-append")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Mutable per-stream state surviving micro-batch boundaries — the Spark
     * re-homing of SourceFilter/ev44_Writer member fields.
