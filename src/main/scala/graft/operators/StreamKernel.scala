@@ -42,14 +42,41 @@ object StreamKernel {
       sourceCols: Seq[String],
       offsetCol: String,
       tsCol: String,
-      acceptRepeats: Boolean = false
+      acceptRepeats: Boolean = false,
+      slimPayload: Boolean = false
   ): DataFrame =
     if (acceptRepeats) df
-    else {
+    else if (!slimPayload) {
       val prev = lag(col(tsCol), 1).over(streamWindow(sourceCols, offsetCol))
       df.withColumn("__prev_ts", prev)
         .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col(tsCol))
         .drop("__prev_ts")
+    } else {
+      // Slim-payload form: the per-source window is a ONE-PARTITION funnel
+      // (a stream has one source key), so the default form sorts the whole
+      // batch payload in a single task — a ceiling once a trigger's
+      // per-source payload exceeds one task (GB-scale tensor triggers).
+      // Here only (source, offset, ts) ride the window (~24 B/row); the
+      // drop set (consecutive repeats — rare by construction) anti-joins
+      // back keyed on (source, offset), which hash-distributes the payload
+      // EVENLY instead of funneling it, and under AQE the near-empty drop
+      // side broadcasts at runtime. NOT the default: below that ceiling
+      // the funnel WINS — measured interleaved 1.2-1.4× at 160 MB/trigger
+      // (the anti-join sort-merges the payload, costing more than the
+      // one-task sort it avoids; bench_results/stream_ab_r12b.json) —
+      // so callers opt in per deployment (spark.graft.stream.dedup=slim).
+      // Kept-row semantics are IDENTICAL to the default form including
+      // the null-ts corner (drop ⇔ prev non-null ∧ (ts null ∨ prev = ts)
+      // — the exact complement of the keep predicate; `StreamKernelSpec`
+      // pins the two forms equal).
+      val keyCols = sourceCols :+ offsetCol
+      val prev    = lag(col(tsCol), 1).over(streamWindow(sourceCols, offsetCol))
+      val drops = df.select((keyCols :+ tsCol).map(col): _*)
+        .withColumn("__prev_ts", prev)
+        .filter(col("__prev_ts").isNotNull &&
+          (col(tsCol).isNull || col("__prev_ts") === col(tsCol)))
+        .select(keyCols.map(col): _*)
+      df.join(drops, keyCols, "left_anti")
     }
 
   /** F2 + F3 + F6 — time-window filter with last-value-before-start

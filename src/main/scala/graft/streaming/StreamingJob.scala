@@ -303,9 +303,19 @@ class StreamingJob(
 
     val routed = StreamKernel
       .routeSource(batch, "topic" -> s.topic, "source_name" -> s.source)
+    // spark.graft.stream.dedup=slim keeps the payload out of the dedup
+    // window's one-partition funnel (slim keys through the window, drops
+    // anti-join back) — for deployments whose per-trigger per-source
+    // payload exceeds one task. DEFAULT stays the single-window form: at
+    // any trigger a task can hold, the funnel is FASTER — measured
+    // interleaved 1.2-1.4x at 160 MB/trigger, the anti-join's payload
+    // sort-merge costs more than the one-task sort it avoids
+    // (bench_results/stream_ab_r12b.json, round-12b).
     val deduped = StreamKernel
       .dedupConsecutive(routed, Seq("source_name"), "offset", "ts",
-        acceptRepeats = module.acceptRepeats)
+        acceptRepeats = module.acceptRepeats,
+        slimPayload = module.elementCountCol.isDefined &&
+          spark.conf.get("spark.graft.stream.dedup", "window") == "slim")
 
     // ONE driver round-trip per stream per batch in steady state: the
     // strict-finish cutoff offset AND every per-stream scalar (batch

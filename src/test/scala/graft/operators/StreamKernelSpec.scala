@@ -85,6 +85,29 @@ class StreamKernelSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("offset")).toSeq == Seq(0L, 2L, 3L))
   }
 
+  test("slim-payload dedup keeps IDENTICAL rows to the window form on every corner") {
+    // corners: leading repeat, run of 3 repeats (only adjacent drop),
+    // repeat split across sources, null ts adjacent to non-null (the
+    // original form DROPS a null-ts row whose predecessor is non-null —
+    // the slim form must reproduce that exactly), null-ts leading row
+    val df = Seq(
+      ("s", 0L, Some(100L), 1.0), ("s", 1L, Some(100L), 2.0),
+      ("s", 2L, Some(100L), 3.0), ("s", 3L, Some(200L), 4.0),
+      ("s", 4L, None: Option[Long], 5.0), ("s", 5L, Some(200L), 6.0),
+      ("t", 0L, None: Option[Long], 7.0), ("t", 1L, Some(100L), 8.0),
+      ("t", 2L, Some(100L), 9.0)
+    ).toDF("source", "offset", "ts", "value")
+    val win = StreamKernel
+      .dedupConsecutive(df, Seq("source"), "offset", "ts")
+      .orderBy("source", "offset").collect().toSeq
+    val slim = StreamKernel
+      .dedupConsecutive(df, Seq("source"), "offset", "ts", slimPayload = true)
+      .orderBy("source", "offset").collect().toSeq
+    assert(win == slim, s"window=$win slim=$slim")
+    // and the fixture actually exercises drops (not all-kept)
+    assert(win.size < df.count())
+  }
+
   test("dedup with acceptRepeats=true (ev44) keeps everything") {
     val df = Seq(("s", 0L, 100L, 1.0), ("s", 1L, 100L, 2.0))
       .toDF("source", "offset", "ts", "value")
