@@ -599,8 +599,14 @@ class StreamingJob(
         }
       }
     val live = tables.toSeq.filter { case (t, out0) => !provablyEmpty(t, out0) }
+    // spark.graft.stream.parallelAppends=off serializes the per-table
+    // appends (debug/attribution escape hatch; outcome application is
+    // order-identical either way)
+    val parallel =
+      spark.conf.get("spark.graft.stream.parallelAppends", "on") != "off"
     val outcomes: Seq[Outcome] =
-      if (live.sizeIs <= 1) live.map { case (t, o) => appendOne(t, o) }
+      if (live.sizeIs <= 1 || !parallel)
+        live.map { case (t, o) => appendOne(t, o) }
       else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
