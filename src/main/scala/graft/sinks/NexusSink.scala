@@ -153,6 +153,20 @@ final class NexusSink(outDir: String) {
       .parquet(target)
   }
 
+  /** Driver-side append of driver-materialized rows — no Spark job (see
+    * [[LocalParquet]]; ~160 ms of fixed write-job cost saved per call).
+    * Caller orders the rows; returns the count written.
+    */
+  def appendLocal(
+      streamPath: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]
+  ): Long = {
+    require(frozen, "create the structure before appending")
+    LocalParquet.write(s"$outDir/data/$streamPath/$table", schema, rows)
+  }
+
   /** Phase 3 — close: job metadata (mdat start/end ISO strings,
     * `src/WriterModule/mdat/mdat_Writer.cpp:19-97`), per-stream units, and
     * final scalar aggregates.

@@ -533,8 +533,45 @@ class StreamingJob(
     // AFTER every append returns, under the processBatch monitor.
     final case class Outcome(table: String, n: Long, cueMax: Option[Long],
       err: Option[String])
-    def appendOne(table: String, out0: DataFrame): Outcome =
+    // Driver-materialized dense tables (ev44's collected cue hits arrive
+    // as a LocalRelation) write WITHOUT a Spark job: the rows are already
+    // in driver memory, and a write job is ~160 ms of fixed cost for 1-3
+    // rows (round-12b; see LocalParquet). Counters come from the rows
+    // themselves. Opt out via spark.graft.stream.localAppend=off.
+    def localAppend(table: String, out0: DataFrame): Option[Outcome] =
       try {
+        if (!module.denseRowTables.contains(table) ||
+          spark.conf.get("spark.graft.stream.localAppend", "on") == "off") None
+        else out0.queryExecution.optimizedPlan match {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            val schema = org.apache.spark.sql.types.StructType(
+              l.output.map(a => org.apache.spark.sql.types
+                .StructField(a.name, a.dataType, a.nullable)))
+            if (!graft.sinks.LocalParquet.supports(schema)) None
+            else {
+              val rowIdx = schema.fieldIndex("row")
+              val sorted = l.data.sortBy(_.getLong(rowIdx))
+              sink.appendLocal(key, table, schema, sorted)
+              val mx =
+                if (table == "cue" && sorted.nonEmpty) {
+                  val ci = schema.fieldIndex("cue_index")
+                  Some(sorted.iterator.map(_.getLong(ci)).max)
+                } else None
+              Some(Outcome(table, sorted.size.toLong, mx, None))
+            }
+          case _ => None
+        }
+      } catch {
+        // a failed local write left at most a dot-prefixed temp file no
+        // reader sees — the Spark path is a safe, duplicate-free retry
+        case e: Exception =>
+          System.err.println(
+            s"[graft] local append failed for $key/$table (${e.getMessage}); " +
+              "falling back to the write-job path")
+          None
+      }
+    def appendOne(table: String, out0: DataFrame): Outcome =
+      try localAppend(table, out0).getOrElse {
         // dense tables emit global row keys directly (module numbering
         // started at the cursor); only sparse exploded keys need the
         // distributed renumber pass — a two-pass prefix sum, never a
@@ -591,8 +628,11 @@ class StreamingJob(
         module.plannedCueCount(ModuleConfig(s.config), cursor, msgHint)
           .contains(0L)) || {
         // transforms that collect on the driver (ev44 cue hits) hand back
-        // a local relation — emptiness is visible without a job
-        out0.queryExecution.logical match {
+        // a local relation — emptiness is visible without a job. Match on
+        // the OPTIMIZED plan: `toDF(names)` wraps the relation in a
+        // Project of aliases, which ConvertToLocalRelation collapses —
+        // the raw logical plan never matches
+        out0.queryExecution.optimizedPlan match {
           case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
             l.data.isEmpty
           case _ => false
