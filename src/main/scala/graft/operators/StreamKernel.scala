@@ -32,11 +32,22 @@ object StreamKernel {
   def routeSource(df: DataFrame, predicates: (String, Any)*): DataFrame =
     predicates.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
 
-  /** F4 — consecutive repeated-timestamp dedup: drop a row when its
-    * timestamp equals the previous row's timestamp in arrival order,
+  /** F4 — consecutive repeated-timestamp dedup: drop a MESSAGE when its
+    * timestamp equals the previous message's timestamp in arrival order,
     * unless the module accepts repeats (only ev44 does).
-    * Reference: `src/Stream/SourceFilter.cpp:90-95`.
+    * Reference: `src/Stream/SourceFilter.cpp:90-95` — the filter operates
+    * on messages; a message is the set of rows sharing `offsetCol` (the
+    * da00 adapter explodes one message into per-VARIABLE rows, so
+    * row-grain `lag(ts, 1)` would see a same-message sibling with an
+    * equal timestamp and silently drop every variable after the first —
+    * the previous-message timestamp must come from a RANGE frame over
+    * strictly lower offsets, which keeps all rows of a message together).
     */
+  private def prevMsgTs(sourceCols: Seq[String], offsetCol: String, tsCol: String) =
+    last(col(tsCol), ignoreNulls = false).over(
+      Window.partitionBy(sourceCols.map(col): _*).orderBy(col(offsetCol))
+        .rangeBetween(Window.unboundedPreceding, -1))
+
   def dedupConsecutive(
       df: DataFrame,
       sourceCols: Seq[String],
@@ -47,7 +58,7 @@ object StreamKernel {
   ): DataFrame =
     if (acceptRepeats) df
     else if (!slimPayload) {
-      val prev = lag(col(tsCol), 1).over(streamWindow(sourceCols, offsetCol))
+      val prev = prevMsgTs(sourceCols, offsetCol, tsCol)
       df.withColumn("__prev_ts", prev)
         .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col(tsCol))
         .drop("__prev_ts")
@@ -60,22 +71,27 @@ object StreamKernel {
       // drop set (consecutive repeats — rare by construction) anti-joins
       // back keyed on (source, offset), which hash-distributes the payload
       // EVENLY instead of funneling it, and under AQE the near-empty drop
-      // side broadcasts at runtime. NOT the default: below that ceiling
-      // the funnel WINS — measured interleaved 1.2-1.4× at 160 MB/trigger
-      // (the anti-join sort-merges the payload, costing more than the
-      // one-task sort it avoids; bench_results/stream_ab_r12b.json) —
-      // so callers opt in per deployment (spark.graft.stream.dedup=slim).
-      // Kept-row semantics are IDENTICAL to the default form including
-      // the null-ts corner (drop ⇔ prev non-null ∧ (ts null ∨ prev = ts)
-      // — the exact complement of the keep predicate; `StreamKernelSpec`
-      // pins the two forms equal).
+      // side broadcasts at runtime — pair the opt-in with
+      // spark.graft.stream.aqe=keep, or the streaming batch window's
+      // AQE-off default leaves the anti-join a sort-merge. NOT the
+      // default: below that ceiling the funnel WINS — measured
+      // interleaved 1.2-1.4× at 160 MB/trigger (the anti-join
+      // sort-merges the payload, costing more than the one-task sort it
+      // avoids; bench_results/stream_ab_r12b.json) — so callers opt in
+      // per deployment (spark.graft.stream.dedup=slim). Kept-row
+      // semantics are IDENTICAL to the default form including the
+      // null-ts corner (drop ⇔ prev non-null ∧ (ts null ∨ prev = ts) —
+      // the exact complement of the keep predicate) and the
+      // multi-row-per-message corner (a dropped key removes the whole
+      // message on both forms); `StreamKernelSpec` pins the two equal.
       val keyCols = sourceCols :+ offsetCol
-      val prev    = lag(col(tsCol), 1).over(streamWindow(sourceCols, offsetCol))
+      val prev    = prevMsgTs(sourceCols, offsetCol, tsCol)
       val drops = df.select((keyCols :+ tsCol).map(col): _*)
         .withColumn("__prev_ts", prev)
         .filter(col("__prev_ts").isNotNull &&
           (col(tsCol).isNull || col("__prev_ts") === col(tsCol)))
         .select(keyCols.map(col): _*)
+        .dropDuplicates(keyCols)
       df.join(drops, keyCols, "left_anti")
     }
 

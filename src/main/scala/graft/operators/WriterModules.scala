@@ -124,6 +124,17 @@ object WriterModules {
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
 
+  /** The one closed form behind every unit-increment cue grid (f144/ad00
+    * [[WriterModule.plannedCueCount]] overrides): grid points lastCue +
+    * k·n (k ≥ 1) with 1-based write count in (rowStart, rowStart + rows].
+    * ONE definition on purpose — the streaming cue-skip is sound only
+    * while this NEVER disagrees with the modules' cue filters
+    * (`CueGridSpec` pins them equal), and a second copy could drift.
+    */
+  private def unitGridCueCount(lastCue: Long, rowStart: Long, rows: Long, n: Long): Long =
+    math.max(0L, (rowStart + rows - lastCue) / n) -
+      math.max(0L, (rowStart - lastCue) / n)
+
   /** Arrival-order GLOBAL row index within the stream, computed
     * distributed ([[Rows.indexed]] two-pass prefix sum — no
     * single-partition stage; the reference's single-writer discipline
@@ -170,13 +181,9 @@ object WriterModules {
       }
       Map("data" -> data) ++ cue
     }
-    // grid points lastCue + k·n (k ≥ 1) with 1-based write count in
-    // (rowStart, rowStart + rows] — the same arithmetic the cue filter
-    // evaluates per row, closed-form (CueGridSpec pins them equal)
     override def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] =
-      cfg.long("cue_interval").filter(_ > 0).map(n =>
-        math.max(0L, (cur.rowStart + rows - cur.lastCue) / n) -
-          math.max(0L, (cur.rowStart - cur.lastCue) / n))
+      cfg.long("cue_interval").filter(_ > 0)
+        .map(unitGridCueCount(cur.lastCue, cur.rowStart, rows, _))
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       if (cfg.bool("meta_data").getOrElse(true))
         Map("meta" -> df.agg(
@@ -456,8 +463,7 @@ object WriterModules {
     override def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] = {
       val n = cfg.long("cue_interval").getOrElse(1000L)
       if (n <= 0) None
-      else Some(math.max(0L, (cur.rowStart + rows - cur.lastCue) / n) -
-        math.max(0L, (cur.rowStart - cur.lastCue) / n))
+      else Some(unitGridCueCount(cur.lastCue, cur.rowStart, rows, n))
     }
   }
 

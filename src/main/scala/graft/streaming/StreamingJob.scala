@@ -626,18 +626,21 @@ class StreamingJob(
     def provablyEmpty(table: String, out0: DataFrame): Boolean =
       (table == "cue" &&
         module.plannedCueCount(ModuleConfig(s.config), cursor, msgHint)
-          .contains(0L)) || {
+          .contains(0L)) ||
+      (module.denseRowTables.contains(table) && {
         // transforms that collect on the driver (ev44 cue hits) hand back
         // a local relation — emptiness is visible without a job. Match on
         // the OPTIMIZED plan: `toDF(names)` wraps the relation in a
         // Project of aliases, which ConvertToLocalRelation collapses —
-        // the raw logical plan never matches
+        // the raw logical plan never matches. Gated to dense tables (the
+        // only driver-materialized producers): for big distributed plans
+        // the optimizer pass here would be pure discarded driver work.
         out0.queryExecution.optimizedPlan match {
           case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
             l.data.isEmpty
           case _ => false
         }
-      }
+      })
     val live = tables.toSeq.filter { case (t, out0) => !provablyEmpty(t, out0) }
     // spark.graft.stream.parallelAppends=off serializes the per-table
     // appends (debug/attribution escape hatch; outcome application is
@@ -648,12 +651,37 @@ class StreamingJob(
       if (live.sizeIs <= 1 || !parallel)
         live.map { case (t, o) => appendOne(t, o) }
       else {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Promise}
         import scala.concurrent.duration.Duration
-        val fs = live.map { case (t, o) =>
-          Future(appendOne(t, o))(StreamingJob.appendPool)
+        val ps = live.map { case (t, o) =>
+          val p = Promise[Outcome]()
+          StreamingJob.appendPool.execute { () =>
+            // Pool threads inherit the CREATING thread's Spark job group
+            // (InheritableThreadLocal local properties) — in a
+            // multi-schema job that is whichever MicroBatchExecution
+            // first touched the pool, so stopping THAT query would
+            // cancel OTHER streams' in-flight appends. Clear the group
+            // per task; the appends are owned by this processBatch call,
+            // not by any streaming query's cancellation scope.
+            spark.sparkContext.clearJobGroup()
+            // Complete the promise on EVERY outcome, fatal included: a
+            // VirtualMachineError on a pool thread would otherwise leave
+            // the Await below blocked forever while the caller holds the
+            // job monitor and the global conf-window lock (a plain
+            // Future completes on NonFatal only). The fatal rethrows
+            // after completion so the JVM's handler still sees it.
+            try p.trySuccess(appendOne(t, o))
+            catch {
+              // appendOne handles Exception itself; only Errors land here
+              case th: Throwable =>
+                p.trySuccess(Outcome(t, 0L, None,
+                  Some(s"${th.getClass.getSimpleName}: ${th.getMessage}")))
+                if (!scala.util.control.NonFatal(th)) throw th
+            }
+          }
+          p.future
         }
-        fs.map(Await.result(_, Duration.Inf))
+        ps.map(Await.result(_, Duration.Inf))
       }
     outcomes.foreach { oc =>
       oc.err match {

@@ -85,6 +85,28 @@ class StreamKernelSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("offset")).toSeq == Seq(0L, 2L, 3L))
   }
 
+  test("dedup is MESSAGE-grain: multi-row messages (da00 variables) drop or keep whole") {
+    // one da00 message = several rows sharing (offset, ts); the reference
+    // filters MESSAGES (`SourceFilter.cpp:90-95`), so a repeated-ts
+    // message must lose ALL its rows and a kept message must keep ALL —
+    // row-grain lag(ts,1) would see a same-message sibling's equal ts and
+    // silently drop every variable after the first
+    val df = Seq(
+      ("s", 0L, 100L, "v1"), ("s", 0L, 100L, "v2"),   // msg0: kept, both rows
+      ("s", 1L, 100L, "v1"), ("s", 1L, 100L, "v2"),   // msg1: repeat of msg0 → dropped whole
+      ("s", 2L, 200L, "v1"), ("s", 2L, 200L, "v2"),   // msg2: new ts → kept, both rows
+      ("s", 3L, 100L, "v1")                            // msg3: ts != msg2 → kept
+    ).toDF("source", "offset", "ts", "name")
+    for (slim <- Seq(false, true)) {
+      val out = StreamKernel
+        .dedupConsecutive(df, Seq("source"), "offset", "ts", slimPayload = slim)
+        .orderBy("offset", "name").collect()
+      assert(out.map(r => (r.getLong(1), r.getString(3))).toSeq ==
+        Seq((0L, "v1"), (0L, "v2"), (2L, "v1"), (2L, "v2"), (3L, "v1")),
+        s"slim=$slim")
+    }
+  }
+
   test("slim-payload dedup keeps IDENTICAL rows to the window form on every corner") {
     // corners: leading repeat, run of 3 repeats (only adjacent drop),
     // repeat split across sources, null ts adjacent to non-null (the

@@ -55,6 +55,40 @@ class StreamingJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
   }
 
+  test("da00 multi-variable messages ride F4 whole: repeat dropped entirely, kept ones pivot fully") {
+    // a da00 message explodes into one row per VARIABLE before the
+    // kernel; message-grain dedup must drop/keep those rows together —
+    // row-grain dedup would strip every variable after the first from
+    // EVERY message (same offset, same ts)
+    val template =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "img", "type": "group", "children": [
+        |      { "module": "da00",
+        |        "config": { "source": "arr", "topic": "tp",
+        |                    "variables": [
+        |                      {"name": "a", "data_type": "float64"},
+        |                      {"name": "b", "data_type": "float64"} ] } } ] }
+        |  ] } ] }""".stripMargin
+    val out = Files.createTempDirectory("graft-da00mg").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(template), out, 0, 1L << 40)
+    def msg(off: Long, tsMs: Long) = Seq(
+      ("tp", "arr", off, tsMs * 1000000L, "a", "x", Seq(1.0 + off, 2.0)),
+      ("tp", "arr", off, tsMs * 1000000L, "b", "x", Seq(9.0 + off)))
+    job.processBatch("da00",
+      (msg(0, 1000) ++ msg(1, 1000) ++ msg(2, 2000))
+        .toDF("topic", "source_name", "offset", "ts", "name", "axis_name", "data"))
+    job.finish()
+    val d = spark.read.parquet(s"$out/data/entry/img/data").orderBy("row").collect()
+    // msg1 (repeated ts) dropped WHOLE; msg0 and msg2 keep BOTH variables
+    assert(d.length == 2)
+    def arr(r: org.apache.spark.sql.Row, c: String): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex(c)).toSeq
+    assert(arr(d(0), "a") == Seq(1.0, 2.0) && arr(d(0), "b") == Seq(9.0))
+    assert(arr(d(1), "a") == Seq(3.0, 2.0) && arr(d(1), "b") == Seq(11.0))
+    assert(job.counter("entry/img", "data") == 2L)
+  }
+
   test("f144: dedup across batches, buffered pre-start, strict finish") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
