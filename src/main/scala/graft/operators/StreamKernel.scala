@@ -112,6 +112,11 @@ object StreamKernel {
     *     at 53).
     * ev44 sets `emitBuffered=false` (it ignores buffered messages,
     * `src/WriterModule/ev44/ev44_Writer.cpp:94-97`).
+    *
+    * The buffered pick is ROW-grain (`row_number` keeps one row), so this
+    * batch operator is defined for one-row-per-message frames (every
+    * fixture/oracle shape); the streaming job buffers multi-row messages
+    * (da00's per-variable explode) whole via its own candidate path.
     */
   def windowWithBuffer(
       df: DataFrame,

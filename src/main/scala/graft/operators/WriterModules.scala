@@ -120,6 +120,14 @@ object WriterModules {
       * is a whole Spark write job for zero rows.
       */
     def plannedCueCount(cfg: ModuleConfig, cur: Cursor, rows: Long): Option[Long] = None
+    /** True when ONE wire message reaches the module as SEVERAL input rows
+      * (the da00 adapter explodes per VARIABLE). Message-grain semantics
+      * (F4 dedup, the pre-start buffer) must then treat all rows sharing
+      * an offset as one unit — the streaming job collects the WHOLE
+      * message for the buffered candidate instead of the single row the
+      * fused aggregate carries.
+      */
+    def multiRowMessages: Boolean = false
     /** scalar datasets written at job close (running aggregates). */
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
   }
@@ -477,6 +485,8 @@ object WriterModules {
       * size totals the batch payload across variables.
       */
     override def elementCountCol = Some(size(col("data")))
+    /** the adapter explodes one da00 message into per-variable rows */
+    override def multiRowMessages = true
     override def nxClass = "NXdata"
     /** NXdata signal/axes attributes with `time` prepended to the axes —
       * computed at plan time (`da00_Writer.cpp:132-227`).

@@ -24,15 +24,17 @@ import graft.sinks.NexusSink
   *
   * Scale stance: batch rows stay distributed end-to-end; the only values
   * collected to the driver are per-stream scalars (boundary timestamp, the
-  * strict-finish cutoff offset, append counters) and the single buffered
-  * pre-start message — the same per-stream state the reference keeps in
-  * SourceFilter fields.
+  * strict-finish cutoff offset, append counters) and the rows of the
+  * single buffered pre-start message — the same per-stream state the
+  * reference keeps in SourceFilter fields.
   *
   * Cross-batch state ([[StreamingJob.StreamState]]):
   *   - `lastTs` — consecutive-dedup across batch boundaries (F4;
   *     `SourceFilter.cpp:90-95`),
-  *   - `buffered` — pre-start candidate, emitted on the first in-window
-  *     write or at job end (F3; `SourceFilter.cpp:101-118`, dtor flush :53),
+  *   - `buffered` — pre-start candidate MESSAGE (all its rows — da00's
+  *     adapter explodes one message per variable), emitted on the first
+  *     in-window write or at job end (F3; `SourceFilter.cpp:101-118`,
+  *     dtor flush :53),
   *   - `finished` — strict stop: everything after the first beyond-stop
   *     message is dropped (F6),
   *   - `rowsWritten` / `eventsWritten` — append cursors continuing sink row
@@ -276,9 +278,16 @@ class StreamingJob(
           autoBatchId = in.readLong()
           processedBatch ++= in.readObject().asInstanceOf[Map[String, Long]]
           val saved = in.readObject().asInstanceOf[Map[String,
-            (Option[Long], Option[Row], Boolean, Long, Map[String, Long],
+            (Option[Long], Option[_], Boolean, Long, Map[String, Long],
               StructType, Long, Long)]]
-          saved.foreach { case (k, (lt, buf, fin, ev, rows, sch, errs, lc)) =>
+          saved.foreach { case (k, (lt, buf0, fin, ev, rows, sch, errs, lc)) =>
+            // buffered slot: current format stores the MESSAGE's rows; a
+            // pre-message-grain state file stored one Row — migrate it
+            // (erasure means the cast above can't tell them apart)
+            val buf: Option[Seq[Row]] = buf0.map {
+              case rs: Seq[_] => rs.asInstanceOf[Seq[Row]]
+              case r: Row     => Seq(r)
+            }
             states(k) = StreamState(lt, buf, fin, ev,
               mutable.Map(rows.toSeq: _*), sch, errs, lc)
           }
@@ -385,17 +394,26 @@ class StreamingJob(
       else base
     }
 
-    // pre-start buffering: candidate row rides back inside the aggregate
+    // pre-start buffering: candidate row rides back inside the aggregate.
+    // The aggregate carries ONE row; for multi-row-per-message modules
+    // (da00's per-variable explode) the buffered unit is the MESSAGE, so
+    // the candidate's remaining rows are fetched with one bounded job
+    // (all rows of one offset — a message's variable count) only when a
+    // new candidate is actually accepted, which can only happen while the
+    // stream is still pre-start (rare, and never in steady state).
     Option(aggRow.getAs[Row]("buf_cand")).foreach { cand =>
       // the boundary-duplicate head row cannot be the candidate unless it's
       // also the only pre-start row — recheck against the dedup boundary
-      val row   = cand.getAs[Row]("p")
       val tsIdx = deduped.schema.fieldIndex("ts")
       val isBoundaryRow = boundary &&
         cand.getAs[Long]("offset") == minOff
       if (!isBoundaryRow &&
-        state.buffered.forall(_.getLong(tsIdx) <= cand.getAs[Long]("ts"))) {
-        state.buffered = Some(row)
+        state.buffered.forall(_.head.getLong(tsIdx) <= cand.getAs[Long]("ts"))) {
+        state.buffered = Some(
+          if (module.multiRowMessages)
+            deduped.filter(col("offset") === cand.getAs[Long]("offset"))
+              .collect().toSeq
+          else Seq(cand.getAs[Row]("p")))
         state.schema = deduped.schema
       }
     }
@@ -404,6 +422,7 @@ class StreamingJob(
     val inWindow  = live.filter(col("ts") >= startNs && col("ts") <= stopNs)
     val emitBuffered = module.emitBuffered && state.buffered.nonEmpty &&
       (nInWindow > 0 || state.finished)
+    val bufRows = if (emitBuffered) state.buffered.get.size.toLong else 0L
     val toWrite =
       if (emitBuffered) {
         val b = state.buffered.get
@@ -412,7 +431,7 @@ class StreamingJob(
       } else inWindow
     if (nInWindow > 0 || emitBuffered) {
       val transformed = write(key, module, s, toWrite, state,
-        msgHint = nInWindow + (if (emitBuffered) 1L else 0L),
+        msgHint = nInWindow + bufRows,
         elemHint =
           if (module.elementCountCol.isDefined) aggRow.getAs[Long]("ev_window")
           else -1L)
@@ -424,8 +443,10 @@ class StreamingJob(
     }
   }
 
-  private def bufferedDf(row: Row, schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.List.of(row), schema)
+  private def bufferedDf(rows: Seq[Row], schema: StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
 
   /** Flush buffered messages at job end (the SourceFilter dtor flush), then
     * close the sink with metadata and final aggregates. Pass `emitHdf5` to
@@ -744,7 +765,10 @@ object StreamingJob {
     */
   final case class StreamState(
       var lastTs: Option[Long] = None,
-      var buffered: Option[Row] = None,
+      /** all rows of the single buffered pre-start MESSAGE (one row per
+        * variable for da00's exploded input, one row otherwise)
+        */
+      var buffered: Option[Seq[Row]] = None,
       var finished: Boolean = false,
       var eventsWritten: Long = 0L,
       rowsWritten: mutable.Map[String, Long] = mutable.Map.empty,

@@ -89,6 +89,42 @@ class StreamingJobSpec extends SparkSpec {
     assert(job.counter("entry/img", "data") == 2L)
   }
 
+  test("da00 pre-start message is buffered WHOLE: both variables survive to the pivot") {
+    val template =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "img", "type": "group", "children": [
+        |      { "module": "da00",
+        |        "config": { "source": "arr", "topic": "tp",
+        |                    "variables": [
+        |                      {"name": "a", "data_type": "float64"},
+        |                      {"name": "b", "data_type": "float64"} ] } } ] }
+        |  ] } ] }""".stripMargin
+    val out = Files.createTempDirectory("graft-da00buf").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(template), out, 10000, 15000)
+    def msg(off: Long, tsMs: Long, tag: Double) = Seq(
+      ("tp", "arr", off, tsMs * 1000000L, "a", "x", Seq(tag, 2.0)),
+      ("tp", "arr", off, tsMs * 1000000L, "b", "x", Seq(tag + 100)))
+    // batch 1: two pre-start messages — the later one becomes the buffer
+    job.processBatch("da00",
+      (msg(0, 9000, 1.0) ++ msg(1, 9500, 2.0))
+        .toDF("topic", "source_name", "offset", "ts", "name", "axis_name", "data"))
+    // batch 2: first in-window message → buffered message emitted with it
+    job.processBatch("da00",
+      msg(2, 10100, 3.0)
+        .toDF("topic", "source_name", "offset", "ts", "name", "axis_name", "data"))
+    job.finish()
+    val d = spark.read.parquet(s"$out/data/entry/img/data").orderBy("row").collect()
+    def arr(r: org.apache.spark.sql.Row, c: String): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex(c)).toSeq
+    // buffered msg(1) first (offset order), then the in-window msg(2) —
+    // BOTH with both variables (the old row-grain buffer kept one
+    // variable row and null-filled the other)
+    assert(d.length == 2)
+    assert(arr(d(0), "a") == Seq(2.0, 2.0) && arr(d(0), "b") == Seq(102.0))
+    assert(arr(d(1), "a") == Seq(3.0, 2.0) && arr(d(1), "b") == Seq(103.0))
+  }
+
   test("f144: dedup across batches, buffered pre-start, strict finish") {
     val out = Files.createTempDirectory("graft-stream").toString
     val job = newJob(out)
