@@ -130,6 +130,14 @@ object WriterModules {
     def multiRowMessages: Boolean = false
     /** scalar datasets written at job close (running aggregates). */
     def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] = Map.empty
+    /** [[finals]] for the STREAMING close, where no message frame is in
+      * scope — the aggregates derive from the sink's own written tables
+      * instead (`read` loads one by name; every written row came through
+      * the kernel, so the values agree with the batch path's, computed
+      * over the STORED — i.e. dtype-cast — values). Default: none.
+      */
+    def sinkFinals(read: String => DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      Map.empty
   }
 
   /** The one closed form behind every unit-increment cue grid (f144/ad00
@@ -195,6 +203,12 @@ object WriterModules {
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       if (cfg.bool("meta_data").getOrElse(true))
         Map("meta" -> df.agg(
+          min("value").as("minimum_value"), max("value").as("maximum_value"),
+          avg("value").as("average_value"), count(lit(1)).as("num_values")))
+      else Map.empty
+    override def sinkFinals(read: String => DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      if (cfg.bool("meta_data").getOrElse(true))
+        Map("meta" -> read("data").agg(
           min("value").as("minimum_value"), max("value").as("maximum_value"),
           avg("value").as("average_value"), count(lit(1)).as("num_values")))
       else Map.empty
@@ -443,6 +457,9 @@ object WriterModules {
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       Map("meta" -> df.agg(
         coalesce(sum(size(col("time_of_flight"))), lit(0L)).as("events")))
+    /** total events = the exploded events table's row count */
+    override def sinkFinals(read: String => DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
+      Map("meta" -> read("events").agg(count(lit(1)).as("events")))
   }
 
   /** ad00 n-D image: flattened element array + shape per message
@@ -461,8 +478,11 @@ object WriterModules {
       // unit increments ⇒ anchored grid; rows are global across batches
       val n  = cfg.long("cue_interval").getOrElse(1000L)
       val gw = col("row") + 1
+      // stableLit, not lit: the cursor advances every cue, and an inlined
+      // literal would regenerate the whole-stage code each trigger (the
+      // Janino-recompile class StableLong exists to remove — NOTES_r12 §1)
       val cue = data
-        .filter(gw > lit(cur.lastCue) && (gw - lit(cur.lastCue)) % n === 0)
+        .filter(gw > stableLit(cur.lastCue) && (gw - stableLit(cur.lastCue)) % n === 0)
         .select(col("row"), (gw - 1).as("cue_index"),
           col("time").as("cue_timestamp_zero"))
       Map("data" -> data, "cue" -> cue)

@@ -182,6 +182,8 @@ final class NexusSink(outDir: String) {
     finals.foreach { case (streamPath, tables) =>
       tables.foreach { case (name, df) =>
         df.coalesce(1).write.mode(SaveMode.Overwrite)
+          // same no-marker policy as append (nothing reads _SUCCESS)
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
           .parquet(s"$outDir/data/$streamPath/$name")
       }
     }

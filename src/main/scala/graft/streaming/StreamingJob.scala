@@ -43,7 +43,7 @@ import graft.sinks.NexusSink
 class StreamingJob(
     spark: SparkSession,
     plan: NexusPlan.Plan,
-    outDir: String,
+    val outDir: String,
     startMs: Long,
     stopMs: Long
 ) {
@@ -75,6 +75,11 @@ class StreamingJob(
   def isPaused: Boolean = paused
   def pause(): Unit     = { paused = true }
   def resume(): Unit    = synchronized { paused = false; notifyAll() }
+
+  // set by finish(): batches arriving after close are dropped (a parked
+  // paused batch must not resume into a closed sink)
+  @volatile private var closed = false
+  def isClosed: Boolean = closed
 
   private val states         = mutable.Map.empty[String, StreamState]
   private val processedBatch = mutable.Map.empty[String, Long]
@@ -146,8 +151,16 @@ class StreamingJob(
     if (!java.nio.file.Files.exists(root)) 0L
     else {
       val s = java.nio.file.Files.walk(root)
+      // the tree is being appended to while status polls run — a
+      // committer temp file can vanish between listing and stat; a
+      // vanished file contributes 0 to an APPROXIMATE size, it must not
+      // throw into the metrics reporter
       try s.filter(p => java.nio.file.Files.isRegularFile(p))
-        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        .mapToLong { p =>
+          try java.nio.file.Files.size(p)
+          catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
+        }.sum()
+      catch { case _: java.io.UncheckedIOException => 0L } // dir vanished mid-walk
       finally s.close()
     }
   }
@@ -179,7 +192,11 @@ class StreamingJob(
     // (`src/Stream/MessageWriter.cpp:31-36`) — states/processedBatch are
     // plain mutable maps and saveState rewrites one shared file
     synchronized {
-      while (paused) wait(100) // releases the monitor; resume() notifies
+      while (paused && !closed) wait(100) // releases the monitor; resume() notifies
+      // the wait releases the monitor, so finish() can run while a batch
+      // is parked — a closed sink must not be appended to (the reference
+      // stops its consumers before setToIdle); late batches are dropped
+      if (closed) return
       val relevant = plan.streams.filter(_.module == schemaId)
       if (relevant.isEmpty) return
       val id = if (batchId >= 0) batchId else { autoBatchId += 1; autoBatchId }
@@ -430,15 +447,18 @@ class StreamingJob(
         bufferedDf(b, state.schema).unionByName(inWindow)
       } else inWindow
     if (nInWindow > 0 || emitBuffered) {
-      val transformed = write(key, module, s, toWrite, state,
+      val appended = write(key, module, s, toWrite, state,
         msgHint = nInWindow + bufRows,
         elemHint =
           if (module.elementCountCol.isDefined) aggRow.getAs[Long]("ev_window")
           else -1L)
       // advance the W2 event cursor from the fused aggregate (old shape:
-      // a separate per-batch sum job) — only when the module transform
-      // succeeded, matching the old early-return on transform failure
-      if (transformed && module.id == "ev44")
+      // a separate per-batch sum job) — ONLY when the events table append
+      // itself succeeded: the cursor shifts the NEXT batch's index rows by
+      // events actually in the table (`ev44_Writer.cpp:118-126` advances
+      // EventsWritten after the write), so advancing past a failed append
+      // would desynchronize event_index from the events table forever
+      if (module.id == "ev44" && appended.exists(_.contains("events")))
         state.eventsWritten += aggRow.getAs[Long]("ev_window")
     }
   }
@@ -454,6 +474,8 @@ class StreamingJob(
     * final artifact).
     */
   def finish(emitHdf5: Option[String] = None): Unit = synchronized {
+    closed = true // late/parked batches drop instead of appending past close
+    notifyAll()   // wake any pause-parked batch so it sees `closed` and exits
     plan.streams.foreach { s =>
       WriterModules.registry.get(s.module).foreach { module =>
         val key = streamKey(s)
@@ -499,12 +521,44 @@ class StreamingJob(
       WriterModules.registry.get(s.module).map(m =>
         streamKey(s) -> m.groupAttrs(ModuleConfig(s.config)))
     }.toMap
-    sink.close(plan, startMs, stopMsCur, units, Map.empty, attrs)
+    // close-time final aggregates (f144 min/max/mean, ev44 event total —
+    // the reference writer modules emit these at setToIdle; the batch path
+    // computes them from the message frame, FileMaker.scala) derived here
+    // from the sink's own written tables, AFTER seeding so even untouched
+    // streams aggregate over their typed empty table
+    val finals = plan.streams.flatMap { s =>
+      WriterModules.registry.get(s.module).flatMap { m =>
+        val key = streamKey(s)
+        val f =
+          try m.sinkFinals(
+            t => spark.read.parquet(s"$outDir/data/$key/$t"),
+            ModuleConfig(s.config))
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft] close-time finals failed for $key: ${e.getMessage}")
+              Map.empty[String, DataFrame]
+          }
+        if (f.isEmpty) None else Some(key -> f)
+      }
+    }.toMap
+    sink.close(plan, startMs, stopMsCur, units, finals, attrs)
     emitHdf5.foreach(h5 => graft.sinks.Hdf5Export.export(spark, outDir, h5))
+    // the buffer flushes and counter advances above must survive a crash
+    // after close — a restart replaying finish() with the PRE-flush
+    // cursors would re-append the buffered message onto its own row id
+    saveState()
   }
 
-  /** Returns true iff the module transform succeeded (per-table append
-    * failures are counted but don't fail the batch).
+  /** Returns the tables whose appends SUCCEEDED (skipped provably-empty
+    * tables count as trivially successful), or None when the module
+    * transform itself failed. Per-table append failures are counted and
+    * surfaced but don't fail the batch; cross-table cursor consistency
+    * under a partial failure is best-effort by nature (the parquet mirror
+    * has no cross-directory transaction, just as the reference's HDF5
+    * appends have none) — cursors that must stay in LOCKSTEP with a
+    * specific table's content gate on that table's success (the ev44
+    * event cursor, see processStream).
     */
   private def write(
       key: String,
@@ -514,7 +568,7 @@ class StreamingJob(
       state: StreamState,
       msgHint: Long = 1L,
       elemHint: Long = -1L
-  ): Boolean = {
+  ): Option[Set[String]] = {
     // per-(source,module) write-error accounting, non-fatal like the
     // reference's MessageWriter (`src/Stream/MessageWriter.cpp:77-105`):
     // a failed table append is counted and surfaced in status, the stream
@@ -531,7 +585,7 @@ class StreamingJob(
         case e: Exception =>
           state.writeErrors += 1
           System.err.println(s"[graft] transform failed for $key: ${e.getMessage}")
-          return false
+          return None
       }
     // Every table append is an independent output (own directory, own
     // counters); a write job's cost is dominated by FIXED overhead —
@@ -731,7 +785,8 @@ class StreamingJob(
         }
       }
     }
-    true
+    val skipped = tables.keySet -- live.map(_._1).toSet
+    Some(skipped ++ outcomes.filter(_.err.isEmpty).map(_.table))
   }
 }
 
@@ -779,10 +834,20 @@ object StreamingJob {
 
   /** Kafka source for the real deployment: one streaming frame per data
     * topic, seeking by timestamp with the reference's 10 s leeway
-    * (`startingOffsetsByTimestamp` ≙ offset-for-time seek,
+    * (`startingTimestamp` ≙ offset-for-time seek on every partition,
     * `src/Kafka/MetaDataQuery.cpp:60-77`; leeway `src/StreamerOptions.h:24-25`;
     * big-payload fetch sizes `src/Kafka/BrokerSettings.h:33-35`).
     * Requires the spark-sql-kafka connector on the classpath.
+    *
+    * Arrival keys: everything downstream (F4 dedup, window cutoffs, row
+    * numbering) orders one stream by its `offset` column and requires it
+    * unique per source. Kafka offsets are unique only PER PARTITION, and
+    * the reference's ordering guarantee is per-partition too (one
+    * consumer+filter per partition, `src/Stream/Partition.cpp`) — a
+    * source's messages live on one partition in the reference deployment
+    * (the EPICS forwarder keys by source). An adapter wiring a source
+    * that spans partitions must synthesize the unique key with
+    * [[kafkaArrivalKey]] before handing the frame to the job.
     */
   def kafkaSource(
       spark: SparkSession,
@@ -797,8 +862,21 @@ object StreamingJob {
       }
       .load()
 
+  /** Globally-unique, per-partition-monotone arrival key for sources that
+    * span Kafka partitions: partition id in the high bits, offset in the
+    * low 44 (16 T offsets/partition, 512 k partitions — far beyond any
+    * real topic). Cross-partition interleaving is arbitrary, exactly as
+    * the reference's independent per-partition consumers make it; within
+    * a partition, arrival order is preserved.
+    */
+  def kafkaArrivalKey(
+      partition: org.apache.spark.sql.Column,
+      offset: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column =
+    partition.cast("long") * (1L << 44) + offset
+
   /** The option surface of [[kafkaSource]], separately visible so the
-    * S1-S3 contract (timestamp seek with leeway, all-partition `-1` key,
+    * S1-S3 contract (timestamp seek with leeway, global timestamp form,
     * big-payload fetch sizes, bounded trigger) stays unit-testable in an
     * environment with no Kafka connector jars (this sandbox).
     */
@@ -807,32 +885,45 @@ object StreamingJob {
       topics: Seq[String],
       startMs: Long,
       leewayMs: Long = 10000
-  ): Map[String, String] = {
-    val startingOffsets = topics
-      .map(t => s""""$t": {"-1": ${startMs - leewayMs}}""")
-      .mkString("{", ",", "}")
+  ): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> brokers,
       "subscribe" -> topics.mkString(","),
-      "startingOffsetsByTimestamp" -> startingOffsets,
+      // global timestamp seek: `startingTimestamp` applies to EVERY
+      // matched partition. (The earlier `startingOffsetsByTimestamp`
+      // form used a "-1" partition wildcard, which that option does not
+      // support — it requires enumerating real partition ids, unknowable
+      // before connecting; the global option IS the all-partitions form.)
+      "startingTimestamp" -> (startMs - leewayMs).toString,
       "kafka.fetch.max.bytes" -> (52428800L * 6).toString,
       "kafka.max.partition.fetch.bytes" -> (52428800L * 6).toString,
       "maxOffsetsPerTrigger" -> "10000000")
-  }
 
   /** Attach a decoded per-schema stream to the job: micro-batches flow
     * through `processBatch`; trigger cadence mirrors the reference's 10 s
     * `DataFlushInterval` (`src/StreamerOptions.h:20`).
+    *
+    * The checkpoint location defaults to a per-schema directory UNDER THE
+    * JOB'S OUTPUT — this is load-bearing for the replay idempotency
+    * contract: the job persists its processed-batch high-water mark in
+    * `state.bin`, and foreachBatch batch ids are only continuous across
+    * restarts when the query restarts from a stable checkpoint. With an
+    * ephemeral checkpoint a restarted query would number batches from 0
+    * again and the persisted mark would silently skip FRESH data as
+    * "replays" until the ids caught up.
     */
   def attach(
       job: StreamingJob,
       schemaId: String,
       decoded: DataFrame,
-      triggerMs: Long = 10000
+      triggerMs: Long = 10000,
+      checkpointDir: Option[String] = None
   ): StreamingQuery =
     decoded.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"${job.outDir}/.checkpoints/$schemaId"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         job.processBatch(schemaId, batch, batchId)
       }

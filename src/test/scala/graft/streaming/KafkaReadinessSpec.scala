@@ -19,15 +19,36 @@ class KafkaReadinessSpec extends SparkSpec {
       "b1:9092,b2:9092", Seq("topicA", "topicB"), startMs = 1700000000000L)
     assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
     assert(opts("subscribe") == "topicA,topicB")
-    // offset-for-time seek: start − 10 s leeway (src/StreamerOptions.h:24-25),
-    // the `-1` key = every partition of the topic
-    assert(opts("startingOffsetsByTimestamp") ==
-      """{"topicA": {"-1": 1699999990000},"topicB": {"-1": 1699999990000}}""")
+    // offset-for-time seek: start − 10 s leeway (src/StreamerOptions.h:24-25)
+    // via the GLOBAL timestamp option (applies to every matched partition;
+    // the per-partition map form requires enumerating real partition ids,
+    // unknowable before connecting — a "-1" wildcard is not supported)
+    assert(opts("startingTimestamp") == "1699999990000")
+    assert(!opts.contains("startingOffsetsByTimestamp"))
     // 300 MB fetches (src/Kafka/BrokerSettings.h:33-35)
     assert(opts("kafka.fetch.max.bytes") == "314572800")
     assert(opts("kafka.max.partition.fetch.bytes") == "314572800")
     // backpressure bound per trigger
     assert(opts("maxOffsetsPerTrigger").toLong > 0)
+  }
+
+  test("kafkaArrivalKey: unique and per-partition-monotone across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // offsets collide across partitions (the raw-offset hazard the helper
+    // exists for); keys must all be distinct and ordered within a partition
+    val df = Seq(
+      (0, 5L), (0, 6L), (1, 5L), (1, 6L), (2, 0L), (511999, 5L)
+    ).toDF("partition", "offset")
+      .withColumn("key",
+        StreamingJob.kafkaArrivalKey(col("partition"), col("offset")))
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).distinct.length == rows.length, "keys must be unique")
+    rows.groupBy(_._1).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        "monotone within a partition")
+    }
   }
 
   test("every emitted option name is on the connector's documented surface") {
@@ -58,15 +79,9 @@ class KafkaReadinessSpec extends SparkSpec {
     // exactly one subscription mode (the connector rejects 0 or 2+)
     assert(Seq("assign", "subscribe", "subscribePattern")
       .count(opts.contains) == 1)
-    // the timestamp seek map must be JSON the connector can parse:
-    // {topic: {partition: ts}} with string keys and integer timestamps
-    val parsed = org.json4s.jackson.JsonMethods
-      .parse(opts("startingOffsetsByTimestamp"))
-    val byTopic = parsed.asInstanceOf[org.json4s.JObject].obj.toMap
-    assert(byTopic.keySet == Set("t1"))
-    val parts = byTopic("t1").asInstanceOf[org.json4s.JObject].obj.toMap
-    assert(parts.keySet == Set("-1")) // -1 = all partitions of the topic
-    assert(parts("-1") == org.json4s.JInt(1699999990000L))
+    // the global timestamp seek must be a plain integer string (epoch ms)
+    // — the connector parses it with toLong
+    assert(opts("startingTimestamp").toLong == 1699999990000L)
   }
 
   test("live wire path (self-enabling: needs connector jars + broker)") {

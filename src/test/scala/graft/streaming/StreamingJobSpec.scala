@@ -55,6 +55,70 @@ class StreamingJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
   }
 
+  test("attach checkpoints under the job output (restart-continuous batch ids)") {
+    val out = Files.createTempDirectory("graft-attachckpt").toString
+    val job = newJob(out)
+    val stream = MemoryStream[F144Msg](spark)
+    val q = StreamingJob.attach(job, "f144", stream.toDF(), triggerMs = 50)
+    try {
+      stream.addData(f144(0, 10100, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // replay idempotency persists a batch-id high-water mark in state.bin;
+    // it is only sound if the query's batch ids survive restarts, i.e. the
+    // checkpoint is stable — an ephemeral checkpoint would renumber from 0
+    // and the mark would skip FRESH batches as replays
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/.checkpoints/f144")))
+    assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
+  }
+
+  test("finish() closes the job: parked/late batches drop instead of appending") {
+    val out = Files.createTempDirectory("graft-closed").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(f144(0, 10100, 1.0)).toDF())
+    job.finish()
+    assert(job.isClosed)
+    // a batch arriving after close (e.g. a pause-parked trigger resuming)
+    // must not append past closing.json
+    job.processBatch("f144", Seq(f144(1, 10200, 2.0)).toDF())
+    assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
+    assert(job.counter("entry/speed", "data") == 1L)
+  }
+
+  test("finish() writes close-time finals from the sink (f144 meta, ev44 events)") {
+    val out = Files.createTempDirectory("graft-finals").toString
+    val job = newJob(out)
+    job.processBatch("f144", Seq(
+      f144(0, 10100, 10.0), f144(1, 10200, 15.0)).toDF())
+    job.processBatch("ev44", Seq(
+      ev44(0, 10100, Seq(1, 2, 3)), ev44(1, 10200, Seq(4, 5))).toDF())
+    job.finish()
+    val meta = spark.read.parquet(s"$out/data/entry/speed/meta").collect().head
+    assert(meta.getAs[Double]("minimum_value") == 10.0)
+    assert(meta.getAs[Double]("maximum_value") == 15.0)
+    assert(meta.getAs[Double]("average_value") == 12.5)
+    assert(meta.getAs[Long]("num_values") == 2L)
+    val evMeta = spark.read.parquet(s"$out/data/entry/events/meta").collect().head
+    assert(evMeta.getAs[Long]("events") == 5L)
+  }
+
+  test("finish() checkpoints its own state: a restart cannot re-flush the buffer") {
+    val out = Files.createTempDirectory("graft-finstate").toString
+    val job = newJob(out)
+    // only a pre-start message arrives → buffered, flushed at finish
+    job.processBatch("f144", Seq(f144(0, 9500, 7.0)).toDF())
+    job.finish()
+    assert(spark.read.parquet(s"$out/data/entry/speed/data").count() == 1)
+    // a restarted job must load the POST-flush cursors (buffered=None,
+    // rowsWritten advanced) — re-running finish() must not duplicate row 0
+    val job2 = new StreamingJob(spark, NexusPlan.parse(template), out, 10000, 15000)
+    job2.finish()
+    val d = spark.read.parquet(s"$out/data/entry/speed/data")
+    assert(d.count() == 1)
+    assert(job2.counter("entry/speed", "data") == 1L)
+  }
+
   test("da00 multi-variable messages ride F4 whole: repeat dropped entirely, kept ones pivot fully") {
     // a da00 message explodes into one row per VARIABLE before the
     // kernel; message-grain dedup must drop/keep those rows together —
