@@ -154,8 +154,15 @@ class StreamingJob(
       // the tree is being appended to while status polls run — a
       // committer temp file can vanish between listing and stat; a
       // vanished file contributes 0 to an APPROXIMATE size, it must not
-      // throw into the metrics reporter
-      try s.filter(p => java.nio.file.Files.isRegularFile(p))
+      // throw into the metrics reporter. Dot-prefixed top-level trees
+      // (the streaming checkpoint's offset/commit logs live at
+      // .checkpoints/ since attach() defaulted there) are NOT data — the
+      // reference's A4 stats the written file, not bookkeeping, and the
+      // checkpoint log grows with trigger count regardless of data size.
+      try s.filter { p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            !root.relativize(p).getName(0).toString.startsWith(".")
+        }
         .mapToLong { p =>
           try java.nio.file.Files.size(p)
           catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
@@ -626,13 +633,18 @@ class StreamingJob(
             else {
               val rowIdx = schema.fieldIndex("row")
               val sorted = l.data.sortBy(_.getLong(rowIdx))
-              sink.appendLocal(key, table, schema, sorted)
+              // the Outcome is FULLY computed before the write commits:
+              // appendLocal's rename is atomic, so a throw after it would
+              // otherwise route these already-visible rows into the Spark
+              // fallback path and append them a second time
               val mx =
                 if (table == "cue" && sorted.nonEmpty) {
                   val ci = schema.fieldIndex("cue_index")
                   Some(sorted.iterator.map(_.getLong(ci)).max)
                 } else None
-              Some(Outcome(table, sorted.size.toLong, mx, None))
+              val outcome = Outcome(table, sorted.size.toLong, mx, None)
+              sink.appendLocal(key, table, schema, sorted)
+              Some(outcome)
             }
           case _ => None
         }
@@ -895,6 +907,11 @@ object StreamingJob {
       // support — it requires enumerating real partition ids, unknowable
       // before connecting; the global option IS the all-partitions form.)
       "startingTimestamp" -> (startMs - leewayMs).toString,
+      // a partition with NO record at/after the seek timestamp (empty or
+      // idle topic when the writer starts before data flows — the normal
+      // reference sequence) must start at its log end, not fail the whole
+      // query: the connector's default strategy is "error"
+      "startingOffsetsByTimestampStrategy" -> "latest",
       "kafka.fetch.max.bytes" -> (52428800L * 6).toString,
       "kafka.max.partition.fetch.bytes" -> (52428800L * 6).toString,
       "maxOffsetsPerTrigger" -> "10000000")

@@ -25,6 +25,10 @@ class KafkaReadinessSpec extends SparkSpec {
     // unknowable before connecting — a "-1" wildcard is not supported)
     assert(opts("startingTimestamp") == "1699999990000")
     assert(!opts.contains("startingOffsetsByTimestamp"))
+    // partitions with no record at/after the seek point (idle/empty topic
+    // at writer start — the normal sequence) start at log end instead of
+    // erroring: the connector's default strategy is "error"
+    assert(opts("startingOffsetsByTimestampStrategy") == "latest")
     // 300 MB fetches (src/Kafka/BrokerSettings.h:33-35)
     assert(opts("kafka.fetch.max.bytes") == "314572800")
     assert(opts("kafka.max.partition.fetch.bytes") == "314572800")
