@@ -214,9 +214,18 @@ class StreamingJob(
           WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
         }
       } finally batch.unpersist()
+      crashHook("batch:appended") // appends committed, cursors not yet saved
       processedBatch(schemaId) = id
       saveState() // restart-safe cursor checkpoint
     }
+
+  /** Test-only crash-injection seam (RestartMatrixSpec): invoked at the
+    * named commit boundaries of [[processBatch]] and [[finish]] so the
+    * restart contract — replaying every batch after a kill at ANY of these
+    * points reproduces the uninterrupted run's sink — is checkable at each
+    * window, not just between triggers. A no-op in production.
+    */
+  private[streaming] var crashHook: String => Unit = _ => ()
 
   /** Per-trigger queries are tiny and fixed-shape (scalar aggregates, one
     * module transform, one append per table); AQE re-plans each into
@@ -495,6 +504,16 @@ class StreamingJob(
         }
       }
     }
+    crashHook("finish:flushed-unsaved")
+    // checkpoint the flush IMMEDIATELY: seeding, finals, close and the
+    // optional HDF5 export below can take seconds — a crash anywhere in
+    // them would otherwise restart with the pre-flush cursors and
+    // re-append the buffered messages on a replayed finish() (the window
+    // the final saveState alone left open; a crash between the flush
+    // append and THIS save still replays, but the replay is byte-identical
+    // at the same row ids — the documented at-least-once residue)
+    saveState()
+    crashHook("finish:flushed")
     // create-phase parity (`HDFOperations` init): every table a module
     // declares exists even when no message ever reached it — readers that
     // open datasets by name (as the reference's files always allow) must
@@ -520,6 +539,7 @@ class StreamingJob(
         }
       }
     }
+    crashHook("finish:seeded")
     val units = plan.streams.flatMap { s =>
       WriterModules.registry.get(s.module).map(m =>
         streamKey(s) -> m.units(ModuleConfig(s.config)))
@@ -538,7 +558,14 @@ class StreamingJob(
         val key = streamKey(s)
         val f =
           try m.sinkFinals(
-            t => spark.read.parquet(s"$outDir/data/$key/$t"),
+            t => {
+              // at-least-once replay (crash between an append and its
+              // cursor save) leaves byte-identical duplicate rows at the
+              // SAME row ids; finals must aggregate each logical row once
+              // or a replayed min/max/MEAN would count the dup twice
+              val df = spark.read.parquet(s"$outDir/data/$key/$t")
+              if (df.columns.contains("row")) df.dropDuplicates("row") else df
+            },
             ModuleConfig(s.config))
           catch {
             case e: Exception =>
@@ -550,6 +577,7 @@ class StreamingJob(
       }
     }.toMap
     sink.close(plan, startMs, stopMsCur, units, finals, attrs)
+    crashHook("finish:closed")
     emitHdf5.foreach(h5 => graft.sinks.Hdf5Export.export(spark, outDir, h5))
     // the buffer flushes and counter advances above must survive a crash
     // after close — a restart replaying finish() with the PRE-flush
