@@ -113,10 +113,13 @@ object StreamKernel {
     * ev44 sets `emitBuffered=false` (it ignores buffered messages,
     * `src/WriterModule/ev44/ev44_Writer.cpp:94-97`).
     *
-    * The buffered pick is ROW-grain (`row_number` keeps one row), so this
-    * batch operator is defined for one-row-per-message frames (every
-    * fixture/oracle shape); the streaming job buffers multi-row messages
-    * (da00's per-variable explode) whole via its own candidate path.
+    * Every decision is MESSAGE-atomic (a message = the rows sharing
+    * `offsetCol`): the cutoff compares offsets, the window predicate
+    * compares the per-message timestamp, and the buffered pick keeps ALL
+    * rows of the max-(ts, offset) message — `dense_rank` ties the rows of
+    * one message into one rank, where a `row_number` pick would keep one
+    * row of a multi-row message (da00's per-variable explode) and silently
+    * drop its siblings, F4's round-12 bug class.
     */
   def windowWithBuffer(
       df: DataFrame,
@@ -143,7 +146,7 @@ object StreamKernel {
         .orderBy(col(tsCol).desc, col(offsetCol).desc)
       val buffered = live
         .filter(col(tsCol) < lit(startTs))
-        .withColumn("__rn", row_number().over(byTsDesc))
+        .withColumn("__rn", dense_rank().over(byTsDesc))
         .filter(col("__rn") === 1)
         .drop("__rn")
         .withColumn("is_buffered", lit(true))

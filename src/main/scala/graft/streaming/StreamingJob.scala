@@ -114,6 +114,7 @@ class StreamingJob(
         case "events_written" => st.eventsWritten
         case "write_errors"   => st.writeErrors
         case "finished"       => if (st.finished) 1L else 0L
+        case "dedup_slim"     => if (st.lastDedupSlim) 1L else 0L
         case other            => st.rowsWritten.getOrElse(other, 0L)
       }
     }
@@ -345,19 +346,30 @@ class StreamingJob(
 
     val routed = StreamKernel
       .routeSource(batch, "topic" -> s.topic, "source_name" -> s.source)
-    // spark.graft.stream.dedup=slim keeps the payload out of the dedup
-    // window's one-partition funnel (slim keys through the window, drops
-    // anti-join back) — for deployments whose per-trigger per-source
-    // payload exceeds one task. DEFAULT stays the single-window form: at
-    // any trigger a task can hold, the funnel is FASTER — measured
-    // interleaved 1.2-1.4x at 160 MB/trigger, the anti-join's payload
-    // sort-merge costs more than the one-task sort it avoids
-    // (bench_results/stream_ab_r12b.json, round-12b).
+    // Dedup form: the default window form funnels each source's whole
+    // trigger payload through ONE task's sort; the slim form keys only
+    // (source, offset, ts) through the window and anti-joins the drops
+    // back, which distributes the payload but costs a payload sort-merge
+    // — measured interleaved, the funnel WINS 1.2-1.4x at any payload a
+    // task comfortably holds (160 MB/trigger, stream_ab_r12b.json) and
+    // the slim form wins past that ceiling. `auto` (default) picks per
+    // trigger from the PREVIOUS trigger's fused element total — the same
+    // byte-hint mechanism the append renumber (Rows) uses — flipping to
+    // slim once the estimated per-source payload exceeds
+    // spark.graft.stream.dedup.slimBytes (default 512 MB: comfortably
+    // past the measured funnel-wins regime, comfortably before a one-task
+    // sort starts spilling). First trigger of a stream has no history and
+    // takes the funnel. `window`/`slim` force a form.
+    val slim = module.elementCountCol.isDefined && StreamingJob.slimDedup(
+      spark.conf.get("spark.graft.stream.dedup", "auto"),
+      state.lastBytesEst,
+      spark.conf.get("spark.graft.stream.dedup.slimBytes",
+        StreamingJob.DefaultSlimBytes.toString).toLong)
+    state.lastDedupSlim = slim
     val deduped = StreamKernel
       .dedupConsecutive(routed, Seq("source_name"), "offset", "ts",
         acceptRepeats = module.acceptRepeats,
-        slimPayload = module.elementCountCol.isDefined &&
-          spark.conf.get("spark.graft.stream.dedup", "window") == "slim")
+        slimPayload = slim)
 
     // ONE driver round-trip per stream per batch in steady state: the
     // strict-finish cutoff offset AND every per-stream scalar (batch
@@ -403,6 +415,12 @@ class StreamingJob(
         val re = scalarAggs(col("offset") < lit(c))
         deduped.agg(re.head, re.tail: _*).collect()(0)
     }
+    // byte estimate feeding the NEXT trigger's dedup-form choice: the
+    // fused in-window element total × 8 B (the payloads are numeric
+    // arrays). Transient by design — a restarted stream's first trigger
+    // simply takes the funnel again.
+    if (module.elementCountCol.isDefined)
+      state.lastBytesEst = aggRow.getAs[Long]("ev_window") * 8
 
     // cross-batch consecutive dedup: drop the batch head if it repeats the
     // previous batch's tail timestamp
@@ -643,24 +661,48 @@ class StreamingJob(
     // AFTER every append returns, under the processBatch monitor.
     final case class Outcome(table: String, n: Long, cueMax: Option[Long],
       err: Option[String])
-    // Driver-materialized dense tables (ev44's collected cue hits arrive
-    // as a LocalRelation) write WITHOUT a Spark job: the rows are already
-    // in driver memory, and a write job is ~160 ms of fixed cost for 1-3
-    // rows (round-12b; see LocalParquet). Counters come from the rows
-    // themselves. Opt out via spark.graft.stream.localAppend=off.
+    // Driver-side append bypass (see LocalParquet): a Spark write job is
+    // ~160 ms of FIXED cost regardless of payload (round-12b), so dense
+    // tables whose rows are already in driver memory (ev44's collected
+    // cue hits arrive as a LocalRelation — no job at all) or provably
+    // tiny (the fused hint bounds data at msgs and cue at the planned
+    // grid count: 0-3 rows/trigger at production cue intervals — one
+    // light executeCollect replaces the write job) are written by the
+    // driver directly. Dense tables only: their rows carry global row
+    // ids already, so no renumber pass sits between transform and write.
+    // Counters come from the rows themselves. Opt out via
+    // spark.graft.stream.localAppend=off; the collect bound is
+    // spark.graft.stream.localAppend.maxRows (128).
     def localAppend(table: String, out0: DataFrame): Option[Outcome] =
       try {
         if (!module.denseRowTables.contains(table) ||
           spark.conf.get("spark.graft.stream.localAppend", "on") == "off") None
-        else out0.queryExecution.optimizedPlan match {
-          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-            val schema = org.apache.spark.sql.types.StructType(
-              l.output.map(a => org.apache.spark.sql.types
-                .StructField(a.name, a.dataType, a.nullable)))
-            if (!graft.sinks.LocalParquet.supports(schema)) None
-            else {
+        else {
+          val schema = out0.schema
+          if (!graft.sinks.LocalParquet.supports(schema)) None
+          else {
+            val maxRows = spark.conf
+              .get("spark.graft.stream.localAppend.maxRows", "128").toLong
+            val rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+              out0.queryExecution.optimizedPlan match {
+                case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+                  Some(l.data)
+                case _ =>
+                  // planned row bound: exact for cue grids, msgs for data
+                  val bound =
+                    if (table == "cue")
+                      module.plannedCueCount(ModuleConfig(s.config), cursor, msgHint)
+                        .getOrElse(msgHint)
+                    else msgHint
+                  if (bound >= 0 && bound <= maxRows) {
+                    val rs = out0.queryExecution.executedPlan.executeCollect()
+                    // hint lied badly — let Spark shape the files instead
+                    if (rs.length > 4 * maxRows) None else Some(rs.toSeq)
+                  } else None
+              }
+            rows.map { rs =>
               val rowIdx = schema.fieldIndex("row")
-              val sorted = l.data.sortBy(_.getLong(rowIdx))
+              val sorted = rs.sortBy(_.getLong(rowIdx))
               // the Outcome is FULLY computed before the write commits:
               // appendLocal's rename is atomic, so a throw after it would
               // otherwise route these already-visible rows into the Spark
@@ -672,9 +714,9 @@ class StreamingJob(
                 } else None
               val outcome = Outcome(table, sorted.size.toLong, mx, None)
               sink.appendLocal(key, table, schema, sorted)
-              Some(outcome)
+              outcome
             }
-          case _ => None
+          }
         }
       } catch {
         // a failed local write left at most a dot-prefixed temp file no
@@ -838,6 +880,26 @@ object StreamingJob {
     */
   private[streaming] val sessionConfLock = new Object
 
+  /** Auto dedup-form flip point: estimated per-source trigger payload
+    * above which the one-partition funnel gives way to the slim
+    * anti-join form (see processStream). 512 MB — past the measured
+    * funnel-wins regime (160 MB/trigger, round 12b), below where a
+    * one-task sort starts spilling.
+    */
+  private[streaming] val DefaultSlimBytes: Long = 512L << 20
+
+  /** The dedup-form decision, separated for direct spec coverage:
+    * `window`/`slim` force a form; `auto` flips on the previous trigger's
+    * byte estimate (−1 = no history yet → funnel).
+    */
+  private[streaming] def slimDedup(
+      conf: String, lastBytesEst: Long, thresholdBytes: Long): Boolean =
+    conf match {
+      case "slim"   => true
+      case "window" => false
+      case _        => lastBytesEst > thresholdBytes
+    }
+
   /** Driver-side pool for concurrent per-table appends (see `write`):
     * one stream writes at most events+index+cue concurrently, so a small
     * fixed pool shared by every job suffices; daemon threads so an
@@ -870,7 +932,18 @@ object StreamingJob {
       var schema: StructType = null,
       var writeErrors: Long = 0L,
       var lastCue: Long = 0L
-  )
+  ) {
+    /** Previous trigger's in-window payload byte estimate (elements × 8),
+      * feeding the auto dedup-form choice; −1 = no history. Transient —
+      * deliberately NOT in the state checkpoint (a heuristic hint, and
+      * keeping it out preserves the on-disk state format).
+      */
+    var lastBytesEst: Long = -1L
+    /** Which dedup form the last trigger ran (observability: surfaced as
+      * the `dedup_slim` counter).
+      */
+    var lastDedupSlim: Boolean = false
+  }
 
   /** Kafka source for the real deployment: one streaming frame per data
     * topic, seeking by timestamp with the reference's 10 s leeway

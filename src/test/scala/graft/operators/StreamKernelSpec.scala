@@ -198,6 +198,28 @@ class StreamKernelSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("value")).toSeq == Seq(1.0))
   }
 
+  test("buffered pick is MESSAGE-grain: every row of a multi-row message survives") {
+    // da00-shaped frame: one message explodes to one row per variable
+    // (same offset, same ts). The buffered pick must keep ALL rows of the
+    // winning message — a row-grain pick would keep one variable and drop
+    // its siblings (F4's round-12 bug class, here for F3).
+    val df = Seq(
+      ("s", 0L, 9000000000L, "a", 1.0), // older pre-start message …
+      ("s", 0L, 9000000000L, "b", 2.0),
+      ("s", 1L, 9500000000L, "a", 3.0), // … newest pre-start message wins,
+      ("s", 1L, 9500000000L, "b", 4.0), //   BOTH variables buffered
+      ("s", 2L, 12000000000L, "a", 5.0), // in-window message
+      ("s", 2L, 12000000000L, "b", 6.0)
+    ).toDF("source", "offset", "ts", "name", "value")
+    val out = StreamKernel
+      .windowWithBuffer(df, Seq("source"), "offset", "ts", StartNs, StopNs)
+      .orderBy("offset", "name")
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("offset"), r.getAs[String]("name"),
+      r.getAs[Boolean]("is_buffered"))).toSeq ==
+      Seq((1L, "a", true), (1L, "b", true), (2L, "a", false), (2L, "b", false)))
+  }
+
   test("route source keeps only the configured stream") {
     val df = Seq(("a", "f144", 1.0), ("b", "f144", 2.0), ("a", "ev44", 3.0))
       .toDF("source", "schema", "value")

@@ -342,6 +342,53 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0))
   }
 
+  test("dedup form auto-flips to slim on the previous trigger's byte estimate") {
+    // the decision function: auto flips strictly past the threshold;
+    // explicit forms override regardless of the estimate
+    assert(!StreamingJob.slimDedup("auto", -1L, 100))  // no history → funnel
+    assert(!StreamingJob.slimDedup("auto", 100L, 100)) // at threshold → funnel
+    assert(StreamingJob.slimDedup("auto", 101L, 100))  // past it → slim
+    assert(StreamingJob.slimDedup("slim", -1L, 100))
+    assert(!StreamingJob.slimDedup("window", Long.MaxValue, 100))
+
+    // end-to-end with the threshold floored: trigger 1 has no history
+    // (funnel), trigger 2 sees trigger 1's element total and flips —
+    // with kept-row semantics identical (the repeat message still drops
+    // WHOLE under the slim form)
+    val template =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "img", "type": "group", "children": [
+        |      { "module": "da00",
+        |        "config": { "source": "arr", "topic": "tp",
+        |                    "variables": [
+        |                      {"name": "a", "data_type": "float64"},
+        |                      {"name": "b", "data_type": "float64"} ] } } ] }
+        |  ] } ] }""".stripMargin
+    val out = Files.createTempDirectory("graft-dedupauto").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(template), out, 0, 1L << 40)
+    def msg(off: Long, tsMs: Long, tag: Double) = Seq(
+      ("tp", "arr", off, tsMs * 1000000L, "a", "x", Seq(tag, 2.0)),
+      ("tp", "arr", off, tsMs * 1000000L, "b", "x", Seq(tag + 100)))
+    spark.conf.set("spark.graft.stream.dedup.slimBytes", "0")
+    try {
+      job.processBatch("da00", msg(0, 1000, 1.0)
+        .toDF("topic", "source_name", "offset", "ts", "name", "axis_name", "data"))
+      assert(job.counter("entry/img", "dedup_slim") == 0L, "first trigger: funnel")
+      job.processBatch("da00", (msg(1, 2000, 2.0) ++ msg(2, 2000, 9.9))
+        .toDF("topic", "source_name", "offset", "ts", "name", "axis_name", "data"))
+      assert(job.counter("entry/img", "dedup_slim") == 1L, "second trigger: slim")
+      job.finish()
+    } finally spark.conf.unset("spark.graft.stream.dedup.slimBytes")
+    val d = spark.read.parquet(s"$out/data/entry/img/data").orderBy("row").collect()
+    def arr(r: org.apache.spark.sql.Row, c: String): Seq[Double] =
+      r.getSeq[Double](r.fieldIndex(c)).toSeq
+    // msg2 (repeated ts) dropped whole under slim; msg0/msg1 keep both vars
+    assert(d.length == 2)
+    assert(arr(d(0), "a") == Seq(1.0, 2.0) && arr(d(0), "b") == Seq(101.0))
+    assert(arr(d(1), "a") == Seq(2.0, 2.0) && arr(d(1), "b") == Seq(102.0))
+  }
+
   test("x5f2 counters ride the push-metrics reporter with live values") {
     import graft.commands.MetricsReporter._
     val out = Files.createTempDirectory("graft-stream").toString
