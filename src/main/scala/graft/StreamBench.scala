@@ -91,6 +91,12 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // bench-only override: lets interleaved A/B legs flip the
+    // bounded-collect append bypass without code swaps (-1 disables;
+    // never set by the driver)
+    sys.env.get("SPARK_GRAFT_LOCALAPPEND_MAXROWS").foreach(v =>
+      spark.conf.set("spark.graft.stream.localAppend.maxRows", v))
+
     // SPARK_GRAFT_STREAM_ONLY=scalar|wire|wide|decode|stateful narrows to
     // one bench for profiling runs (never set by the driver)
     val onlyBench = sys.env.get("SPARK_GRAFT_STREAM_ONLY")

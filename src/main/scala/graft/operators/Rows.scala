@@ -97,6 +97,62 @@ object Rows {
       byteHint: Long,
       needCount: Boolean
   ): (DataFrame, Long) = {
+    // DRIVER fast path: a frame that is already a LocalRelation (buffered
+    // flushes and the streaming fused-payload tiny-trigger path) numbers
+    // on the driver with ZERO jobs — and, crucially, STAYS a
+    // LocalRelation, so downstream flat module transforms keep folding
+    // (ConvertToLocalRelation) all the way into the driver-side parquet
+    // append. The data already lives in driver memory; shuffling it out
+    // to number it would be strictly worse at any size.
+    val localRows = df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size.toLong
+      case _ => -1L
+    }
+    val oField = df.schema.fields.find(_.name == orderCol)
+    // gates: integral order column; within the small-renumber row bound
+    // (a LARGE local frame should re-enter the distributed world here,
+    // not anchor a driver-side pipeline); the wide-row byte veto applies
+    // exactly as it does to the distributed small path
+    if (localRows >= 0 && localRows <= SmallRenumberDefault &&
+      !(byteHint >= 0 && byteHint > SmallRenumberBytesDefault) &&
+      oField.exists(f =>
+        f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType)) {
+      val ext  = df.collect() // LocalTableScan executeCollect: no job
+      val oIdx = df.schema.fieldIndex(orderCol)
+      if (ext.forall(!_.isNullAt(oIdx))) {
+        import scala.jdk.CollectionConverters._
+        val fields = df.schema.fields
+        val wIdx   = weight.map { case (w, _, _) => fields.indexWhere(_.name == w) }
+        wIdx.foreach(i => require(i >= 0, s"weight column not found"))
+        val rowIdx = fields.indexWhere(_.name == rowCol)
+        val baseFields =
+          if (rowIdx >= 0) fields.updated(rowIdx, StructField(rowCol, LongType, nullable = false))
+          else fields :+ StructField(rowCol, LongType, nullable = false)
+        val outSchema = StructType(weight match {
+          case Some((_, out, _)) => baseFields :+ StructField(out, LongType, nullable = false)
+          case None              => baseFields
+        })
+        var rowAcc = start
+        var wAcc   = weight.map(_._3).getOrElse(0L)
+        val stampedRows = ext.sortBy(_.getAs[Number](oIdx).longValue()).map { r =>
+          val base =
+            if (rowIdx >= 0) r.toSeq.updated(rowIdx, rowAcc) else r.toSeq :+ rowAcc
+          val out = wIdx match {
+            case Some(i) =>
+              val here = if (r.isNullAt(i)) 0L else r.getAs[Number](i).longValue()
+              val withW = base :+ wAcc
+              wAcc += here
+              withW
+            case None => base
+          }
+          rowAcc += 1
+          Row.fromSeq(out)
+        }
+        return (df.sparkSession.createDataFrame(stampedRows.toSeq.asJava, outSchema),
+          ext.length.toLong)
+      }
+    }
     val conf     = df.sparkSession.conf
     val rowsMax  = conf
       .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong

@@ -40,8 +40,8 @@ object LocalParquet {
 
   def supports(schema: StructType): Boolean =
     schema.fields.forall(_.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-          StringType => true
+      case LongType | IntegerType | ShortType | DoubleType | FloatType |
+          BooleanType | StringType => true
       case _ => false
     })
 
@@ -51,6 +51,10 @@ object LocalParquet {
     f.dataType match {
       case LongType    => Types.primitive(PrimitiveTypeName.INT64, rep).named(f.name)
       case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(f.name)
+      // Spark writes ShortType as INT32 annotated int(16) — match it so
+      // files from both paths merge schemas cleanly
+      case ShortType   => Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
       case DoubleType  => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(f.name)
       case FloatType   => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(f.name)
       case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(f.name)
@@ -82,6 +86,7 @@ object LocalParquet {
         if (!r.isNullAt(i)) f.dataType match {
           case LongType    => g.append(f.name, r.getLong(i))
           case IntegerType => g.append(f.name, r.getInt(i))
+          case ShortType   => g.append(f.name, r.getShort(i).toInt)
           case DoubleType  => g.append(f.name, r.getDouble(i))
           case FloatType   => g.append(f.name, r.getFloat(i))
           case BooleanType => g.append(f.name, r.getBoolean(i))

@@ -386,7 +386,25 @@ class StreamingJob(
     // (non-live or out-of-condition rows) are ignored by min/max.
     val payload = struct(deduped.columns.map(col): _*)
     val inWin   = col("ts") >= startNs && col("ts") <= stopNs
-    def scalarAggs(liveCond: org.apache.spark.sql.Column) = Seq(
+    // Fused payload (tiny-trigger job elimination): when the PREVIOUS
+    // trigger was small, the in-window payload rides back inside this
+    // same aggregate as ≤ 4×maxRows serialized rows — the write path then
+    // starts from a LocalRelation and the dense appends run with ZERO
+    // further jobs (Rows' driver numbering + ConvertToLocalRelation +
+    // LocalParquet). The gate can be wrong (burst after an idle trigger):
+    // BoundedRowsAgg's buffer never holds more than the bound — it
+    // latches overflow, evaluates to null, and the trigger takes the
+    // distributed path. Scoped to modules whose data table is dense
+    // (flat transforms; exploding modules gain nothing from local input).
+    val fuseBound = spark.conf
+      .get("spark.graft.stream.localAppend.maxRows", "128").toInt
+    val wantPayload = module.denseRowTables.contains("data") &&
+      spark.conf.get("spark.graft.stream.fusedPayload", "on") != "off" &&
+      fuseBound > 0 && state.lastMsgs >= 0 && state.lastMsgs <= fuseBound
+    def scalarAggs(liveCond: org.apache.spark.sql.Column) = (if (wantPayload) Seq(
+      graft.functions.BoundedRowsAgg.bounded_rows(
+        when(liveCond && inWin, payload), fuseBound * 4).as("payload_rows"))
+      else Nil) ++ Seq(
       count(when(liveCond, 1)).as("n_live"),
       min(when(liveCond, struct(col("offset"), col("ts")))).as("head"),
       max(when(liveCond, struct(col("offset"), col("ts")))).as("tail"),
@@ -470,6 +488,25 @@ class StreamingJob(
     }
 
     val nInWindow = aggRow.getAs[Long]("n_window")
+    state.lastMsgs = nInWindow // feeds the NEXT trigger's fused-payload gate
+    // decode the fused payload (null = overflow or gate off → distributed
+    // path); the boundary-duplicate head is dropped here exactly like the
+    // frame path drops it, and driver-side offset sort restores arrival
+    // order (aggregate collection order is partition-arbitrary)
+    val localPayload: Option[Seq[Row]] =
+      if (!wantPayload) None
+      else try Option(aggRow.getAs[scala.collection.Seq[Array[Byte]]]("payload_rows")).map { blobs =>
+        val rows = graft.functions.BoundedRowsAgg.decode(blobs, deduped.schema)
+        val kept = if (boundary) rows.filterNot(_.getAs[Long]("offset") == minOff)
+                   else rows
+        kept.sortBy(_.getAs[Long]("offset"))
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] fused payload decode failed for $key (${e.getMessage}); " +
+              "taking the distributed path")
+          None
+      }
     val inWindow  = live.filter(col("ts") >= startNs && col("ts") <= stopNs)
     val emitBuffered = module.emitBuffered && state.buffered.nonEmpty &&
       (nInWindow > 0 || state.finished)
@@ -478,8 +515,17 @@ class StreamingJob(
       if (emitBuffered) {
         val b = state.buffered.get
         state.buffered = None
-        bufferedDf(b, state.schema).unionByName(inWindow)
-      } else inWindow
+        localPayload match {
+          // schemas must agree exactly to concatenate rows (the frame
+          // path tolerates drift via unionByName)
+          case Some(rows) if state.schema == deduped.schema =>
+            bufferedDf(b ++ rows, deduped.schema)
+          case _ => bufferedDf(b, state.schema).unionByName(inWindow)
+        }
+      } else localPayload match {
+        case Some(rows) => bufferedDf(rows, deduped.schema)
+        case None       => inWindow
+      }
     if (nInWindow > 0 || emitBuffered) {
       val appended = write(key, module, s, toWrite, state,
         msgHint = nInWindow + bufRows,
@@ -943,6 +989,11 @@ object StreamingJob {
       * the `dedup_slim` counter).
       */
     var lastDedupSlim: Boolean = false
+    /** Previous trigger's in-window message count, gating the fused
+      * payload collection. −1 = no history (restart ⇒ one distributed
+      * trigger, then re-arm). Transient like [[lastBytesEst]].
+      */
+    var lastMsgs: Long = -1L
   }
 
   /** Kafka source for the real deployment: one streaming frame per data

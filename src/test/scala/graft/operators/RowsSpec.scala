@@ -46,7 +46,10 @@ class RowsSpec extends SparkSpec {
   }
 
   test("small-hint path: same ids, single partition, exact count") {
-    val df = (0 until 2000).map(i => ((i * 7919) % 10007, i)).toDF("k", "payload")
+    // repartition first: a raw toDF is a LocalRelation and would take the
+    // driver fast path — this test pins the DISTRIBUTED small path
+    val df = (0 until 2000).map(i => ((i * 7919) % 10007, i))
+      .toDF("k", "payload").repartition(5)
     val (out, n) = Rows.indexedCounted(df, "k", start = 3L, sizeHint = 2000L)
     assert(n == 2000L)
     assert(out.rdd.getNumPartitions == 1)
@@ -63,6 +66,37 @@ class RowsSpec extends SparkSpec {
     wout.foreach { r =>
       assert(r.getAs[Long]("acc") == expect); expect += r.getAs[Long]("w")
     }
+  }
+
+  test("driver fast path: a LocalRelation numbers with zero jobs and STAYS local") {
+    val df = Seq((30L, 2L), (10L, 5L), (20L, 3L)).toDF("k", "w")
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (out, n) = Rows.indexedCounted(df, "k", start = 7L,
+        weight = Some(("w", "acc", 100L)), sizeHint = 3L)
+      // the RESULT plan is still a LocalRelation — downstream flat
+      // transforms keep folding into driver-side appends
+      assert(out.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(n == 3L)
+      val rows = out.collect() // LocalTableScan: still no job
+      // listener delivery is async: wait until the count is stable
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (jobs == prev) stable += 1 else { prev = jobs; stable = 0 }
+      }
+      assert(jobs == 0, s"driver numbering must launch no Spark job, saw $jobs")
+      // same ids/weights the distributed path assigns, in k order
+      assert(rows.map(r => (r.getAs[Long]("k"), r.getAs[Long]("row"),
+        r.getAs[Long]("acc"))).toSeq ==
+        Seq((10L, 7L, 100L), (20L, 8L, 105L), (30L, 9L, 108L)))
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("byte hint vetoes the small path for wide rows and widens the exchange") {

@@ -102,4 +102,47 @@ class LocalParquetSpec extends SparkSpec {
     assert(cueFiles.exists(_.contains("part-local-")),
       s"expected a part-local file among ${cueFiles.mkString(", ")}")
   }
+
+  test("small triggers ride the bounded-collect driver path; big ones fall back") {
+    // production f144 shape: a slow EPICS source lands 1-3 messages per
+    // 10 s trigger — the data append must not pay a write job for them.
+    // A large trigger (> maxRows hint) must keep the Spark path so file
+    // shaping stays distributed. Both file kinds coexist in one table.
+    val template =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "speed", "type": "group", "children": [
+        |      { "module": "f144",
+        |        "config": { "source": "speed", "topic": "tp",
+        |                    "enable_epics_con_info": false,
+        |                    "enable_alarm_info": false } } ] } ] } ] }""".stripMargin
+    val out = Files.createTempDirectory("graft-smalltrig").toString
+    val job = new StreamingJob(spark, NexusPlan.parse(template), out, 0, 1L << 40)
+    def msgs(from: Long, n: Int) = (0 until n).map { i =>
+      val o = from + i
+      graft.sources.Fixtures.F144Msg("tp", "speed", o, 1000 + o,
+        (1000 + o) * 1000000L, o.toDouble)
+    }
+    job.processBatch("f144", msgs(0, 3).toDF())    // tiny → driver path
+    // past BOTH the collect bound and the fused-payload overflow bound
+    // (4×maxRows): must stay on the distributed Spark write path
+    job.processBatch("f144", msgs(3, 600).toDF())
+    // opting out forces the Spark path even for a tiny trigger
+    spark.conf.set("spark.graft.stream.localAppend.maxRows", "-1")
+    try job.processBatch("f144", msgs(603, 2).toDF())
+    finally spark.conf.unset("spark.graft.stream.localAppend.maxRows")
+    job.finish()
+    val dir = s"$out/data/entry/speed/data"
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(files.count(_.contains("part-local-")) == 1,
+      s"exactly the tiny trigger should be a local file: ${files.mkString(", ")}")
+    assert(files.count(!_.contains("part-local-")) >= 2,
+      "the big and opted-out triggers stay on the Spark path")
+    val back = spark.read.parquet(dir).orderBy("row").collect()
+    assert(back.length == 605)
+    assert(back.map(_.getAs[Long]("row")).toSeq == (0L until 605L))
+    assert(back.map(_.getAs[Double]("value")).toSeq == (0 until 605).map(_.toDouble))
+    assert(job.counter("entry/speed", "data") == 605L)
+  }
 }
