@@ -113,9 +113,13 @@ object Rows {
     // gates: integral order column; within the small-renumber row bound
     // (a LARGE local frame should re-enter the distributed world here,
     // not anchor a driver-side pipeline); the wide-row byte veto applies
-    // exactly as it does to the distributed small path
-    if (localRows >= 0 && localRows <= SmallRenumberDefault &&
-      !(byteHint >= 0 && byteHint > SmallRenumberBytesDefault) &&
+    // exactly as it does to the distributed small path — same conf keys
+    val fpConf = df.sparkSession.conf
+    if (localRows >= 0 &&
+      localRows <= fpConf
+        .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong &&
+      !(byteHint >= 0 && byteHint > fpConf
+        .get("spark.graft.rows.smallRenumberBytes", SmallRenumberBytesDefault.toString).toLong) &&
       oField.exists(f =>
         f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType)) {
       val ext  = df.collect() // LocalTableScan executeCollect: no job

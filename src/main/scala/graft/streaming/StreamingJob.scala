@@ -213,6 +213,7 @@ class StreamingJob(
       try withBatchConf {
         relevant.foreach { s =>
           WriterModules.registry.get(s.module).foreach(processStream(s, _, batch))
+          crashHook(s"batch:stream:${streamKey(s)}") // torn multi-stream batch
         }
       } finally batch.unpersist()
       crashHook("batch:appended") // appends committed, cursors not yet saved
@@ -397,13 +398,16 @@ class StreamingJob(
     // distributed path. Scoped to modules whose data table is dense
     // (flat transforms; exploding modules gain nothing from local input).
     val fuseBound = spark.conf
-      .get("spark.graft.stream.localAppend.maxRows", "128").toInt
+      .get("spark.graft.stream.localAppend.maxRows", "128").toLong
+    // 4× hint-lie tolerance, capped so a huge conf value can't overflow
+    // Int or invite an unbounded driver collect through the aggregate
+    val aggBound = math.min(math.max(fuseBound, 0L) * 4, 1L << 20).toInt
     val wantPayload = module.denseRowTables.contains("data") &&
       spark.conf.get("spark.graft.stream.fusedPayload", "on") != "off" &&
       fuseBound > 0 && state.lastMsgs >= 0 && state.lastMsgs <= fuseBound
     def scalarAggs(liveCond: org.apache.spark.sql.Column) = (if (wantPayload) Seq(
       graft.functions.BoundedRowsAgg.bounded_rows(
-        when(liveCond && inWin, payload), fuseBound * 4).as("payload_rows"))
+        when(liveCond && inWin, payload), aggBound).as("payload_rows"))
       else Nil) ++ Seq(
       count(when(liveCond, 1)).as("n_live"),
       min(when(liveCond, struct(col("offset"), col("ts")))).as("head"),

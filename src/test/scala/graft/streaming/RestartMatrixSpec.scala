@@ -220,6 +220,22 @@ class RestartMatrixSpec extends SparkSpec {
     }
   }
 
+  test("kill between two streams of one schema mid-batch: torn batch converges") {
+    // batch 0 carries BOTH f144 sources; crash after speed's appends but
+    // before temp's — replay re-processes both: speed's rows duplicate
+    // byte-identically, temp's arrive fresh, nothing diverges
+    val out = tmp()
+    val j1 = newJob(out)
+    armed(j1, "batch:stream:entry/speed")
+    intercept[Crash] {
+      j1.processBatch(batches(0).schema, batches(0).df, batches(0).id)
+    }
+    val j2 = newJob(out)
+    batches.foreach(b => j2.processBatch(b.schema, b.df, b.id))
+    j2.finish()
+    assertConvergent(out, j2, "mid-batch torn streams")
+  }
+
   test("kill at each finish() phase boundary: a replayed finish converges") {
     // flushed-unsaved is the one remaining at-least-once window in finish
     // (temp's buffer was appended, the cursor save was lost); the other

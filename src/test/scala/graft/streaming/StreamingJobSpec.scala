@@ -392,10 +392,21 @@ class StreamingJobSpec extends SparkSpec {
   test("fused payload: a tiny steady-state trigger runs ONE Spark job total") {
     // production f144 shape (slow EPICS source, a few messages per 10 s
     // trigger): after the first trigger arms the gate, the payload rides
-    // the fused aggregate and the data append is driver-side — the whole
-    // trigger is exactly one Spark job (the fused aggregate itself)
+    // the fused aggregate and the data AND cue appends are driver-side —
+    // the whole trigger is exactly one Spark job (the fused aggregate
+    // itself; the cue's Filter+Project over the local frame folds via
+    // ConvertToLocalRelation)
+    val cueTemplate =
+      """{ "children": [
+        |  { "name": "entry", "type": "group", "children": [
+        |    { "name": "speed", "type": "group", "children": [
+        |      { "module": "f144",
+        |        "config": { "source": "speed", "topic": "tp",
+        |                    "cue_interval": 2,
+        |                    "enable_epics_con_info": false,
+        |                    "enable_alarm_info": false } } ] } ] } ] }""".stripMargin
     val out = Files.createTempDirectory("graft-fused").toString
-    val job = new StreamingJob(spark, NexusPlan.parse(template), out, 0, 1L << 40)
+    val job = new StreamingJob(spark, NexusPlan.parse(cueTemplate), out, 0, 1L << 40)
     def msgs(from: Long, n: Int) = (from until from + n).map(o =>
       f144(o, 1000 + o, o.toDouble)).toDF()
     job.processBatch("f144", msgs(0, 2)) // arms the gate (no history yet)
@@ -420,12 +431,16 @@ class StreamingJobSpec extends SparkSpec {
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq ==
       (0 until 5).map(_.toDouble))
     assert(job.counter("entry/speed", "data") == 5L)
+    // the cue grid fired inside the job-free trigger too (gw 2 and 4)
+    val cues = spark.read.parquet(s"$out/data/entry/speed/cue").orderBy("row")
+    assert(cues.select("cue_index").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
 
     // parity: the same stream with the fusion off is byte-identical
     val out2 = Files.createTempDirectory("graft-fusedoff").toString
     spark.conf.set("spark.graft.stream.fusedPayload", "off")
     try {
-      val job2 = new StreamingJob(spark, NexusPlan.parse(template), out2, 0, 1L << 40)
+      val job2 = new StreamingJob(spark, NexusPlan.parse(cueTemplate), out2, 0, 1L << 40)
       job2.processBatch("f144", msgs(0, 2))
       job2.processBatch("f144", msgs(2, 3))
       job2.finish()
