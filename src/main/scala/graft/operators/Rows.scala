@@ -97,29 +97,39 @@ object Rows {
       byteHint: Long,
       needCount: Boolean
   ): (DataFrame, Long) = {
+    val conf     = df.sparkSession.conf
+    val rowsMax  = conf
+      .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong
+    val bytesMax = conf
+      .get("spark.graft.rows.smallRenumberBytes", SmallRenumberBytesDefault.toString).toLong
     // DRIVER fast path: a frame that is already a LocalRelation (buffered
     // flushes and the streaming fused-payload tiny-trigger path) numbers
     // on the driver with ZERO jobs — and, crucially, STAYS a
     // LocalRelation, so downstream flat module transforms keep folding
     // (ConvertToLocalRelation) all the way into the driver-side parquet
-    // append. The data already lives in driver memory; shuffling it out
-    // to number it would be strictly worse at any size.
-    val localRows = df.queryExecution.optimizedPlan match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.size.toLong
-      case _ => -1L
+    // append. Probe the ANALYZED plan first (free — createDataFrame
+    // frames analyze to a bare LocalRelation); pay an optimizer pass only
+    // when the caller's hint says the frame could be small — on a big
+    // distributed frame the result would be discarded driver work (the
+    // same cost provablyEmpty gates in StreamingJob).
+    type LR = org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val localRel: Option[LR] = df.queryExecution.analyzed match {
+      case l: LR => Some(l)
+      case _ if sizeHint < 0 || sizeHint <= rowsMax =>
+        df.queryExecution.optimizedPlan match {
+          case l: LR => Some(l)
+          case _     => None
+        }
+      case _ => None
     }
+    val localRows = localRel.map(_.data.size.toLong).getOrElse(-1L)
     val oField = df.schema.fields.find(_.name == orderCol)
     // gates: integral order column; within the small-renumber row bound
     // (a LARGE local frame should re-enter the distributed world here,
     // not anchor a driver-side pipeline); the wide-row byte veto applies
     // exactly as it does to the distributed small path — same conf keys
-    val fpConf = df.sparkSession.conf
-    if (localRows >= 0 &&
-      localRows <= fpConf
-        .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong &&
-      !(byteHint >= 0 && byteHint > fpConf
-        .get("spark.graft.rows.smallRenumberBytes", SmallRenumberBytesDefault.toString).toLong) &&
+    if (localRows >= 0 && localRows <= rowsMax &&
+      !(byteHint >= 0 && byteHint > bytesMax) &&
       oField.exists(f =>
         f.dataType == LongType || f.dataType == org.apache.spark.sql.types.IntegerType)) {
       val ext  = df.collect() // LocalTableScan executeCollect: no job
@@ -129,39 +139,14 @@ object Rows {
         val fields = df.schema.fields
         val wIdx   = weight.map { case (w, _, _) => fields.indexWhere(_.name == w) }
         wIdx.foreach(i => require(i >= 0, s"weight column not found"))
-        val rowIdx = fields.indexWhere(_.name == rowCol)
-        val baseFields =
-          if (rowIdx >= 0) fields.updated(rowIdx, StructField(rowCol, LongType, nullable = false))
-          else fields :+ StructField(rowCol, LongType, nullable = false)
-        val outSchema = StructType(weight match {
-          case Some((_, out, _)) => baseFields :+ StructField(out, LongType, nullable = false)
-          case None              => baseFields
-        })
-        var rowAcc = start
-        var wAcc   = weight.map(_._3).getOrElse(0L)
-        val stampedRows = ext.sortBy(_.getAs[Number](oIdx).longValue()).map { r =>
-          val base =
-            if (rowIdx >= 0) r.toSeq.updated(rowIdx, rowAcc) else r.toSeq :+ rowAcc
-          val out = wIdx match {
-            case Some(i) =>
-              val here = if (r.isNullAt(i)) 0L else r.getAs[Number](i).longValue()
-              val withW = base :+ wAcc
-              wAcc += here
-              withW
-            case None => base
-          }
-          rowAcc += 1
-          Row.fromSeq(out)
-        }
-        return (df.sparkSession.createDataFrame(stampedRows.toSeq.asJava, outSchema),
+        val (rowIdx, outSchema) = stampSchema(fields, rowCol, weight)
+        val stampedRows = stampRows(
+          ext.sortBy(_.getAs[Number](oIdx).longValue()).iterator,
+          rowIdx, wIdx, start, weight.map(_._3).getOrElse(0L)).toSeq
+        return (df.sparkSession.createDataFrame(stampedRows.asJava, outSchema),
           ext.length.toLong)
       }
     }
-    val conf     = df.sparkSession.conf
-    val rowsMax  = conf
-      .get("spark.graft.rows.smallRenumber", SmallRenumberDefault.toString).toLong
-    val bytesMax = conf
-      .get("spark.graft.rows.smallRenumberBytes", SmallRenumberBytesDefault.toString).toLong
     // with a byte hint the byte bound decides (rows only guard sort CPU);
     // without one, the conservative row bound stands alone
     val small =
@@ -210,36 +195,63 @@ object Rows {
       wOffsets(pid + 1) = wOffsets(pid) + w
     }
 
-    val rowIdx = fields.indexWhere(_.name == rowCol)
-    val baseFields =
-      if (rowIdx >= 0) fields.updated(rowIdx, StructField(rowCol, LongType, nullable = false))
-      else fields :+ StructField(rowCol, LongType, nullable = false)
-    val outSchema = StructType(weight match {
-      case Some((_, out, _)) => baseFields :+ StructField(out, LongType, nullable = false)
-      case None              => baseFields
-    })
+    val (rowIdx, outSchema) = stampSchema(fields, rowCol, weight)
 
     // job 2: stamp ids; reuses the job-1 shuffle output
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rowAcc = rowOffsets(pid)
-      var wAcc   = wOffsets(pid)
-      it.map { r =>
-        val base =
-          if (rowIdx >= 0) r.toSeq.updated(rowIdx, rowAcc) else r.toSeq :+ rowAcc
-        val out = wIdx match {
-          case Some(i) =>
-            val here = if (r.isNullAt(i)) 0L else r.getAs[Number](i).longValue()
-            val withW = base :+ wAcc
-            wAcc += here
-            withW
-          case None => base
-        }
-        rowAcc += 1
-        Row.fromSeq(out)
-      }
+      stampRows(it, rowIdx, wIdx, rowOffsets(pid), wOffsets(pid))
     }
     val total =
       if (small && !needCount) -1L else rowOffsets(stats.length) - start
     (df.sparkSession.createDataFrame(stamped, outSchema), total)
+  }
+
+  /** Output schema shared by both numbering paths: `rowCol` becomes (or
+    * joins as) a non-null long; the optional weight output appends.
+    * Returns the pre-existing index of `rowCol` (−1 = appended).
+    */
+  private def stampSchema(
+      fields: Array[StructField],
+      rowCol: String,
+      weight: Option[(String, String, Long)]
+  ): (Int, StructType) = {
+    val rowIdx = fields.indexWhere(_.name == rowCol)
+    val baseFields =
+      if (rowIdx >= 0) fields.updated(rowIdx, StructField(rowCol, LongType, nullable = false))
+      else fields :+ StructField(rowCol, LongType, nullable = false)
+    (rowIdx, StructType(weight match {
+      case Some((_, out, _)) => baseFields :+ StructField(out, LongType, nullable = false)
+      case None              => baseFields
+    }))
+  }
+
+  /** One stamping pass over already-ordered rows: consecutive ids from
+    * `rowStart`, exclusive weight prefix from `wStart` — THE single
+    * definition the driver fast path and the distributed job-2 mapper
+    * both use (a second copy could drift the two numbering paths).
+    */
+  private def stampRows(
+      it: Iterator[Row],
+      rowIdx: Int,
+      wIdx: Option[Int],
+      rowStart: Long,
+      wStart: Long
+  ): Iterator[Row] = {
+    var rowAcc = rowStart
+    var wAcc   = wStart
+    it.map { r =>
+      val base =
+        if (rowIdx >= 0) r.toSeq.updated(rowIdx, rowAcc) else r.toSeq :+ rowAcc
+      val out = wIdx match {
+        case Some(i) =>
+          val here = if (r.isNullAt(i)) 0L else r.getAs[Number](i).longValue()
+          val withW = base :+ wAcc
+          wAcc += here
+          withW
+        case None => base
+      }
+      rowAcc += 1
+      Row.fromSeq(out)
+    }
   }
 }

@@ -282,7 +282,10 @@ object StreamQueries {
          |FROM live WHERE ts_us BETWEEN $StartUs AND $StopUs
          |UNION ALL
          |SELECT event_id, user_id, ts_us, value, true AS is_buffered FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |  -- dense_rank, mirroring the kernel's MESSAGE-grain pick: all
+         |  -- rows of the max-(ts, offset) message survive (identical on
+         |  -- this corpus where event_id is row-unique)
+         |  SELECT *, dense_rank() OVER (PARTITION BY user_id
          |                               ORDER BY ts_us DESC, event_id DESC) AS rn
          |  FROM live WHERE ts_us < $StartUs) WHERE rn = 1""".stripMargin,
     "f5f7_stream_health" ->

@@ -361,7 +361,11 @@ class StreamingJob(
     // past the measured funnel-wins regime, comfortably before a one-task
     // sort starts spilling). First trigger of a stream has no history and
     // takes the funnel. `window`/`slim` force a form.
-    val slim = module.elementCountCol.isDefined && StreamingJob.slimDedup(
+    // !acceptRepeats: dedupConsecutive is a no-op for ev44 — latching a
+    // form choice there would make the dedup_slim counter report a form
+    // that never ran
+    val slim = module.elementCountCol.isDefined && !module.acceptRepeats &&
+      StreamingJob.slimDedup(
       spark.conf.get("spark.graft.stream.dedup", "auto"),
       state.lastBytesEst,
       spark.conf.get("spark.graft.stream.dedup.slimBytes",
@@ -400,8 +404,10 @@ class StreamingJob(
     val fuseBound = spark.conf
       .get("spark.graft.stream.localAppend.maxRows", "128").toLong
     // 4× hint-lie tolerance, capped so a huge conf value can't overflow
-    // Int or invite an unbounded driver collect through the aggregate
-    val aggBound = math.min(math.max(fuseBound, 0L) * 4, 1L << 20).toInt
+    // (clamp BEFORE multiplying — a 2^62 conf would wrap the product) or
+    // invite an unbounded driver collect through the aggregate
+    val aggBound =
+      (math.min(math.max(fuseBound, 0L), 1L << 18) * 4).toInt
     val wantPayload = module.denseRowTables.contains("data") &&
       spark.conf.get("spark.graft.stream.fusedPayload", "on") != "off" &&
       fuseBound > 0 && state.lastMsgs >= 0 && state.lastMsgs <= fuseBound
