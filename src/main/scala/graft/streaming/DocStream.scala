@@ -73,7 +73,13 @@ object DocStream {
     intake(docs, tsCol, watermarkDelay).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch {
+        // the query id is immutable for the life of the query — read the
+        // checkpoint's metadata file once at first batch, not per trigger
+        // (each read is a filesystem/object-store round-trip + a parse)
+        var qid: String = null
+        (batch: DataFrame, batchId: Long) =>
+        if (qid == null) qid = queryId(checkpoint)
         // ingest recomputes the canonical fingerprint and keeps first
         // per fp within the batch; drop intake's copy to avoid a clash.
         // The batch key is scoped by the streaming QUERY id (persisted in
@@ -81,7 +87,7 @@ object DocStream {
         // checkpoint is recreated) so replay exclusion can never unlock
         // an OLD run's rows when foreachBatch ids restart from 0.
         graft.operators.IncrementalDedup.ingestBatch(
-          batch.drop("fp"), indexTable, s"${queryId(checkpoint)}#$batchId",
+          batch.drop("fp"), indexTable, s"$qid#$batchId",
           writeOut = admitted =>
             admitted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId"))
         ()

@@ -29,7 +29,10 @@ object StreamAggregates {
       watermarkDelay: String = "10 seconds"
   ): DataFrame = {
     val withTime = decoded
-      .withColumn("event_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      // integer ns→µs (`div`, not `/`): double division rounds at
+      // epoch-ns magnitudes (ulp 256 ns) and can assign a boundary event
+      // to the wrong window — same fix as intervalJoin below
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
     val marked =
       if (decoded.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
       else withTime
@@ -59,7 +62,10 @@ object StreamAggregates {
       watermarkDelay: String = "10 seconds"
   ): DataFrame = {
     val withTime = decoded
-      .withColumn("event_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      // integer ns→µs (`div`, not `/`): double division rounds at
+      // epoch-ns magnitudes (ulp 256 ns) and can assign a boundary event
+      // to the wrong window — same fix as intervalJoin below
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
     val marked =
       if (decoded.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
       else withTime
@@ -85,7 +91,10 @@ object StreamAggregates {
       watermarkDelay: String = "10 seconds"
   ): DataFrame = {
     val withTime = decoded
-      .withColumn("event_time", timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      // integer ns→µs (`div`, not `/`): double division rounds at
+      // epoch-ns magnitudes (ulp 256 ns) and can assign a boundary event
+      // to the wrong window — same fix as intervalJoin below
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
     if (withTime.isStreaming)
       withTime
         .withWatermark("event_time", watermarkDelay)
@@ -148,9 +157,22 @@ object StreamAggregates {
       decoded: DataFrame,
       sourceCols: Seq[String],
       tsCol: String,
-      windowDuration: String
-  ): DataFrame =
-    windowedStats(decoded, sourceCols, tsCol, tsCol, windowDuration)
-      .select(col("window_start") +: col("window_end") +:
-        sourceCols.map(col) :+ col("n"): _*)
+      windowDuration: String,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    // count-only: piggybacking on windowedStats evaluated three unused
+    // min/max/avg aggregates over the timestamps every trigger
+    val withTime = decoded
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val marked =
+      if (decoded.isStreaming) withTime.withWatermark("event_time", watermarkDelay)
+      else withTime
+    marked
+      .groupBy(window(col("event_time"), windowDuration) +: sourceCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start") +:
+          col("window.end").as("window_end") +:
+          sourceCols.map(col) :+ col("n"): _*)
+  }
 }

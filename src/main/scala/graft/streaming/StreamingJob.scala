@@ -284,20 +284,30 @@ class StreamingJob(
   private def saveState(): Unit = {
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(outDir), ".state", ".tmp")
-    val out = new java.io.ObjectOutputStream(
-      java.nio.file.Files.newOutputStream(tmp))
     try {
-      out.writeLong(stopMsCur)
-      out.writeLong(autoBatchId)
-      out.writeObject(processedBatch.toMap)
-      out.writeObject(states.toMap.map { case (k, s) =>
-        k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
-          s.rowsWritten.toMap, s.schema, s.writeErrors, s.lastCue))
-      })
-    } finally out.close()
-    java.nio.file.Files.move(tmp, stateFile,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val out = new java.io.ObjectOutputStream(
+        java.nio.file.Files.newOutputStream(tmp))
+      try {
+        out.writeLong(stopMsCur)
+        out.writeLong(autoBatchId)
+        out.writeObject(processedBatch.toMap)
+        out.writeObject(states.toMap.map { case (k, s) =>
+          k -> ((s.lastTs, s.buffered, s.finished, s.eventsWritten,
+            s.rowsWritten.toMap, s.schema, s.writeErrors, s.lastCue))
+        })
+      } finally out.close()
+      java.nio.file.Files.move(tmp, stateFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      // a failed write must not strand the temp file in outDir — retry
+      // cycles would accumulate orphans (the rename was never reached, so
+      // the real state.bin is intact either way)
+      case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** An unreadable state file is treated as absent (warn + start fresh, the
@@ -414,13 +424,17 @@ class StreamingJob(
     def scalarAggs(liveCond: org.apache.spark.sql.Column) = (if (wantPayload) Seq(
       graft.functions.BoundedRowsAgg.bounded_rows(
         when(liveCond && inWin, payload), aggBound).as("payload_rows"))
+      else Nil) ++ (if (module.emitBuffered) Seq(
+      // buffered-candidate tracking only for modules that EMIT the buffer
+      // (ev44 ignores buffered messages by contract, ev44_Writer.cpp:94-97
+      // — carrying its full event arrays through a max-struct and into
+      // state.bin forever would be pure waste)
+      max(when(liveCond && col("ts") < startNs,
+        struct(col("ts"), col("offset"), payload.as("p")))).as("buf_cand"))
       else Nil) ++ Seq(
-      count(when(liveCond, 1)).as("n_live"),
       min(when(liveCond, struct(col("offset"), col("ts")))).as("head"),
       max(when(liveCond, struct(col("offset"), col("ts")))).as("tail"),
       count(when(liveCond && inWin, 1)).as("n_window"),
-      max(when(liveCond && col("ts") < startNs,
-        struct(col("ts"), col("offset"), payload.as("p")))).as("buf_cand"),
       // exploded-element total of the batch's written rows — the W2 event
       // cursor for ev44 (exact: ev44 never buffers and accepts repeats,
       // so live ∩ in-window IS the written set) and the append-renumber
@@ -480,14 +494,23 @@ class StreamingJob(
     // (all rows of one offset — a message's variable count) only when a
     // new candidate is actually accepted, which can only happen while the
     // stream is still pre-start (rare, and never in steady state).
-    Option(aggRow.getAs[Row]("buf_cand")).foreach { cand =>
+    (if (module.emitBuffered) Option(aggRow.getAs[Row]("buf_cand"))
+     else None).foreach { cand =>
       // the boundary-duplicate head row cannot be the candidate unless it's
       // also the only pre-start row — recheck against the dedup boundary
-      val tsIdx = deduped.schema.fieldIndex("ts")
       val isBoundaryRow = boundary &&
         cand.getAs[Long]("offset") == minOff
+      // compare the STORED row under ITS OWN schema: a restart or adapter
+      // change can reorder columns relative to this batch's frame, and
+      // this batch's ts index would then read the wrong field of the old
+      // row (ClassCastException, or a silently wrong comparison)
+      val storedTs = state.buffered.map { b =>
+        b.head.getLong(
+          (if (state.schema != null) state.schema else deduped.schema)
+            .fieldIndex("ts"))
+      }
       if (!isBoundaryRow &&
-        state.buffered.forall(_.head.getLong(tsIdx) <= cand.getAs[Long]("ts"))) {
+        storedTs.forall(_ <= cand.getAs[Long]("ts"))) {
         state.buffered = Some(
           if (module.multiRowMessages)
             deduped.filter(col("offset") === cand.getAs[Long]("offset"))
@@ -530,7 +553,12 @@ class StreamingJob(
           // path tolerates drift via unionByName)
           case Some(rows) if state.schema == deduped.schema =>
             bufferedDf(b ++ rows, deduped.schema)
-          case _ => bufferedDf(b, state.schema).unionByName(inWindow)
+          // allowMissingColumns: drift can ADD or REMOVE columns, not just
+          // reorder — strict unionByName would crash-loop the query on a
+          // buffered message from the pre-drift schema; null-filling the
+          // gap degrades that one sample instead
+          case _ => bufferedDf(b, state.schema)
+            .unionByName(inWindow, allowMissingColumns = true)
         }
       } else localPayload match {
         case Some(rows) => bufferedDf(rows, deduped.schema)

@@ -565,6 +565,60 @@ class StreamingJobSpec extends SparkSpec {
       Seq(10.0, 15.0, 20.0))
   }
 
+  test("restart through Spark's OWN streaming checkpoint equals the uninterrupted run") {
+    // The real restart choreography the reference's integration suite
+    // exercises (integration-tests/test_filewriter.py): kill the query
+    // (no finish), construct a NEW job over the same output, re-attach —
+    // Spark resumes from outDir/.checkpoints, batch ids stay continuous,
+    // the replayed last batch hits the replay-skip mark, and the sink
+    // matches a run that was never interrupted. A file-stream source
+    // (unlike MemoryStream) genuinely recovers from the checkpoint.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("source_name", StringType),
+      StructField("offset", LongType), StructField("kafka_ts_ms", LongType),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    def line(off: Long, tsMs: Long, v: Double) =
+      s"""{"topic":"tp","source_name":"speed","offset":$off,""" +
+        s""""kafka_ts_ms":$tsMs,"ts":${tsMs * 1000000L},"value":$v}"""
+    def drive(out: String, src: String, interrupted: Boolean): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      def wave(n: Int, lines: String*): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(src, s"wave$n.json"), lines.mkString("\n"))
+      def attach(job: StreamingJob) = StreamingJob.attach(job, "f144",
+        spark.readStream.schema(schema).json(src), triggerMs = 100)
+      wave(1, line(0, 10100, 1.0), line(1, 10200, 2.0))
+      val job1 = newJob(out)
+      val q1 = attach(job1)
+      try q1.processAllAvailable() finally q1.stop()
+      if (interrupted) {
+        // crash: job1 abandoned (no finish); fresh instance, same outDir
+        wave(2, line(2, 10200, 9.9), line(3, 12000, 3.0)) // head repeats ts
+        val job2 = newJob(out)
+        val q2 = attach(job2)
+        try q2.processAllAvailable() finally q2.stop()
+        job2.finish()
+      } else {
+        wave(2, line(2, 10200, 9.9), line(3, 12000, 3.0))
+        val q1b = attach(job1)
+        try q1b.processAllAvailable() finally q1b.stop()
+        job1.finish()
+      }
+    }
+    val outA = Files.createTempDirectory("graft-ckptrestart-a").toString
+    val outB = Files.createTempDirectory("graft-ckptrestart-b").toString
+    drive(outA, Files.createTempDirectory("graft-src-a").toString, interrupted = true)
+    drive(outB, Files.createTempDirectory("graft-src-b").toString, interrupted = false)
+    val a = spark.read.parquet(s"$outA/data/entry/speed/data").orderBy("row").collect()
+    val b = spark.read.parquet(s"$outB/data/entry/speed/data").orderBy("row").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "restarted sink must equal the uninterrupted sink")
+    // the cross-restart dedup boundary held: offset 2 repeated the
+    // pre-restart tail ts and was dropped; rows are 1.0, 2.0, 3.0
+    assert(a.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("concurrent jobs restore the session confs they flip per batch") {
     // processBatch temporarily disables AQE / narrows shuffle width for
     // its window; with TWO jobs on one session the set/restore pairs must
