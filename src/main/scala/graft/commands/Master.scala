@@ -84,28 +84,53 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
     * the matching job (and service, when set) may be stopped.
     */
   private def stop(cmd: RunStop): Seq[Outbound] = state match {
-    case Idle => reject(cmd.jobId, "not writing", ActionType.SetStopTime)
+    case Idle => reject(cmd.jobId, "not writing", ActionType.SetStopTime, cmd.commandId)
     case Writing(id, job, _) =>
       if (cmd.jobId != id)
-        reject(cmd.jobId, s"job id mismatch (writing $id)", ActionType.SetStopTime)
+        reject(cmd.jobId, s"job id mismatch (writing $id)", ActionType.SetStopTime, cmd.commandId)
       else if (cmd.serviceId.nonEmpty && cmd.serviceId != serviceId)
-        reject(cmd.jobId, "service id mismatch", ActionType.SetStopTime)
+        reject(cmd.jobId, "service id mismatch", ActionType.SetStopTime, cmd.commandId)
       else if (cmd.stopTimeMs == 0L) finishNow(id, job, "stopped immediately")
       else if (job.setStopTime(cmd.stopTimeMs))
         Seq(Outbound("answ", encodeAnswer(serviceId, id,
           ActionType.SetStopTime, ActionOutcome.Success, 0, cmd.stopTimeMs,
           s"stop time set to ${cmd.stopTimeMs}", cmd.commandId)))
-      else reject(cmd.jobId, "job already past stop", ActionType.SetStopTime)
+      else reject(cmd.jobId, "job already past stop", ActionType.SetStopTime, cmd.commandId)
   }
 
   /** Called by the stop monitor when all streams are finished (or on
     * stop-now): flush, emit wrdn, return to idle.
     */
   def finishNow(jobId: String, job: StreamingJob, message: String): Seq[Outbound] = {
-    job.finish()
+    // the artifact the reference workflow names IS an HDF5 file: emit the
+    // native .h5 inside the job's mirror directory (same basename) unless
+    // opted out — spark.graft.service.emitHdf5=off keeps mirror-only runs
+    val emitH5 =
+      spark.conf.get("spark.graft.service.emitHdf5", "on") != "off"
+    val base = java.nio.file.Paths.get(job.outDir).getFileName.toString
+    val h5 =
+      if (base.endsWith(".h5") || base.endsWith(".nxs")) s"${job.outDir}/$base"
+      else s"${job.outDir}/$base.h5"
+    var finishError: Option[String] = None
+    try job.finish(emitHdf5 = if (emitH5) Some(h5) else None)
+    catch {
+      // the sink must still go idle and REPORT the failure — a throw here
+      // would leave the service stuck in Writing forever
+      case e: Exception => finishError = Some(String.valueOf(e.getMessage))
+    }
     state = Idle
+    // error_encountered mirrors the run's truth: a finish failure or any
+    // accumulated per-stream write error; file_name is the JOB's output,
+    // not the shared root
+    val writeErrors =
+      job.metrics.values.map(_.getOrElse("write_errors", 0L)).sum
+    val msg = finishError.map(e => s"$message; finish failed: $e")
+      .getOrElse(if (writeErrors > 0) s"$message ($writeErrors write errors)"
+                 else message)
     Seq(Outbound("wrdn",
-      encodeFinished(serviceId, jobId, error = false, outRoot, "{}", message)))
+      encodeFinished(serviceId, jobId,
+        error = finishError.nonEmpty || writeErrors > 0,
+        job.outDir, "{}", msg)))
   }
 
   /** Stop monitor tick: finish the job when every stream saw its
@@ -140,7 +165,13 @@ final class Master(spark: SparkSession, serviceId: String, outRoot: String) {
   }
 
   private def reject(jobId: String, why: String,
-      action: Short = CommandProtocol.ActionType.StartJob): Seq[Outbound] =
+      action: Short = CommandProtocol.ActionType.StartJob,
+      commandId: String = null): Seq[Outbound] =
+    // command_id correlates the answer with the COMMAND: pl72 has no
+    // separate command id (the job id doubles as it), but 6s4t failures
+    // must echo the 6s4t's own command id or the orchestrator never
+    // matches the failure response
     Seq(Outbound("answ", encodeAnswer(serviceId, jobId, action,
-      ActionOutcome.Failure, 1, 0L, why, jobId)))
+      ActionOutcome.Failure, 1, 0L, why,
+      if (commandId == null) jobId else commandId)))
 }

@@ -201,11 +201,15 @@ object WriterModules {
       cfg.long("cue_interval").filter(_ > 0)
         .map(unitGridCueCount(cur.lastCue, cur.rowStart, rows, _))
     override def finals(df: DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
-      if (cfg.bool("meta_data").getOrElse(true))
+      if (cfg.bool("meta_data").getOrElse(true)) {
+        // aggregate the STORED values (post dtype cast, like tables() and
+        // sinkFinals): with "type": "int" the raw decoded 3.7 is written
+        // as 3 — meta must describe what the file holds
+        val v = col("value").cast(cfg.dtype("double"))
         Map("meta" -> df.agg(
-          min("value").as("minimum_value"), max("value").as("maximum_value"),
-          avg("value").as("average_value"), count(lit(1)).as("num_values")))
-      else Map.empty
+          min(v).as("minimum_value"), max(v).as("maximum_value"),
+          avg(v).as("average_value"), count(lit(1)).as("num_values")))
+      } else Map.empty
     override def sinkFinals(read: String => DataFrame, cfg: ModuleConfig): Map[String, DataFrame] =
       if (cfg.bool("meta_data").getOrElse(true))
         Map("meta" -> read("data").agg(
@@ -595,14 +599,7 @@ object WriterModules {
       * the stream's write-error counters).
       */
     def constantMismatches(df: DataFrame, cfg: ModuleConfig): Map[String, Long] = {
-      def nums(jv: JValue): Seq[Double] = jv match {
-        case JArray(xs)  => xs.flatMap(nums)
-        case JInt(i)     => Seq(i.toDouble)
-        case JLong(l)    => Seq(l.toDouble)
-        case JDouble(d)  => Seq(d)
-        case JDecimal(d) => Seq(d.toDouble)
-        case _           => Nil
-      }
+      def nums(jv: JValue): Seq[Double] = graft.plans.NexusPlan.jsonDoubles(jv)
       val declared: Seq[(String, Seq[Double])] = cfg.fields.get("constants") match {
         case Some(JArray(cs)) =>
           cs.flatMap { c =>

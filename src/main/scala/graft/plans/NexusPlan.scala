@@ -169,4 +169,29 @@ object NexusPlan {
         Some(Stream(s.path, moduleId, s.source, s.topic, Map.empty, synthesized = true))
       else None
     }
+
+  /** Flatten a JSON value's numeric leaves to doubles — ONE definition
+    * shared by the da00 constants-consistency check and the HDF5 static
+    * exporter, so numeric handling cannot drift between them.
+    */
+  def jsonDoubles(v: JValue): Seq[Double] = v match {
+    case JArray(xs)  => xs.flatMap(jsonDoubles)
+    case JInt(i)     => Seq(i.toDouble)
+    case JLong(l)    => Seq(l.toDouble)
+    case JDouble(d)  => Seq(d)
+    case JDecimal(d) => Seq(d.toDouble)
+    case _           => Nil
+  }
+
+  /** Integral flatten: int64 leaves above 2^53 (ns-epoch timestamps)
+    * would lose low-order bits round-tripping through Double.
+    */
+  def jsonLongs(v: JValue): Seq[Long] = v match {
+    case JArray(xs)  => xs.flatMap(jsonLongs)
+    case JInt(i)     => Seq(i.toLong)
+    case JLong(l)    => Seq(l)
+    case JDouble(d)  => Seq(d.toLong)
+    case JDecimal(d) => Seq(d.toLong)
+    case _           => Nil
+  }
 }

@@ -64,7 +64,8 @@ object Hdf5Export {
     if (Files.exists(dataRoot)) {
       // every directory containing parquet part files is one table; its
       // non-row columns become sibling datasets in the parent group
-      Files.walk(dataRoot).filter(p => Files.isDirectory(p)).forEach { dir =>
+      val walk = Files.walk(dataRoot)
+      try walk.filter(p => Files.isDirectory(p)).forEach { dir =>
         val hasParquet = Option(dir.toFile.listFiles())
           .exists(_.exists(_.getName.endsWith(".parquet")))
         if (hasParquet) {
@@ -86,6 +87,7 @@ object Hdf5Export {
             tree.addAttrs(par, as.map { case (k, v) => k -> (StrAttr(v): AttrValue) }.toSeq))
         }
       }
+      finally walk.close()
     }
     mdat.foreach { case (k, v) =>
       tree.addDataset(Seq("entry"), Dataset(k, StrData(Array(v))))
@@ -173,14 +175,11 @@ object Hdf5Export {
       case JArray(xs) => xs.length.toLong +: xs.headOption.map(dims).getOrElse(Nil)
       case _          => Nil
     }
-    def nums(v: JValue): Seq[Double] = v match {
-      case JArray(xs)  => xs.flatMap(nums)
-      case JInt(i)     => Seq(i.toDouble)
-      case JLong(l)    => Seq(l.toDouble)
-      case JDouble(d)  => Seq(d)
-      case JDecimal(d) => Seq(d.toDouble)
-      case _           => Nil
-    }
+    // shared flatteners (graft.plans.NexusPlan): the integral form exists
+    // because int64 values above 2^53 (ns-epoch timestamps) would lose
+    // low-order bits round-tripping through Double
+    def nums(v: JValue): Seq[Double] = graft.plans.NexusPlan.jsonDoubles(v)
+    def longs(v: JValue): Seq[Long]  = graft.plans.NexusPlan.jsonLongs(v)
     def strs(v: JValue): Seq[String] = v match {
       case JArray(xs) => xs.flatMap(strs)
       case JString(s) => Seq(s)
@@ -188,13 +187,13 @@ object Hdf5Export {
     }
     val dm      = dims(jv)
     val shape   = if (dm.size > 1) dm else Nil
-    val numeric = nums(jv)
+    lazy val numeric = nums(jv)
     dtype.map(_.toLowerCase) match {
       case Some("string")                    => Some(StrData(strs(jv).toArray))
-      case Some("int8" | "int16" | "uint8")  => Some(I16Data(numeric.map(_.toShort).toArray, shape))
-      case Some("int32" | "uint16" | "int")  => Some(I32Data(numeric.map(_.toInt).toArray, shape))
+      case Some("int8" | "int16" | "uint8")  => Some(I16Data(longs(jv).map(_.toShort).toArray, shape))
+      case Some("int32" | "uint16" | "int")  => Some(I32Data(longs(jv).map(_.toInt).toArray, shape))
       case Some("int64" | "uint32" | "uint64" | "long") =>
-        Some(I64Data(numeric.map(_.toLong).toArray, shape))
+        Some(I64Data(longs(jv).toArray, shape))
       case Some("float" | "float32")         => Some(F32Data(numeric.map(_.toFloat).toArray, shape))
       case Some("double" | "float64")        => Some(F64Data(numeric.toArray, shape))
       case Some(_)                           => Some(F64Data(numeric.toArray, shape))
@@ -206,7 +205,7 @@ object Hdf5Export {
             case _ if strs(v).nonEmpty => false
             case _ => flattenIsIntegral(v)
           }
-          if (allInts) Some(I64Data(numeric.map(_.toLong).toArray, shape))
+          if (allInts) Some(I64Data(longs(v).toArray, shape))
           else Some(F64Data(numeric.toArray, shape))
         case _ => None
       }
@@ -453,6 +452,33 @@ object Hdf5Export {
               { val xs = new Array[Double](k); bb.asDoubleBuffer().get(xs); F64Data(xs) })))
         }
     }
+    class FloatBase extends Acc {
+      private var buf = new Array[Float](math.min(1024, spillChunkValues))
+      protected var n = 0
+      private val sp  = new NumSpiller(spill, 4)
+      private def enc(bb: java.nio.ByteBuffer): Unit =
+        { var i = 0; while (i < n) { bb.putFloat(buf(i)); i += 1 } }
+      final def put(v: Float): Unit = {
+        if (n == buf.length && n < spillChunkValues)
+          buf = java.util.Arrays.copyOf(buf,
+            math.min(spillChunkValues, buf.length * 2))
+        buf(n) = v; n += 1
+        noteResident(n.toLong)
+        if (n == spillChunkValues) { sp.write(enc, n); n = 0 }
+      }
+      def add(r: Row, i: Int): Unit = put(if (r.isNullAt(i)) 0.0f else r.getFloat(i))
+      def result(): Option[DataValue] =
+        if (!sp.spilled)
+          Some(streamed(F32Data(Array.empty[Float]),
+            F32Data(java.util.Arrays.copyOf(buf, n))))
+        else {
+          if (n > 0) { sp.write(enc, n); n = 0 }
+          sp.finish()
+          Some(StreamedData(() => Iterator(F32Data(Array.empty[Float])) ++
+            sp.readBack((bb, k) =>
+              { val xs = new Array[Float](k); bb.asFloatBuffer().get(xs); F32Data(xs) })))
+        }
+    }
     final class BoolAcc extends ShortBase {
       override def add(r: Row, i: Int): Unit =
         put(if (!r.isNullAt(i) && r.getBoolean(i)) 1.toShort else 0.toShort)
@@ -518,26 +544,55 @@ object Hdf5Export {
           }, strWidth = w))
         }
     }
-    /** Flat 2-D accumulator; bails out on ragged widths. */
+    /** Flat 2-D accumulator; bails out on ragged widths. A NULL cell
+      * (da00's null-filled missing variable — `variable_append_missing`,
+      * the reference still writes the dataset with fill values) emits one
+      * row of fills (NaN for floating, 0 for integral) instead of
+      * raggedizing the whole dataset away.
+      */
     final class ArrAcc(elem: DataType) extends Acc {
       private var inner: Acc = null
       private var w       = -1
       private var ragged  = false
+      private var pendingNullRows = 0L // nulls seen before the width is known
+      private def mk(): Unit = if (inner == null) inner = elem match {
+        case DoubleType  => new DoubleBase
+        case FloatType   => new FloatBase
+        case LongType    => new LongBase
+        case IntegerType => new IntBase
+        case ShortType   => new ShortBase
+        case _           => null
+      }
+      private def putOne(x: Any): Unit = inner match {
+        case a: DoubleBase => a.put(x.asInstanceOf[Double])
+        case a: FloatBase  => a.put(x.asInstanceOf[Float])
+        case a: LongBase   => a.put(x.asInstanceOf[Long])
+        case a: IntBase    => a.put(x.asInstanceOf[Int])
+        case a: ShortBase  => a.put(x.asInstanceOf[Short])
+        case _             => ragged = true
+      }
+      private def putFillRow(): Unit = inner match {
+        case a: DoubleBase => var j = 0; while (j < w) { a.put(Double.NaN); j += 1 }
+        case a: FloatBase  => var j = 0; while (j < w) { a.put(Float.NaN); j += 1 }
+        case a: LongBase   => var j = 0; while (j < w) { a.put(0L); j += 1 }
+        case a: IntBase    => var j = 0; while (j < w) { a.put(0); j += 1 }
+        case a: ShortBase  => var j = 0; while (j < w) { a.put(0.toShort); j += 1 }
+        case _             => ragged = true
+      }
       def add(r: Row, i: Int): Unit = if (!ragged) {
-        val s = if (r.isNullAt(i)) Nil else r.getSeq[Any](i)
-        if (w < 0) w = s.length
-        if (s.length != w) ragged = true
-        else elem match {
-          case DoubleType =>
-            if (inner == null) inner = new DoubleBase
-            s.foreach(x => inner.asInstanceOf[DoubleBase].put(x.asInstanceOf[Double]))
-          case LongType =>
-            if (inner == null) inner = new LongBase
-            s.foreach(x => inner.asInstanceOf[LongBase].put(x.asInstanceOf[Long]))
-          case IntegerType =>
-            if (inner == null) inner = new IntBase
-            s.foreach(x => inner.asInstanceOf[IntBase].put(x.asInstanceOf[Int]))
-          case _ => ragged = true
+        if (r.isNullAt(i)) {
+          if (w < 0) pendingNullRows += 1
+          else putFillRow()
+        } else {
+          val s = r.getSeq[Any](i)
+          if (w < 0) {
+            w = s.length
+            mk()
+            if (inner == null) { ragged = true; return }
+            while (pendingNullRows > 0) { putFillRow(); pendingNullRows -= 1 }
+          }
+          if (s.length != w) ragged = true
+          else s.foreach(putOne)
         }
       }
       def result(): Option[DataValue] =
@@ -555,9 +610,11 @@ object Hdf5Export {
         case IntegerType => Some(new IntBase)
         case ShortType   => Some(new ShortBase)
         case DoubleType  => Some(new DoubleBase)
+        case FloatType   => Some(new FloatBase)
         case BooleanType => Some(new BoolAcc)
         case StringType  => Some(new StrAcc)
-        case ArrayType(et @ (DoubleType | LongType | IntegerType), _) =>
+        case ArrayType(et @ (DoubleType | FloatType | LongType | IntegerType |
+                             ShortType), _) =>
           Some(new ArrAcc(et))
         case _ => None
       }

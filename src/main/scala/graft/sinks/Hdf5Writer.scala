@@ -20,10 +20,13 @@ import java.nio.file.{Paths, StandardOpenOption}
   * buffered `FileChannel` — the file is never held in memory, so output
   * size is bounded by disk, not heap (the one back-reference, the
   * superblock at offset 0, is patched with a positional write at the end).
-  * Each group = object header + local heap + one fixed-size B-tree leaf
-  * node pointing at fixed-size symbol-table nodes of ≤ 2·leaf_k children
-  * each (the block sizes libhdf5 derives from the superblock's declared k
-  * values) — up to 2·internal_k · 2·leaf_k = 256 children per group.
+  * Each group = object header + local heap + a v1 B-tree over fixed-size
+  * symbol-table nodes of ≤ 2·leaf_k children each (the block sizes
+  * libhdf5 derives from the superblock's declared k values). Groups wider
+  * than one node's 2·internal_k·2·leaf_k = 256 children get a balanced
+  * multi-level tree (sibling-linked nodes per level), so fan-out is
+  * unbounded — a reference-scale instrument group with hundreds of PV
+  * streams exports fine.
   */
 final class Hdf5Writer {
 
@@ -190,27 +193,57 @@ final class Hdf5Writer {
       (addr, lastOff)
     }
 
-    // B-tree v1 leaf (node type 0): one FIXED 24 + (2k+1)·8 + 2k·8 byte
-    // block (544 for internal k=16 — libhdf5 reads the whole node, so a
+    // B-tree v1 nodes (node type 0): FIXED 24 + (2k+1)·8 + 2k·8 byte
+    // blocks (544 for internal k=16 — libhdf5 reads the whole node, so a
     // truncated block near EOF would run past the end-of-file address).
-    // Keys bound each SNOD's names: key0 = heap offset 0 (the empty
-    // string, smallest), key_{i+1} = offset of the largest name in SNOD i.
-    require(snods.size <= 2 * InternalK,
-      s"group fan-out ${entries.size} exceeds one B-tree node " +
-        s"(${2 * InternalK} symbol nodes × ${2 * LeafK} entries)")
-    val btreeAddr = {
-      val b = ByteBuffer.allocate(BtreeBytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.put("TREE".getBytes)
-      b.put(0.toByte)  // node type: group
-      b.put(0.toByte)  // level: leaf
-      b.putShort(snods.size.toShort)            // entries used
-      b.putLong(Undef); b.putLong(Undef)        // siblings
-      b.putLong(0L)                             // key0
-      snods.foreach { case (addr, lastOff) =>
-        b.putLong(addr); b.putLong(lastOff)     // child_i, key_{i+1}
+    // Keys bound each child's names: key0 of the leftmost node = heap
+    // offset 0 (the empty string, smallest); key0 of a later node = its
+    // left sibling's last key; key_{i+1} = offset of the largest name
+    // under child i. Groups wider than one node's 2k·2·leaf_k = 256
+    // children build a MULTI-LEVEL tree: each level packs ≤ 2·internal_k
+    // children per node (balanced so every node keeps ≥ k entries, the
+    // v1 B-tree fill invariant), nodes of one level are written
+    // consecutively so sibling addresses are known up front, and the
+    // level above indexes them with the same key scheme. A single-node
+    // group emits byte-identical output to the old fixed shape
+    // (Hdf5GoldenSpec pins it).
+    def buildLevel(children: Seq[(Long, Long)], level: Int): Long = {
+      // an empty group still gets one (empty) node — entries used = 0
+      val nChunks = math.max(1,
+        (children.size + 2 * InternalK - 1) / (2 * InternalK))
+      // balanced split: sizes differ by ≤1, so every node holds ≥ k
+      // entries whenever there is more than one node
+      val small   = children.size / nChunks
+      val nBig    = children.size % nChunks
+      val bounds  = (0 until nChunks)
+        .map(i => if (i < nBig) small + 1 else small)
+        .scanLeft(0)(_ + _)
+      val chunks = (0 until nChunks).map(i =>
+        children.slice(bounds(i), bounds(i + 1)))
+      val base  = buf.size
+      val addrs = chunks.indices.map(i => base + i.toLong * BtreeBytes)
+      var prevLast = 0L
+      val written = chunks.zipWithIndex.map { case (chunk, ci) =>
+        val b = ByteBuffer.allocate(BtreeBytes).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("TREE".getBytes)
+        b.put(0.toByte)        // node type: group
+        b.put(level.toByte)    // 0 = leaf over SNODs, >0 = over B-tree nodes
+        b.putShort(chunk.size.toShort)
+        b.putLong(if (ci == 0) Undef else addrs(ci - 1))              // left
+        b.putLong(if (ci == nChunks - 1) Undef else addrs(ci + 1))    // right
+        b.putLong(prevLast)    // key0: upper bound inherited from the left
+        chunk.foreach { case (addr, lastOff) =>
+          b.putLong(addr); b.putLong(lastOff) // child_i, key_{i+1}
+        }
+        if (chunk.nonEmpty) prevLast = chunk.last._2 // empty group: key0=0
+        val a = buf.append(b.array()) // unused key/child slots stay zeroed
+        require(a == addrs(ci), "B-tree level must be contiguous")
+        (a, prevLast)
       }
-      buf.append(b.array()) // unused key/child slots stay zeroed
+      if (written.size == 1) written.head._1
+      else buildLevel(written, level + 1)
     }
+    val btreeAddr = buildLevel(snods, 0)
 
     // object header: symbol table message + attributes
     val stMsg = {

@@ -108,6 +108,12 @@ object MiniHdf5Reader {
     val entries = bb.getShort(t + 6) & 0xffff
     require(entries <= 2 * internalK, s"B-tree node holds $entries > ${2 * internalK}")
     if (entries == 0) return Map.empty
+    // internal node (level > 0): children are lower B-tree nodes — recurse
+    val level = bb.get(t + 5) & 0xff
+    if (level > 0)
+      return (0 until entries).flatMap { e =>
+        readGroupEntries(bb, bb.getLong(t + 24 + 16 * e + 8), heap)
+      }.toMap
     // heap data segment address from the heap header
     val heapSeg = bb.getLong(heap.toInt + 24)
     (0 until entries).flatMap { e =>
@@ -299,15 +305,65 @@ class Hdf5ReaderSpec extends graft.SparkSpec {
     assert(wide.attrs("empty") == "")
   }
 
-  test("group fan-out beyond one B-tree node is rejected, not corrupted") {
-    val w = new Hdf5Writer
-    import w._
-    val path = Files.createTempFile("graft", ".h5").toString
-    val kids = (0 until 300).map(i => Dataset(f"d$i%03d", I64Data(Array(i.toLong))))
-    val e = intercept[IllegalArgumentException] {
+  test("float/short columns, null-filled array cells, and big int64 statics export") {
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-h5t").toString
+    // a table with the dtypes the accumulator set previously dropped
+    // silently: float scalar (f144 "type": "float"), float and int16
+    // arrays (ad00 dtypes), and a null array cell (da00's null-filled
+    // missing variable — the reference still writes the dataset)
+    val schema = StructType(Seq(
+      StructField("row", LongType, nullable = false),
+      StructField("fval", FloatType, nullable = true),
+      StructField("farr", ArrayType(FloatType), nullable = true),
+      StructField("sarr", ArrayType(ShortType), nullable = true),
+      StructField("darr", ArrayType(DoubleType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, 1.5f, Seq(1f, 2f), Seq(1.toShort, 2.toShort), null),
+      org.apache.spark.sql.Row(1L, 2.5f, Seq(3f, 4f), Seq(3.toShort, 4.toShort),
+        Seq(7.0, 8.0)))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.parquet(s"$out/data/g/data")
+    // an int64 static above 2^53: a Double round-trip would corrupt it
+    val big = 1723802466123456789L
+    Files.writeString(Paths.get(s"$out/manifest.json"),
+      s"""{"groups":[],"links":[],"streams":[],
+         |"statics":[{"path":"entry/big_ts","dtype":"int64","values":$big}]}"""
+        .stripMargin)
+    val h5 = s"$out/t.h5"
+    Hdf5Export.export(spark, out, h5)
+    val g = MiniHdf5Reader.read(h5).groups("g")
+    assert(g.groups("fval").datasets("").asInstanceOf[Array[Float]].toSeq ==
+      Seq(1.5f, 2.5f))
+    assert(g.groups("farr").datasets("").asInstanceOf[Array[Float]].toSeq ==
+      Seq(1f, 2f, 3f, 4f))
+    assert(g.groups("sarr").datasets("").asInstanceOf[Array[Short]].toSeq ==
+      Seq(1, 2, 3, 4).map(_.toShort))
+    val darr = g.groups("darr").datasets("").asInstanceOf[Array[Double]]
+    assert(darr.length == 4 && darr(0).isNaN && darr(1).isNaN &&
+      darr(2) == 7.0 && darr(3) == 8.0,
+      s"null cell must fill, not drop the dataset: ${darr.toSeq}")
+    assert(MiniHdf5Reader.read(h5).groups("entry").groups("big_ts")
+      .datasets("").asInstanceOf[Array[Long]].toSeq == Seq(big))
+  }
+
+  test("group fan-out beyond one B-tree node builds a multi-level tree") {
+    // 300 children > 2·internal_k · 2·leaf_k = 256 forces a level-1
+    // internal node over sibling-linked leaves (a reference-scale
+    // instrument group with hundreds of PV streams); 9000 forces a
+    // second internal level. All names and values must survive.
+    for (n <- Seq(300, 9000)) {
+      val w = new Hdf5Writer
+      import w._
+      val path = Files.createTempFile("graft", ".h5").toString
+      val kids = (0 until n).map(i => Dataset(f"d$i%04d", I64Data(Array(i.toLong))))
       w.write(path, Seq(Group("huge", kids)))
+      val huge = MiniHdf5Reader.read(path).groups("huge")
+      assert(huge.groups.keySet == (0 until n).map(i => f"d$i%04d").toSet)
+      for (i <- Seq(0, 1, n / 2, n - 2, n - 1))
+        assert(huge.groups(f"d$i%04d").datasets("")
+          .asInstanceOf[Array[Long]].toSeq == Seq(i.toLong))
     }
-    assert(e.getMessage.contains("fan-out"))
   }
 
   test("files larger than the channel staging buffer round-trip " +
