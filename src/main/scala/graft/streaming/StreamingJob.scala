@@ -227,7 +227,7 @@ class StreamingJob(
     * points reproduces the uninterrupted run's sink — is checkable at each
     * window, not just between triggers. A no-op in production.
     */
-  private[streaming] var crashHook: String => Unit = _ => ()
+  private[graft] var crashHook: String => Unit = _ => ()
 
   /** Per-trigger queries are tiny and fixed-shape (scalar aggregates, one
     * module transform, one append per table); AQE re-plans each into

@@ -69,6 +69,50 @@ class MasterSpec extends SparkSpec {
   private def encodeStop(jobId: String, stopMs: Long) =
     RunStop(stopMs, "run", jobId, "svc-1", UUID.randomUUID().toString)
 
+  test("wrdn tells the truth: job path, native .h5, errors, crash resilience") {
+    val master = newMaster()
+    val jobId  = UUID.randomUUID().toString
+    master.handle(encodeRunStart(RunStart(10000, 15000, "run", "instr",
+      template, jobId, "svc-1", "run7.nxs", "ctrl")))
+    val job = master.currentJob.get
+    job.processBatch("f144",
+      Seq(F144Msg("tp", "speed", 0, 10100, 10100000000L, 10.0)).toDF())
+    val fin = decodeFinished(
+      master.handle(encodeRunStop(encodeStop(jobId, 0))).head.payload)
+      .toOption.get
+    // file_name names THIS job's output, not the shared root
+    assert(fin.fileName == job.outDir && fin.fileName.endsWith("/run7.nxs"))
+    assert(!fin.error)
+    // the native artifact the reference workflow names exists by default
+    assert(Files.exists(java.nio.file.Paths.get(s"${job.outDir}/run7.nxs")),
+      "service-mode finish must emit the native .h5")
+
+    // a crash inside finish() must still idle the service and REPORT it
+    val m2 = newMaster()
+    val j2 = UUID.randomUUID().toString
+    m2.handle(encodeRunStart(RunStart(10000, 15000, "run", "instr",
+      template, j2, "svc-1", "run8.nxs", "ctrl")))
+    val job2 = m2.currentJob.get
+    job2.processBatch("f144",
+      Seq(F144Msg("tp", "speed", 0, 10100, 10100000000L, 1.0)).toDF())
+    job2.crashHook = p => if (p == "finish:seeded") throw new RuntimeException("boom")
+    val fin2 = decodeFinished(
+      m2.handle(encodeRunStop(encodeStop(j2, 0))).head.payload).toOption.get
+    assert(fin2.error, "a finish failure must surface as error_encountered")
+    assert(fin2.message.contains("boom"))
+    assert(m2.currentState == m2.Idle, "the service must not stay stuck in Writing")
+  }
+
+  test("6s4t failure answers echo the command's own command id") {
+    val master = newMaster()
+    val stop = encodeStop(UUID.randomUUID().toString, 0) // nothing writing
+    val answ = decodeAnswer(
+      master.handle(encodeRunStop(stop)).head.payload).toOption.get
+    assert(!answ.success)
+    assert(answ.commandId == stop.commandId,
+      s"failure answer must correlate by command id, got ${answ.commandId}")
+  }
+
   test("6s4t updates the running job's stop time") {
     val master = newMaster()
     val jobId  = UUID.randomUUID().toString
