@@ -30,6 +30,20 @@ case class ArrayMinAgg(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean  = true
 
+  /** Fail at ANALYSIS for non-long-array inputs: the zip_with lambda
+    * variables are LongType, so a string array would otherwise pass
+    * analysis and ClassCastException mid-task.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_min_agg: expected array<bigint>, got ${other.sql}")
+    }
+
   private lazy val buf = AttributeReference("buf", dataType)()
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)

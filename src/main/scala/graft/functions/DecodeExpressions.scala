@@ -70,11 +70,17 @@ object Decode {
           // name=0, packet_timestamp=6 (se00_Extractor.cpp:31-39)
           (r.field(root, 0), at(r, root, 6))
         case "ev44" =>
+          // element 0 only — i64Vector would copy the WHOLE reference_time
+          // array per message just to read its head (same below for tdct's
+          // chopper timestamps); bounds violations on corrupt input still
+          // land in the NotValidFlatbuffer catch
           val rt = r.field(root, 2)
-          (r.field(root, 0), if (rt < 0 || r.vectorLen(rt) == 0) 0L else r.i64Vector(rt)(0))
+          (r.field(root, 0),
+            if (rt < 0 || r.vectorLen(rt) == 0) 0L else r.i64(r.vectorBase(rt)))
         case "tdct" =>
           val tv = r.field(root, 1)
-          (r.field(root, 0), if (tv < 0 || r.vectorLen(tv) == 0) 0L else r.i64Vector(tv)(0))
+          (r.field(root, 0),
+            if (tv < 0 || r.vectorLen(tv) == 0) 0L else r.i64(r.vectorBase(tv)))
         case _ => return err("UnknownFlatbufferID")
       }
       if (ts == 0L) return err("ZeroTimestamp")
@@ -114,8 +120,9 @@ object Decode {
 
   /** f144 eval body — static for the generated call. */
   def f144Eval(bytes: Array[Byte]): InternalRow = {
-    if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "f144") return null
-    val r    = new Reader(bytes)
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes) // ONE reader per row (the sibling decoders' form)
+    if (r.fileIdentifier != "f144") return null
     val root = r.rootTable
     try {
       val src    = r.field(root, 0)
@@ -174,8 +181,9 @@ object Decode {
 
   /** ev44 eval body — static for the generated call. */
   def ev44Eval(bytes: Array[Byte]): InternalRow = {
-    if (bytes.length < 8 || new Reader(bytes).fileIdentifier != "ev44") return null
-    val r    = new Reader(bytes)
+    if (bytes.length < 8) return null
+    val r = new Reader(bytes) // ONE reader per row (the sibling decoders' form)
+    if (r.fileIdentifier != "ev44") return null
     val root = r.rootTable
     try {
       def longs(id: Int): ArrayData = {

@@ -74,6 +74,10 @@ object MinHashSigs {
     val md   = mdPool.get()
     var i    = 0
     while (i < arr.numElements()) {
+      // null shingles skip, matching the transform+array_min column form
+      // (which maps null → null hash and array_min ignores it)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val s = arr.getUTF8String(i)
       md.reset()
       val digest = md.digest(s.getBytes)
@@ -87,6 +91,7 @@ object MinHashSigs {
         k += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }

@@ -48,7 +48,33 @@ object RollingMod {
     * at plan time.
     */
   def windowPolyEval(input: ArrayData, width: Int, topW: Long): ArrayData = {
-    val B  = WindowPolyHash.WindowBase
+    val B = WindowPolyHash.WindowBase
+    // null element hashes (a null token) have NO defined gram hash: a
+    // window covering one emits null (the transform-form semantics) —
+    // toLongArray would unbox null to 0 and silently corrupt the gram
+    val m = input.numElements()
+    var hasNull = false
+    var c = 0
+    while (c < m && !hasNull) { hasNull = input.isNullAt(c); c += 1 }
+    if (hasNull) {
+      val n = m - width + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) { // rare path: only null-containing rows pay O(n·w)
+        var ok = true
+        var h  = 0L
+        var k  = j
+        while (k < j + width && ok) {
+          if (input.isNullAt(k)) ok = false
+          else { h = mulMod(h, B) + input.getLong(k); if (h >= Mod) h -= Mod }
+          k += 1
+        }
+        out(j) = if (ok) java.lang.Long.valueOf(h) else null
+        j += 1
+      }
+      return new GenericArrayData(out)
+    }
     val xs = input.toLongArray()
     val n  = xs.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])

@@ -37,6 +37,18 @@ case class TopKStructs(
 
   require(k > 0, s"top_k_structs: k must be positive, got $k")
 
+  /** Fail at ANALYSIS for unorderable inputs (maps): without this the
+    * interpreted-ordering lookup throws mid-task instead.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_structs: input type ${child.dataType.sql} is not orderable")
+
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
 

@@ -135,8 +135,17 @@ object NexusPlan {
           case JObject(fields) => fields.toMap
           case _               => Map.empty[String, JValue]
         }
-        for (src <- str(cfg, "source"); topic <- str(cfg, "topic"))
-          yield Stream(parent, module, src, topic, cfgMap)
+        val stream =
+          for (src <- str(cfg, "source"); topic <- str(cfg, "topic"))
+            yield Stream(parent, module, src, topic, cfgMap)
+        if (stream.isEmpty)
+          // the reference logs per dropped module and continues
+          // (`JobCreator.cpp` extractModuleInformationFromJson); a silent
+          // drop writes nothing for the stream with zero signal
+          System.err.println(
+            s"[graft] stream node '$module' at $parent dropped: " +
+              "config must carry both source and topic")
+        stream
       case None =>
         // group node: "type":"group" (or any named node with children)
         str(jv, "name").map { name =>

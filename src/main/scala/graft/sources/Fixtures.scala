@@ -121,9 +121,17 @@ object Fixtures {
         lng(m \ "timestamp") * 1000000L, num(m \ "value"))
     }
     val ep01 = byId("ep01").map { case (m, t, o) =>
-      val name = strField(m, "connection_status").stripPrefix("ConnectionInfo::")
+      // the reference's file-maker converter maps anything that is not
+      // CONNECTED to DISCONNECTED (`src/FlatBufferGenerators.h:233-239`);
+      // this stub path mirrors the CONVERTER, not the full wire enum —
+      // a NEVER_CONNECTED fixture must compare equal to the reference's
+      // own file-maker output
+      val status: Short =
+        if (strField(m, "connection_status") == "ConnectionInfo::CONNECTED")
+          ConnectionInfo("CONNECTED")
+        else ConnectionInfo("DISCONNECTED")
       Ep01Msg(t, strField(m, "source_name"), o, lng(m \ "kafka_timestamp"),
-        lng(m \ "timestamp") * 1000000L, ConnectionInfo.getOrElse(name, 0))
+        lng(m \ "timestamp") * 1000000L, status)
     }
     val al00 = byId("al00").map { case (m, t, o) =>
       val name = strField(m, "severity").stripPrefix("Severity::")
@@ -133,8 +141,9 @@ object Fixtures {
     }
     val ev44 = byId("ev44").map { case (m, t, o) =>
       val refNs = (m \ "reference_time") match {
-        case JArray(xs) => xs.map(x => lng(x) * 1000000L)
-        case v          => Seq(lng(v) * 1000000L)
+        case JArray(xs)        => xs.map(x => lng(x) * 1000000L)
+        case JNothing | JNull  => Nil // → ts 0: the ZeroTimestamp class
+        case v                 => Seq(lng(v) * 1000000L)
       }
       val rti = (m \ "reference_time_index") match {
         case JArray(xs) => xs.map(x => lng(x).toInt)
@@ -146,8 +155,11 @@ object Fixtures {
         case (_, JArray(xs)) => xs.map(x => lng(x).toInt)
         case _               => Nil
       }
+      // a fixture message with NO reference time is the decode path's
+      // ZeroTimestamp rejection class — classify it (ts = 0, F8 drops
+      // it), never abort the whole fixture file's parse
       Ev44Msg(t, strField(m, "source_name"), o, lng(m \ "kafka_timestamp"),
-        refNs.head, refNs, rti, tof, pix)
+        refNs.headOption.getOrElse(0L), refNs, rti, tof, pix)
     }
     val ad00 = byId("ad00").map { case (m, t, o) =>
       Ad00Msg(t, strField(m, "source_name"), o, lng(m \ "kafka_timestamp"),
