@@ -28,6 +28,12 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // an empty (or all-null-shingle) set has NO signature — the column form
+  // this mirrors (`array_min` over zero hashed shingles) yields null, so
+  // eval returns null rather than an array of Long.MaxValue sentinels
+  // that would make all such documents spuriously identical
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -50,7 +56,8 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
     val aRef = ctx.addReferenceObj("minhashAs", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.functions.MinHashSigs.sigsEval($arr, $aRef, $bRef);")
+      s"""${ev.value} = graft.functions.MinHashSigs.sigsEval($arr, $aRef, $bRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSigs =
@@ -72,12 +79,14 @@ object MinHashSigs {
     val numHashes = as.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md   = mdPool.get()
+    var hashed = false
     var i    = 0
     while (i < arr.numElements()) {
       // null shingles skip, matching the transform+array_min column form
       // (which maps null → null hash and array_min ignores it)
       if (arr.isNullAt(i)) { i += 1 }
       else {
+      hashed = true
       val s = arr.getUTF8String(i)
       md.reset()
       val digest = md.digest(s.getBytes)
@@ -93,7 +102,9 @@ object MinHashSigs {
       i += 1
       }
     }
-    new GenericArrayData(mins)
+    // zero non-null shingles → no signature (null), never an array of
+    // Long.MaxValue that would make all empty documents collide
+    if (!hashed) null else new GenericArrayData(mins)
   }
 
   import org.apache.spark.sql.GraftBridge.{column, expression}

@@ -207,7 +207,14 @@ case class WindowPolyHash(child: Expression, width: Int) extends UnaryExpression
 
   require(width >= 1, s"window width must be >= 1, got $width")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a window covering a null element hash emits a null gram (eval body),
+  // so the element nullability must mirror the child's — declaring
+  // containsNull=false here would let codegen elide null checks and read
+  // the null slot as gram 0, colliding every null-covering window
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _                => ArrayType(LongType, containsNull = true)
+  }
 
   import RollingMod.mulMod
   // B^(width-1) mod M — the weight of the outgoing element

@@ -73,8 +73,14 @@ object Hdf5Export {
           val par   = rel.split('/').dropRight(1).toSeq // strip table name
           val table = rel.split('/').last
           val df    = spark.read.parquet(dir.toString)
+          // at-least-once replay after a crash in the append-committed/
+          // cursor-unsaved window can leave duplicated row ids in the
+          // parquet mirror; finish() dedups them for the meta aggregates,
+          // so the exported datasets must apply the SAME row-id dedup or
+          // the .h5 arrays and num_values/events disagree
           val sorted =
-            if (df.columns.contains("row")) df.orderBy("row") else df
+            if (df.columns.contains("row")) df.dropDuplicates("row").orderBy("row")
+            else df
           val groupKey = par.mkString("/")
           tableColumns(sorted, spill).foreach { case (f, dv) =>
             val unitAttr = units.get(groupKey).flatMap(_.get(f.name))

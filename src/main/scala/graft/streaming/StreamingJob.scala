@@ -765,8 +765,12 @@ class StreamingJob(
           val schema = out0.schema
           if (!graft.sinks.LocalParquet.supports(schema)) None
           else {
-            val maxRows = spark.conf
-              .get("spark.graft.stream.localAppend.maxRows", "128").toLong
+            // clamp to the same 1<<18 ceiling as the fused aggBound: a
+            // huge conf value must not admit an unbounded driver-side
+            // executeCollect, and 4*maxRows must never overflow negative
+            val maxRows = math.min(math.max(spark.conf
+              .get("spark.graft.stream.localAppend.maxRows", "128").toLong, 0L),
+              1L << 18)
             val rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
               out0.queryExecution.optimizedPlan match {
                 case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>

@@ -134,6 +134,66 @@ class HotExprCodegenSpec extends SparkSpec {
     assert(!tight.schema("h").dataType.asInstanceOf[ArrayType].containsNull)
   }
 
+  test("window_poly_hash mirrors the child's element nullability and " +
+    "null-covering windows survive as nulls (never gram 0)") {
+    // nullable-element input: schema must widen to containsNull=true so
+    // downstream codegen (posexplode, groupBy) keeps the null checks —
+    // a containsNull=false claim would read the null slot as gram 0 and
+    // collide every null-covering window on one spurious gram
+    val src = spark.range(1).select(
+      F.array(F.lit(1L), F.lit(null).cast("long"), F.lit(2L), F.lit(3L)).as("xs"))
+    val hashed = src.select(
+      WindowPolyHash.window_poly_hash(F.col("xs"), 2).as("gh"))
+    assert(hashed.schema("gh").dataType.asInstanceOf[ArrayType].containsNull)
+    val gh = hashed.collect().head.getSeq[Any](0)
+    // windows [1,null] and [null,2] cover the null → null grams;
+    // window [2,3] is defined
+    assert(gh.length == 3 && gh(0) == null && gh(1) == null)
+    val b = graft.functions.WindowPolyHash.WindowBase
+    assert(gh(2) == RollingMod.mulMod(2L, b) + 3L)
+    // the null slot must survive a posexplode + groupBy round trip
+    val grams = hashed
+      .select(F.posexplode(F.col("gh")).as(Seq("p", "g")))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(grams.count(_._2 == null) == 2 && !grams.exists(_._2 == 0L))
+    // a null-free child keeps the tight containsNull=false schema
+    val tight = spark.range(1).select(
+      WindowPolyHash.window_poly_hash(
+        TokenHashes.token_hashes(F.split(F.lit("a b c"), " ")), 2).as("gh"))
+    assert(!tight.schema("gh").dataType.asInstanceOf[ArrayType].containsNull)
+  }
+
+  test("minhash_sigs of an empty or all-null shingle set is null, " +
+    "matching the transform+array_min column form") {
+    // column form: array_min over zero hashed shingles yields null per
+    // seed — two empty documents must NOT share a Long.MaxValue sentinel
+    // signature. Both codegen and interpreted paths pin the null.
+    def run(): Array[Row] = spark.range(1).select(
+      MinHashSigs.minhash_sigs(
+        F.array().cast("array<string>"), 4).as("empty"),
+      MinHashSigs.minhash_sigs(
+        F.array(F.lit(null).cast("string"), F.lit(null).cast("string")), 4)
+        .as("allnull"),
+      MinHashSigs.minhash_sigs(
+        F.array(F.lit("x"), F.lit(null).cast("string")), 4).as("mixed"))
+      .collect()
+    def check(rows: Array[Row]): Unit = {
+      val r = rows.head
+      assert(r.isNullAt(0), "empty shingle set must have no signature")
+      assert(r.isNullAt(1), "all-null shingle set must have no signature")
+      val mixed = r.getSeq[Long](2)
+      assert(mixed.length == 4 && !mixed.contains(Long.MaxValue))
+    }
+    check(run())
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check(run())
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("generated and interpreted paths agree on corpus data") {
     // same expressions evaluated with codegen ON vs factory forced OFF
     // (NO_CODEGEN) over real documents — value-identical results

@@ -258,6 +258,52 @@ class RestartMatrixSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 export after a dirty-window replay matches the clean run's " +
+    "export — duplicated mirror rows never reach the .h5") {
+    // the parquet mirror legitimately holds replay duplicates after a
+    // crash in the append-committed/cursor-unsaved window; finish()
+    // dedups them for the meta aggregates, and the EXPORT must apply the
+    // same row-id dedup or the .h5 arrays and num_values/events disagree
+    def exported(out: String): graft.sinks.MiniHdf5Reader.Obj = {
+      val h5 = s"$out/restart.h5"
+      graft.sinks.Hdf5Export.export(spark, out, h5)
+      graft.sinks.MiniHdf5Reader.read(h5)
+    }
+    def speedArrays(root: graft.sinks.MiniHdf5Reader.Obj) = {
+      val g = root.groups("entry").groups("speed")
+      (g.groups("value").datasets("").asInstanceOf[Array[Double]].toSeq,
+        g.groups("time").datasets("").asInstanceOf[Array[Long]].toSeq,
+        root.groups("entry").groups("events")
+          .groups("events_event_time_offset").datasets("")
+          .asInstanceOf[Array[Int]].length)
+    }
+    // clean reference export
+    val cleanOut = tmp()
+    val jc = newJob(cleanOut)
+    batches.foreach(b => jc.processBatch(b.schema, b.df, b.id))
+    jc.finish()
+    val clean = speedArrays(exported(cleanOut))
+    assert(clean._1 == Seq(0.2, 1.0, 2.0, 3.0), "clean export sanity")
+    // dirty run: crash mid-append on the dedup batch, replay everything
+    val out = tmp()
+    val j1 = newJob(out)
+    batches.take(3).foreach(b => j1.processBatch(b.schema, b.df, b.id))
+    armed(j1, "batch:appended")
+    intercept[Crash] {
+      j1.processBatch(batches(3).schema, batches(3).df, batches(3).id)
+    }
+    val j2 = newJob(out)
+    batches.foreach(b => j2.processBatch(b.schema, b.df, b.id))
+    j2.finish()
+    // the mirror really does carry duplicates (the scenario is live) ...
+    val mirror = spark.read.parquet(s"$out/data/entry/speed/data")
+    assert(mirror.count() > mirror.dropDuplicates("row").count(),
+      "scenario must produce replay duplicates in the mirror")
+    // ... but the exported datasets are identical to the clean run's
+    assert(speedArrays(exported(out)) == clean,
+      "exported .h5 must dedup replayed rows like the meta aggregates")
+  }
+
   test("a second finish() after a completed run is a no-op on content") {
     val out = tmp()
     val j1 = newJob(out)
