@@ -115,6 +115,9 @@ class StreamingJob(
         case "write_errors"   => st.writeErrors
         case "finished"       => if (st.finished) 1L else 0L
         case "dedup_slim"     => if (st.lastDedupSlim) 1L else 0L
+        case "appends_fused"   => st.appendsFused
+        case "appends_collect" => st.appendsCollect
+        case "appends_spark"   => st.appendsSpark
         case other            => st.rowsWritten.getOrElse(other, 0L)
       }
     }
@@ -744,7 +747,7 @@ class StreamingJob(
     // Counter updates stay deterministic: outcomes apply in table order
     // AFTER every append returns, under the processBatch monitor.
     final case class Outcome(table: String, n: Long, cueMax: Option[Long],
-      err: Option[String])
+      err: Option[String], path: String = "spark")
     // Driver-side append bypass (see LocalParquet): a Spark write job is
     // ~160 ms of FIXED cost regardless of payload (round-12b), so dense
     // tables whose rows are already in driver memory (ev44's collected
@@ -771,10 +774,11 @@ class StreamingJob(
             val maxRows = math.min(math.max(spark.conf
               .get("spark.graft.stream.localAppend.maxRows", "128").toLong, 0L),
               1L << 18)
-            val rows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+            val rows: Option[(Seq[org.apache.spark.sql.catalyst.InternalRow], String)] =
               out0.queryExecution.optimizedPlan match {
                 case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-                  Some(l.data)
+                  // fused payload / driver-materialized transform: zero jobs
+                  Some((l.data, "fused"))
                 case _ =>
                   // planned row bound: exact for cue grids, msgs for data
                   val bound =
@@ -785,10 +789,10 @@ class StreamingJob(
                   if (bound >= 0 && bound <= maxRows) {
                     val rs = out0.queryExecution.executedPlan.executeCollect()
                     // hint lied badly — let Spark shape the files instead
-                    if (rs.length > 4 * maxRows) None else Some(rs.toSeq)
+                    if (rs.length > 4 * maxRows) None else Some((rs.toSeq, "collect"))
                   } else None
               }
-            rows.map { rs =>
+            rows.map { case (rs, path) =>
               val rowIdx = schema.fieldIndex("row")
               val sorted = rs.sortBy(_.getLong(rowIdx))
               // the Outcome is FULLY computed before the write commits:
@@ -800,7 +804,7 @@ class StreamingJob(
                   val ci = schema.fieldIndex("cue_index")
                   Some(sorted.iterator.map(_.getLong(ci)).max)
                 } else None
-              val outcome = Outcome(table, sorted.size.toLong, mx, None)
+              val outcome = Outcome(table, sorted.size.toLong, mx, None, path)
               sink.appendLocal(key, table, schema, sorted)
               outcome
             }
@@ -929,6 +933,11 @@ class StreamingJob(
         ps.map(Await.result(_, Duration.Inf))
       }
     outcomes.foreach { oc =>
+      if (oc.err.isEmpty) oc.path match {
+        case "fused"   => state.appendsFused += 1
+        case "collect" => state.appendsCollect += 1
+        case _         => state.appendsSpark += 1
+      }
       oc.err match {
         case Some(msg) =>
           state.writeErrors += 1
@@ -1021,6 +1030,17 @@ object StreamingJob {
       var writeErrors: Long = 0L,
       var lastCue: Long = 0L
   ) {
+    /** Cumulative append-path counters (observability: at production the
+      * difference between the fused/local and distributed paths is the
+      * difference between 1 and 5 Spark jobs per trigger, so the band
+      * decision must be visible in x5f2, like `dedup_slim`): appends
+      * served from a fused LocalRelation payload (zero jobs), from the
+      * bounded driver collect (one light collect), and from a Spark
+      * write job (the distributed path).
+      */
+    var appendsFused: Long = 0L
+    var appendsCollect: Long = 0L
+    var appendsSpark: Long = 0L
     /** Previous trigger's in-window payload byte estimate (elements × 8),
       * feeding the auto dedup-form choice; −1 = no history. Transient —
       * deliberately NOT in the state checkpoint (a heuristic hint, and

@@ -426,6 +426,14 @@ class StreamingJobSpec extends SparkSpec {
       }
       assert(jobs == 1, s"steady-state tiny trigger should be 1 job, saw $jobs")
     } finally spark.sparkContext.removeSparkListener(l)
+    // the band decision is observable: trigger 2's data+cue appends were
+    // served from the fused LocalRelation payload (x5f2 appends_fused)
+    assert(job.counter("entry/speed", "appends_fused") == 2L,
+      "fused trigger must count its data and cue appends as fused")
+    // the arming trigger (no fused payload yet, but tiny) was served by
+    // the bounded driver collect — also visible
+    assert(job.counter("entry/speed", "appends_collect") >= 1L,
+      "the arming trigger's appends ran via the bounded collect")
     job.finish()
     val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
     assert(d.select("value").collect().map(_.getDouble(0)).toSeq ==
@@ -459,7 +467,12 @@ class StreamingJobSpec extends SparkSpec {
     try {
       job.processBatch("f144", msgs(0, 2))   // tiny → arms the gate
       job.processBatch("f144", msgs(2, 100)) // burst: 100 > 4×4 → overflow
+      assert(job.counter("entry/speed", "appends_spark") >= 1L,
+        "the 100-row burst (> 4x4 overflow) must count as a distributed append")
+      val collectBefore = job.counter("entry/speed", "appends_collect")
       job.processBatch("f144", msgs(102, 2)) // gate off (last was 100) → frame path
+      assert(job.counter("entry/speed", "appends_collect") > collectBefore,
+        "the gate-off tiny trigger is served by the bounded collect")
     } finally spark.conf.unset("spark.graft.stream.localAppend.maxRows")
     job.finish()
     val d = spark.read.parquet(s"$out/data/entry/speed/data").orderBy("row")
@@ -484,6 +497,14 @@ class StreamingJobSpec extends SparkSpec {
     assert(byName("kafka-to-nexus.host_example_org.entry.speed.events_written") == 0L)
     assert(byName("kafka-to-nexus.host_example_org.entry.events.events_written") == 3L)
     assert(byName.keys.exists(_.endsWith(".write_errors")))
+    // the append-path band decision rides the same surface (fused /
+    // bounded-collect / distributed — at production the 1-job-vs-5-jobs
+    // difference per trigger)
+    Seq("appends_fused", "appends_collect", "appends_spark").foreach { c =>
+      assert(byName.contains(s"kafka-to-nexus.host_example_org.entry.speed.$c"),
+        s"$c missing from the push-metrics surface")
+    }
+    assert(byName("kafka-to-nexus.host_example_org.entry.speed.appends_collect") >= 1L)
 
     // values are pulled at report time: a later batch moves the counter
     job.processBatch("ev44", Seq(ev44(1, 10200, Seq(4, 5))).toDF())
