@@ -55,6 +55,32 @@ object StreamQueries {
       StreamKernel.windowWithBuffer(base, Seq("user_id"), "event_id", "ts_us", StartUs, StopUs)
     },
 
+    // F3+F4 over MULTI-ROW messages — the da00 shape: one message
+    // explodes to one row per variable BEFORE the kernel runs (the da00
+    // adapter's layout), so consecutive dedup must drop/keep whole
+    // messages and the pre-start buffered pick must keep ALL rows of the
+    // max-(ts, offset) message (`dense_rank`, the round-13 message-grain
+    // rework) — the exact bug class row-grain `lag`/`row_number` forms
+    // silently corrupt (`src/WriterModule/da00/da00_Writer.cpp` messages
+    // carry every configured variable).
+    "f3f4_da00_multirow" -> { (s, dir) =>
+      val msgs = ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          expr("ts div 60000000000").as("ts_min"), col("value"),
+          explode(array(
+            struct(lit("a").as("vname"), col("value").as("elem")),
+            struct(lit("b").as("vname"), (col("value") + 100.0).as("elem")))).as("v"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("ts_min"),
+          col("v.vname").as("vname"), col("v.elem").as("elem"))
+      val deduped = StreamKernel
+        .dedupConsecutive(msgs, Seq("user_id"), "event_id", "ts_min")
+      StreamKernel
+        .windowWithBuffer(deduped, Seq("user_id"), "event_id", "ts_us",
+          StartUs, StopUs)
+        .select("event_id", "user_id", "ts_us", "vname", "elem", "is_buffered")
+    },
+
     // F5+F7 — per-stream health: out-of-order ts + offset gaps
     // (src/Stream/SourceFilter.cpp:96-98, src/Stream/Partition.cpp:226-230).
     "f5f7_stream_health" -> ((s, dir) =>
@@ -357,6 +383,30 @@ object StreamQueries {
         |  CAST(i AS INTEGER) AS pos, value + i * 0.5 AS sample,
         |  epoch_us(ts) + i * 1000 AS sample_ts_us
         |FROM events, generate_series(0, 2) AS t(i)""".stripMargin,
+    "f3f4_da00_multirow" ->
+      s"""WITH msgs AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |         epoch_us(ts) // 60000000 AS ts_min, value FROM events),
+         |-- message-grain consecutive dedup at minute grain
+         |ded AS (
+         |  SELECT * FROM (
+         |    SELECT *, lag(ts_min) OVER (PARTITION BY user_id
+         |                                ORDER BY event_id) AS prev
+         |    FROM msgs) WHERE prev IS NULL OR prev <> ts_min),
+         |cut AS (SELECT *, min(CASE WHEN ts_us > $StopUs THEN event_id END)
+         |                  OVER (PARTITION BY user_id) AS cutoff FROM ded),
+         |live AS (SELECT * FROM cut WHERE cutoff IS NULL OR event_id < cutoff),
+         |kept AS (
+         |  SELECT event_id, user_id, ts_us, value, false AS is_buffered
+         |  FROM live WHERE ts_us BETWEEN $StartUs AND $StopUs
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts_us, value, true AS is_buffered FROM (
+         |    SELECT *, dense_rank() OVER (PARTITION BY user_id
+         |                 ORDER BY ts_us DESC, event_id DESC) AS rn
+         |    FROM live WHERE ts_us < $StartUs) WHERE rn = 1)
+         |SELECT event_id, user_id, ts_us, t.vname, value + t.a AS elem,
+         |       is_buffered
+         |FROM kept CROSS JOIN (VALUES ('a', 0.0), ('b', 100.0)) AS t(vname, a)""".stripMargin,
     "d2_ad00_roundtrip" ->
       """SELECT event_id, 'cam-' || CAST(user_id AS VARCHAR) AS source_name,
         |  epoch_us(ts) AS ts_us, 'float64' AS data_type,
