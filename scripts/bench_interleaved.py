@@ -124,8 +124,11 @@ def main():
         ("head", "target/scala-2.13/classes"),
     ]
     for i in range(args.legs):
-        # strict A/B/A/B alternation: both binaries sample every load phase
-        for side, classes in sides:
+        # ABBA ordering: under monotone host drift a strict A-then-B pair
+        # systematically favors B (it always runs half a leg later);
+        # alternating the within-pair order cancels the first-order bias
+        order = sides if i % 2 == 0 else list(reversed(sides))
+        for side, classes in order:
             out = f"/tmp/graft_ab_{side}_{i}.json"
             legs[side].append(bench_leg(classes, args.sf, out, anchors,
                                         f"{side} {i + 1}/{args.legs}"))
