@@ -79,9 +79,19 @@ object PrefixSum {
       .agg(sum(col(valueCol)).as("__chunk_total"))
       .withColumn("__carry_in",
         coalesce(sum(col("__chunk_total")).over(wStitch), lit(0L)))
-      .select((col("__pid") +: keyCols.map(col)) :+ col("__carry_in"): _*)
-    local.join(offsets, "__pid" +: keyCols)
+      .select(Seq(col("__pid").as("__opid")) ++
+        keyCols.map(k => col(k).as(s"__ok_$k")) :+ col("__carry_in"): _*)
+    // NULL-SAFE key equality: the single-window form groups a null key
+    // into its own partition (Window.partitionBy groups nulls), so the
+    // stitch must carry across its chunks too — a plain USING equi-join
+    // never matches null keys, losing the carry AND (being inner)
+    // dropping the null-key rows from the output entirely
+    val joinCond = keyCols.foldLeft(col("__pid") === col("__opid")) {
+      (acc, k) => acc && (col(k) <=> col(s"__ok_$k"))
+    }
+    local.join(offsets, joinCond)
       .withColumn(outCol, col(outCol) + col("__carry_in"))
-      .drop("__pid", "__carry_in")
+      .drop(Seq("__pid", "__opid", "__carry_in") ++
+        keyCols.map(k => s"__ok_$k"): _*)
   }
 }

@@ -28,6 +28,25 @@ class PrefixSumSpec extends SparkSpec {
     assert(out.size == 10003)
   }
 
+  test("null keys keep their rows and their carry (the single-window form " +
+    "groups nulls into a partition; the stitch join must be null-safe)") {
+    // a null key with enough rows to span chunks: a plain USING equi-join
+    // back from the offsets frame never matches the null key — losing the
+    // carry and, being inner, dropping the rows entirely
+    val rows = (0 until 500).map(i => (Option.empty[String], f"$i%06d", 1L)) ++
+      (0 until 500).map(i => (Some("k1"), f"$i%06d", 2L))
+    val df = rows.toDF("k", "ord", "v").repartition(8)
+    val out = PrefixSum.runningSumExclusive(df, Seq("k"), Seq("ord"), "v", "cum", 16)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(out.size == 1000, "null-key rows must survive the stitch join")
+    assert(out((None, "000000")) == 0L)
+    (1 until 500 by 97).foreach { i =>
+      assert(out((None, f"$i%06d")) == i.toLong, s"null-key row $i carry")
+    }
+    assert(out((Some("k1"), "000499")) == 998L)
+  }
+
   test("rejects non-integral value columns (re-grouped double sums drift)") {
     val df = Seq(("a", "x", 1.5)).toDF("k", "ord", "v")
     intercept[IllegalArgumentException] {
