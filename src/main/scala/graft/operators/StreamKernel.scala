@@ -90,9 +90,16 @@ object StreamKernel {
         .withColumn("__prev_ts", prev)
         .filter(col("__prev_ts").isNotNull &&
           (col(tsCol).isNull || col("__prev_ts") === col(tsCol)))
-        .select(keyCols.map(col): _*)
-        .dropDuplicates(keyCols)
-      df.join(drops, keyCols, "left_anti")
+        .select(keyCols.map(k => col(k).as(s"__d_$k")): _*)
+        .dropDuplicates(keyCols.map(k => s"__d_$k"))
+      // NULL-SAFE anti-join: the window form partitions a null source key
+      // into its own stream, so its consecutive repeats DO drop — a plain
+      // USING anti-join would never match the null key's drop rows and
+      // silently keep them, diverging from the default form
+      val joinCond = keyCols
+        .map(k => col(k) <=> col(s"__d_$k"))
+        .reduce(_ && _)
+      df.join(drops, joinCond, "left_anti")
     }
 
   /** F2 + F3 + F6 — time-window filter with last-value-before-start

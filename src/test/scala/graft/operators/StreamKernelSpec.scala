@@ -128,6 +128,24 @@ class StreamKernelSpec extends SparkSpec {
     assert(win == slim, s"window=$win slim=$slim")
     // and the fixture actually exercises drops (not all-kept)
     assert(win.size < df.count())
+
+    // a NULL source key is its own stream in the window form (partitionBy
+    // groups nulls): its consecutive repeats must drop in the slim form
+    // too — a plain USING anti-join would never match them
+    val nullSrc = Seq(
+      (Option.empty[String], 0L, Some(100L), 1.0),
+      (Option.empty[String], 1L, Some(100L), 2.0),
+      (Option.empty[String], 2L, Some(300L), 3.0),
+      (Some("s"), 0L, Some(100L), 4.0)
+    ).toDF("source", "offset", "ts", "value")
+    val winN = StreamKernel
+      .dedupConsecutive(nullSrc, Seq("source"), "offset", "ts")
+      .orderBy("source", "offset").collect().toSeq
+    val slimN = StreamKernel
+      .dedupConsecutive(nullSrc, Seq("source"), "offset", "ts", slimPayload = true)
+      .orderBy("source", "offset").collect().toSeq
+    assert(winN == slimN, s"null-source: window=$winN slim=$slimN")
+    assert(winN.size == 3, "the null stream's adjacent repeat must drop")
   }
 
   test("dedup with acceptRepeats=true (ev44) keeps everything") {
