@@ -357,7 +357,13 @@ object MultimodalOps {
         case Some(w) if w.samples.length < w.channels => a
         case Some(w) =>
           val frames    = w.samples.length / w.channels
-          val outFrames = math.max(1, (frames.toLong * targetRate / w.sampleRate).toInt)
+          val outFramesL = math.max(1L, frames.toLong * targetRate / w.sampleRate)
+          // an extreme upsample ratio can push the output past Int array
+          // bounds — errors are data: pass the clip through untouched
+          // rather than wrap the size math
+          if (outFramesL * w.channels > (Int.MaxValue - 64) / 2) a
+          else {
+          val outFrames = outFramesL.toInt
           val out       = new Array[Short](outFrames * w.channels)
           var i = 0
           while (i < outFrames) {
@@ -370,6 +376,7 @@ object MultimodalOps {
             i += 1
           }
           Asset(a.id, "audio/wav", encodeWav(WavAudio(targetRate, w.channels, out)))
+          }
       }
     }
   }
@@ -380,7 +387,8 @@ object MultimodalOps {
     */
   def ppmResize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
-    require(w > 0 && h > 0)
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 64,
+      s"target raster $w x $h exceeds array bounds")
     assets.map { a =>
       decodePpm(a.content) match {
         case None => a
