@@ -93,6 +93,9 @@ object Bench {
     // A/B the reuse-pin storage (Reuse.ConfKey): SPARK_GRAFT_REUSE=checkpoint
     sys.env.get("SPARK_GRAFT_REUSE")
       .foreach(m => spark.conf.set(graft.operators.Reuse.ConfKey, m))
+    // A/B the scan fanout (Graft.FanoutConfKey): SPARK_GRAFT_FANOUT=off
+    sys.env.get("SPARK_GRAFT_FANOUT")
+      .foreach(m => spark.conf.set(graft.core.Graft.FanoutConfKey, m))
 
     val meter = new ByteMeter
     spark.sparkContext.addSparkListener(meter)

@@ -37,11 +37,80 @@ object Graft {
   /** Read one of the driver-provided parquet tables. Defensively sets the
     * nanos-as-long flag so this also works on sessions the harness created
     * without [[session]] (the flag is dynamic SQLConf).
+    *
+    * The read is wrapped by [[scanFanout]]: when the file layout caps scan
+    * parallelism far below the session's cores (the single-file,
+    * single-row-group testdata shape — a parquet row group is the atomic
+    * split unit, so no `maxPartitionBytes` setting can parallelize it), a
+    * round-robin repartition fans the rows out so the map-side work
+    * (tokenize/explode/decode/partial-agg) uses the machine instead of one
+    * core. Scale-adaptive, not a local constant: the fanout only fires
+    * when the estimated scan-task count is below the session parallelism,
+    * which a corpus-sized input never is — at 100 TB the read plans
+    * thousands of splits and this is the identity function.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    scanFanout(spark, spark.read.parquet(s"$dir/$name.parquet"),
+      s"$dir/$name.parquet")
   }
+
+  /** Fanout policy conf: `auto` (default) | `off`. */
+  val FanoutConfKey = "spark.graft.scan.fanout"
+
+  /** Minimum compressed input bytes funding one fanned-out task (conf:
+    * `spark.graft.scan.fanout.minBytesPerTask`, default 16 KiB — parquet
+    * decompresses ~4×, so a task gets ≥ ~64 KiB of rows to chew on;
+    * below that the per-task overhead outweighs the parallelism).
+    */
+  val FanoutMinBytesKey = "spark.graft.scan.fanout.minBytesPerTask"
+
+  // per-path listing cache: the suite re-reads each table thousands of
+  // times and HDFS-API listing, while cheap locally, is a remote call on
+  // a real cluster
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Round-robin fanout of a scan whose file layout under-parallelizes
+    * (see [[table]]). Row-count-preserving and deterministic (Spark sorts
+    * before round-robin repartition — SPARK-23207), so results are
+    * unchanged for the partition-order-independent query surface; filters
+    * still reach the parquet scan because the optimizer pushes predicates
+    * through Repartition (verified in the `plans/r14` after-files:
+    * PushedFilters unchanged vs the un-fanned plans).
+    */
+  private def scanFanout(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val mode = spark.conf.get(FanoutConfKey, "auto")
+    if (mode == "off") return df
+    val bytes = sizeCache.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getContentSummary(hp).getLength catch { case _: Throwable => 0L }
+    })
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes =
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong
+    // what the scan will plan on its own (files.maxPartitionBytes splits;
+    // row groups may make even this an over-estimate, never an under-)
+    val plannedScanTasks = math.max(1L, (bytes + maxPartitionBytes - 1) / maxPartitionBytes)
+    if (plannedScanTasks >= cores) return df // cluster regime: scan already parallel
+    val minBytesPerTask = spark.conf.get(FanoutMinBytesKey, "16384").toLong
+    // auto cap = cores / divisor (default 4), NOT all cores: contract
+    // queries hang several independent branches off one table and AQE
+    // runs those query stages CONCURRENTLY, so a per-stage width of
+    // cores/4 already saturates the machine while full-width stages
+    // oversubscribe it — measured on a 14-query subset (min-of-5 each,
+    // same window): width 8 = 18.5 s, 16 = 19.4 s, 32 = 22.6 s,
+    // no fanout = 24.3 s on 32 cores.
+    val divisor = spark.conf.get(FanoutDivisorKey, "4").toInt
+    val cap = if (mode == "auto") math.max(2L, (cores / divisor).toLong)
+              else mode.toLong // explicit width for A/B probes
+    val target = math.min(cap, bytes / math.max(1L, minBytesPerTask)).toInt
+    if (target <= plannedScanTasks) df else df.repartition(target)
+  }
+
+  /** Fanout width divisor for `auto` (conf, default 4): cap = cores/divisor. */
+  val FanoutDivisorKey = "spark.graft.scan.fanout.divisor"
 
   /** The events table with `ts` normalized to the engine's i64 ns-since-epoch
     * contract (the reference's timestamp model,
