@@ -2004,8 +2004,17 @@ object DocQueries {
     * order-independent (bit-stable across partitionings and engines).
     */
   def lmScore(d: DataFrame, keepAtMost: Double): DataFrame = {
+    // isNotNull(doc_id) is stated EXPLICITLY (it is vacuous — doc_id is
+    // the table key): consumers that join the score on doc_id push the
+    // same predicate into ONLY the tf-side subtree, leaving the corpus
+    // count branch one filter apart — canonically unequal, so the tf
+    // exchange stopped reusing and the whole gram pipeline executed
+    // TWICE (measured: the two 712k-record gram stages in the r14
+    // lm_quality_buckets profile). With the filter stated on the shared
+    // base, both branches are identical and AQE's ReusedExchange
+    // collapses the second pass.
     val base = d.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 3)
+      .filter(length(col("text")) >= 3 && col("doc_id").isNotNull)
     // grams as packed byte codes from ONE native pass
     // ([[graft.functions.CharGramCodes]]) — injective for width 3, so
     // grouping by code ≡ grouping by the gram string, with 8-byte
