@@ -38,7 +38,31 @@ object Graft {
     * nanos-as-long flag so this also works on sessions the harness created
     * without [[session]] (the flag is dynamic SQLConf).
     *
-    * The read is wrapped by [[scanFanout]]: when the file layout caps scan
+    * Plain read — NO scan fanout. The r14 round fanned out EVERY table
+    * read here and the suite-wide A/B showed the policy is only a win for
+    * operators with expensive per-row map work (tokenize / n-gram explode
+    * / flatbuffer decode / vector distance): 68 such queries gained
+    * 1.1-4.6×, while 83 scan-light queries (plain aggregates, projections,
+    * window stats) paid a 10-150% round-robin-exchange tax. Whether the
+    * fanout pays is a property of the OPERATOR, not of the table or its
+    * size, so the map-heavy call sites opt in explicitly via
+    * [[fannedTable]] / [[documentsFanned]] / [[embeddingsFanned]] /
+    * [[eventsFanned]] and everything else reads plain.
+    * `spark.graft.scan.fanout=all` restores the r14 fan-everything policy
+    * for A/B probes.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = rawTable(spark, dir, name)
+    if (fanoutMode(spark) == "all") scanFanout(spark, df, s"$dir/$name.parquet")
+    else df
+  }
+
+  private def rawTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** [[table]] wrapped by [[scanFanout]]: when the file layout caps scan
     * parallelism far below the session's cores (the single-file,
     * single-row-group testdata shape — a parquet row group is the atomic
     * split unit, so no `maxPartitionBytes` setting can parallelize it), a
@@ -47,16 +71,35 @@ object Graft {
     * core. Scale-adaptive, not a local constant: the fanout only fires
     * when the estimated scan-task count is below the session parallelism,
     * which a corpus-sized input never is — at 100 TB the read plans
-    * thousands of splits and this is the identity function.
+    * thousands of splits and this is the identity function. Opt-in per
+    * call site: only operators whose per-row work funds the exchange
+    * should read through this (see [[table]]).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scanFanout(spark, spark.read.parquet(s"$dir/$name.parquet"),
-      s"$dir/$name.parquet")
-  }
+  def fannedTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    scanFanout(spark, rawTable(spark, dir, name), s"$dir/$name.parquet")
 
-  /** Fanout policy conf: `auto` (default) | `off`. */
+  /** Fanout policy conf: `auto` (default — fan out at the opt-in call
+    * sites) | `off` (never fan) | `all` (fan EVERY table read — the r14
+    * policy, kept for A/B probes) | a positive integer (explicit fanout
+    * width at the opt-in sites, for width sweeps). Any other value is
+    * reported once and treated as `auto`.
+    */
   val FanoutConfKey = "spark.graft.scan.fanout"
+
+  private val badModeWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def fanoutMode(spark: SparkSession): String = {
+    val raw = spark.conf.get(FanoutConfKey, "auto")
+    raw match {
+      case "auto" | "off" | "all" => raw
+      case n if n.nonEmpty && n.forall(_.isDigit) => raw
+      case other =>
+        if (badModeWarned.add(other))
+          System.err.println(
+            s"[graft] $FanoutConfKey='$other' is not auto|off|all|<width>; treating as auto")
+        "auto"
+    }
+  }
 
   /** Minimum compressed input bytes funding one fanned-out task (conf:
     * `spark.graft.scan.fanout.minBytesPerTask`, default 16 KiB — parquet
@@ -67,29 +110,34 @@ object Graft {
 
   // per-path listing cache: the suite re-reads each table thousands of
   // times and HDFS-API listing, while cheap locally, is a remote call on
-  // a real cluster
+  // a real cluster. Keyed by path alone — table inputs are assumed
+  // immutable for the session (the driver testdata is; a rewrite at a
+  // different size would only make the fanout-width heuristic stale,
+  // never the results).
   private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Round-robin fanout of a scan whose file layout under-parallelizes
-    * (see [[table]]). Row-count-preserving and deterministic (Spark sorts
-    * before round-robin repartition — SPARK-23207), so results are
+    * (see [[fannedTable]]). Row-count-preserving and deterministic (Spark
+    * sorts before round-robin repartition — SPARK-23207), so results are
     * unchanged for the partition-order-independent query surface; filters
     * still reach the parquet scan because the optimizer pushes predicates
-    * through Repartition (verified in the `plans/r14` after-files:
-    * PushedFilters unchanged vs the un-fanned plans).
+    * through Repartition (spec'd in ScanFanoutSpec "filters still push to
+    * the parquet scan", and visible in the committed `plans/r15`
+    * after-files: PushedFilters unchanged vs the un-fanned plans).
     */
   private def scanFanout(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val mode = spark.conf.get(FanoutConfKey, "auto")
+    val mode = fanoutMode(spark)
     if (mode == "off") return df
     val bytes = sizeCache.computeIfAbsent(path, p => {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try fs.getContentSummary(hp).getLength catch { case _: Throwable => 0L }
+      try fs.getContentSummary(hp).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
     })
     val cores = spark.sparkContext.defaultParallelism
-    val maxPartitionBytes =
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .stripSuffix("b").toLong
+    // Spark's own byte-suffix parser: handles "134217728", "128m", "128MB"
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     // what the scan will plan on its own (files.maxPartitionBytes splits;
     // row groups may make even this an over-estimate, never an under-)
     val plannedScanTasks = math.max(1L, (bytes + maxPartitionBytes - 1) / maxPartitionBytes)
@@ -103,7 +151,7 @@ object Graft {
     // same window): width 8 = 18.5 s, 16 = 19.4 s, 32 = 22.6 s,
     // no fanout = 24.3 s on 32 cores.
     val divisor = spark.conf.get(FanoutDivisorKey, "4").toInt
-    val cap = if (mode == "auto") math.max(2L, (cores / divisor).toLong)
+    val cap = if (mode == "auto" || mode == "all") math.max(2L, (cores / divisor).toLong)
               else mode.toLong // explicit width for A/B probes
     val target = math.min(cap, bytes / math.max(1L, minBytesPerTask)).toInt
     if (target <= plannedScanTasks) df else df.repartition(target)
@@ -136,10 +184,18 @@ object Graft {
     * through by name, so nested-schema pruning and pushdown on
     * `event_type`/`user_id` are unaffected.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(spark, table(spark, dir, "events"))
+
+  /** [[events]] over a fanned read — for the flatbuffer encode/decode
+    * roundtrips whose per-row UDF work dwarfs the exchange (see [[table]]).
+    */
+  def eventsFanned(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(spark, fannedTable(spark, dir, "events"))
+
+  private def normalizeEvents(spark: SparkSession, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = table(spark, dir, "events")
     raw.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => raw
       case Some(TimestampType) =>
@@ -193,6 +249,9 @@ object Graft {
 
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Fanned payload-table reads for map-heavy operators (see [[table]]). */
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame  = fannedTable(spark, dir, "documents")
+  def embeddingsFanned(spark: SparkSession, dir: String): DataFrame = fannedTable(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")

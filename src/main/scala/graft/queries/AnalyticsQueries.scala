@@ -543,7 +543,7 @@ object AnalyticsQueries {
     // the one key is parsed), then a keyed aggregate. The standard
     // "props bag" pattern at event-log scale.
     "events_props_extract" -> ((s, dir) =>
-      Graft.events(s, dir)
+      Graft.eventsFanned(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")

@@ -21,6 +21,14 @@ object DocQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Graft.documents(s, dir)
 
+  /** Fanned read for the map-heavy operators (tokenize / n-gram explode /
+    * LM scoring / minhash): the r14 suite-wide fanout A/B measured
+    * 1.1-4.6× wins exactly on these query families and a 10-150% exchange
+    * tax on the scan-light ones, so the fanout is opt-in per call site
+    * (see [[graft.core.Graft.table]]). Light queries keep [[docs]].
+    */
+  private def docsFanned(s: SparkSession, dir: String): DataFrame = Graft.documentsFanned(s, dir)
+
   private val toks: Column = tokens(col("text"))
 
   /** Salted md5 split bucket in [0, 100) and its 80/10/10 tier — ONE
@@ -121,7 +129,7 @@ object DocQueries {
       // gram arrays built once (Reuse pin) — the doc-frequency branch and
       // the occurrence join would otherwise each re-run tokenize+gram-build
       // over the corpus (different join keys, no exchange reuse)
-      val garr = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      val garr = docsFanned(s, dir).select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"),
           transform(sequence(lit(1), size(col("tk")) - (n - 1)),
@@ -154,7 +162,7 @@ object DocQueries {
     // never leave their keyed shuffles.
     "split_ngram_leakage" -> { (s, dir) =>
       val n = 5
-      val g = docs(s, dir)
+      val g = docsFanned(s, dir)
         .select(col("doc_id"), splitTier(splitBucket).as("split"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("split"),
@@ -192,7 +200,7 @@ object DocQueries {
     // deviate most from the blend). Word-keyed shuffles only; the
     // source-total and corpus-total frames are tiny and broadcast.
     "source_unigram_kl" -> { (s, dir) =>
-      val sc = docs(s, dir).select(col("source"), explode(toks).as("w"))
+      val sc = docsFanned(s, dir).select(col("source"), explode(toks).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       val st = sc.groupBy("source").agg(sum("c").as("n_src"))
       val cc = sc.groupBy("w").agg(sum("c").as("cw"))
@@ -211,7 +219,7 @@ object DocQueries {
     },
 
     "text_token_count" -> ((s, dir) =>
-      docs(s, dir).select(
+      docsFanned(s, dir).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_text"),
@@ -222,7 +230,7 @@ object DocQueries {
       )),
 
     "text_quality" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("text"), toks.as("tk"))
+      val d = docsFanned(s, dir).select(col("doc_id"), col("text"), toks.as("tk"))
       d.select(
         col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
@@ -239,7 +247,7 @@ object DocQueries {
 
     "text_langid" -> { (s, dir) =>
       def hits(ws: Seq[String]) = size(filter(col("tk"), t => t.isin(ws: _*)))
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), col("lang"), toks.as("tk"))
         .select(
           col("doc_id"),
@@ -263,7 +271,7 @@ object DocQueries {
       val en = score(LangProfiles("en"))
       val de = score(LangProfiles("de"))
       val es = score(LangProfiles("es"))
-      docs(s, dir).select(
+      docsFanned(s, dir).select(
         col("doc_id"), col("lang"),
         when(de > en && de >= es, lit("de"))
           .when(es > en, lit("es"))
@@ -317,7 +325,7 @@ object DocQueries {
     // mix. One shuffle on the low-cardinality source key; the distinct
     // count is Spark's standard two-phase expansion.
     "source_quality_report" -> { (s, dir) =>
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("source"), fingerprint(col("text")).as("fp"),
           size(toks).as("ntk"), length(col("text")).as("nch"))
         .groupBy("source")
@@ -344,9 +352,9 @@ object DocQueries {
     // n-gram Jaccard with prefix blocking: pairs only within docs sharing
     // their first three tokens (planted near-dups share long prefixes).
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val base = docs(s, dir)
+      val base = docsFanned(s, dir)
         .select(col("doc_id"), concat_ws(" ", slice(toks, 1, 3)).as("blk"))
-      val sh = shingled(docs(s, dir))
+      val sh = shingled(docsFanned(s, dir))
       val withBlk = base.join(sh, "doc_id")
       val a = withBlk.select(col("blk"), col("doc_id").as("doc_a"), col("shd").as("sh_a"))
       val b = withBlk.select(col("blk"), col("doc_id").as("doc_b"), col("shd").as("sh_b"))
@@ -369,13 +377,13 @@ object DocQueries {
     // set-verify joins) — linear in corpus grams, never all-pairs; the
     // df-order makes probes the RAREST grams (69 candidates for 56 true
     // pairs at sf0.001; a random gram order at t=0.5 yields 3432).
-    "dedup_containment" -> ((s, dir) => containmentPairs(docs(s, dir), 0.8)),
+    "dedup_containment" -> ((s, dir) => containmentPairs(docsFanned(s, dir), 0.8)),
 
     // MinHash + LSH: 16 signatures, 4 bands × 4 rows; candidates share a
     // band key (slim-key equality join, hot buckets capped — see
     // [[minhashLshPairs]]), then exact Jaccard verification on shingle
     // sets re-attached per distinct candidate.
-    "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docsFanned(s, dir))),
 
     // Similarity histogram over ALL verified LSH candidates (no
     // threshold): the calibration curve behind choosing a dedup cutoff —
@@ -383,7 +391,7 @@ object DocQueries {
     // (floor(jac·20)) keep the group key exact across engines; same plan
     // shape as the pair query it parameterizes.
     "dedup_similarity_histogram" -> { (s, dir) =>
-      minhashLshPairs(docs(s, dir), minJac = 0.0)
+      minhashLshPairs(docsFanned(s, dir), minJac = 0.0)
         .withColumn("bin", floor(col("jac") * 20).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_pairs"),
@@ -401,7 +409,7 @@ object DocQueries {
     "dedup_threshold_sweep" -> { (s, dir) =>
       val ths = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
       val thArr = array(ths.map(lit): _*)
-      val pairs = minhashLshPairs(docs(s, dir), minJac = 0.0)
+      val pairs = minhashLshPairs(docsFanned(s, dir), minJac = 0.0)
         .transform(Reuse.corpus) // feeds the pair count AND the flagged-doc count
       val byT = pairs
         .select(col("doc_a"), col("doc_b"), explode(thArr).as("threshold"),
@@ -443,7 +451,7 @@ object DocQueries {
     // power-of-two token-length bucket; the per-bin mean folds round-6
     // decimals so it is order-independent (the mean_cos discipline).
     "nll_by_length" -> { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       lmScore(d, keepAtMost = 5.36).select(col("doc_id"), col("nll"))
         .join(d.select(col("doc_id"), size(toks).cast("long").as("n")), "doc_id")
         .filter(col("n") >= 1)
@@ -461,7 +469,7 @@ object DocQueries {
     // they filter different documents. Two per-doc scorer passes joined
     // on doc_id, one keyed agg of covariance moments.
     "quality_lm_correlation" -> { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       lmScore(d, keepAtMost = 5.36).select(col("doc_id"), col("nll"))
         .join(queries("text_quality")(s, dir)
           .select(col("doc_id"), col("quality_score")), "doc_id")
@@ -477,7 +485,7 @@ object DocQueries {
     // 10-point grid explodes map-side from each row (no extra shuffle
     // beyond the final 10-group agg).
     "quality_threshold_sweep" -> { (s, dir) =>
-      val q = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      val q = docsFanned(s, dir).select(col("doc_id"), toks.as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
           round(
             least(size(col("tk")).cast("double") / 100.0, lit(1.0)) * 0.5 +
@@ -502,7 +510,7 @@ object DocQueries {
     "dedup_minhash_estimate" -> { (s, dir) =>
       // the signature frame feeds band build + both estimate joins;
       // materialize the (tokenize → shingle → minhash) pipeline once
-      val sig = Reuse.corpus(minhashSigs(shingled(docs(s, dir))))
+      val sig = Reuse.corpus(minhashSigs(shingled(docsFanned(s, dir))))
       val cand = minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
         "minhash_est_cap")
       minhashEstimateFromSigs(sig, cand)
@@ -519,7 +527,7 @@ object DocQueries {
     "source_minhash_sim" -> { (s, dir) =>
       import graft.functions.MinHashSigs.minhash_sigs
       import graft.functions.ArrayMinAgg.array_min_agg
-      val sigs = docs(s, dir)
+      val sigs = docsFanned(s, dir)
         .withColumn("toks", toks)
         .filter(size(col("toks")) >= 3)
         .select(col("source"),
@@ -550,7 +558,7 @@ object DocQueries {
     // both scorers here — half the corpus scans of composing the two
     // standalone queries.
     "dedup_estimate_vs_exact" -> { (s, dir) =>
-      val sh   = Reuse.corpus(shingled(docs(s, dir)))
+      val sh   = Reuse.corpus(shingled(docsFanned(s, dir)))
       val sig  = Reuse.corpus(minhashSigs(sh))
       val cand = Reuse.corpus(minhashBandCands(sig, graft.operators.LshJoins.DefaultMaxBucket,
         "est_vs_exact_cap"))
@@ -566,8 +574,8 @@ object DocQueries {
     // content), which call for different fixes. Two broadcast-size dim
     // joins over the pair frame + one narrow agg.
     "dedup_cross_source" -> { (s, dir) =>
-      val src   = docs(s, dir).select(col("doc_id"), col("source"))
-      val pairs = minhashLshPairs(docs(s, dir)).select("doc_a", "doc_b")
+      val src   = docsFanned(s, dir).select(col("doc_id"), col("source"))
+      val pairs = minhashLshPairs(docsFanned(s, dir)).select("doc_a", "doc_b")
       pairs
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
@@ -582,7 +590,7 @@ object DocQueries {
     // the oracle SQL keeps the equivalent explode formulation.
     "dedup_simhash" -> { (s, dir) =>
       import graft.functions.SimHash32.simhash32
-      docs(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash"))
+      docsFanned(s, dir).select(col("doc_id"), simhash32(col("text")).as("simhash"))
     },
 
     // Duplicate clusters: connected components over the MinHash-LSH
@@ -592,7 +600,7 @@ object DocQueries {
     // the star forest, so labels need no separate propagation (see
     // [[graft.operators.ConnectedComponents]]).
     "dedup_clusters" -> { (s, dir) =>
-      val pairs = minhashLshPairs(docs(s, dir)).select("doc_a", "doc_b")
+      val pairs = minhashLshPairs(docsFanned(s, dir)).select("doc_a", "doc_b")
       graft.operators.ConnectedComponents.labels(pairs)._1
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     },
@@ -603,7 +611,7 @@ object DocQueries {
     "mm_binary_features" -> { (s, dir) =>
       import graft.operators.MultimodalOps
       MultimodalOps
-        .extractFeatures(MultimodalOps.documentAssets(s, docs(s, dir)))
+        .extractFeatures(MultimodalOps.documentAssets(s, docsFanned(s, dir)))
         .toDF()
     },
 
@@ -667,7 +675,7 @@ object DocQueries {
     "mm_video_frames" -> { (s, dir) =>
       import graft.operators.MultimodalOps
       import s.implicits._
-      val assets = docs(s, dir)
+      val assets = docsFanned(s, dir)
         .filter(length(col("text")) >= 24)
         .select(col("doc_id"), encode(substring(col("text"), 1, 24), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
@@ -719,7 +727,7 @@ object DocQueries {
     "mm_frame_sample" -> { (s, dir) =>
       import graft.operators.MultimodalOps
       MultimodalOps
-        .sampleFrames(MultimodalOps.documentAssets(s, docs(s, dir)), 4, 16)
+        .sampleFrames(MultimodalOps.documentAssets(s, docsFanned(s, dir)), 4, 16)
         .toDF()
     },
 
@@ -754,7 +762,7 @@ object DocQueries {
     // the reuse-friendly form).
     "dedup_drop_list" -> { (s, dir) =>
       dropList(
-        minhashLshPairs(docs(s, dir)),
+        minhashLshPairs(docsFanned(s, dir)),
         queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score")))
     },
 
@@ -769,7 +777,7 @@ object DocQueries {
       val numPat   = "[0-9]{4,}"
       val synth = concat(substring(col("text"), 1, 20),
         lit(" contact doc"), col("doc_id"), lit("@example.com tel 5550199"))
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), synth.as("raw"))
         .select(
           col("doc_id"),
@@ -967,13 +975,13 @@ object DocQueries {
     // The consuming rewrite: every non-canonical duplicated span
     // (canonical = min doc_id per span fingerprint) is CUT from the
     // text, token-aligned, overlapping ranges merged (see [[dropSpans]]).
-    "dedup_substring_drop" -> ((s, dir) => dropSpans(docs(s, dir), 50)),
+    "dedup_substring_drop" -> ((s, dir) => dropSpans(docsFanned(s, dir), 50)),
 
     // Benchmark decontamination: any document sharing an 8-gram with the
     // benchmark set (here: doc_id < 10) is dropped. Bench grams are tiny →
     // broadcast; corpus grams never self-join.
     "decontaminate" -> { (s, dir) =>
-      val grams = docs(s, dir)
+      val grams = docsFanned(s, dir)
         .withColumn("tk", toks)
         .filter(size(col("tk")) >= 8) // pre-shingle filter (see shingled)
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
@@ -981,7 +989,7 @@ object DocQueries {
       val contaminated = grams.filter(col("doc_id") >= 10)
         .join(broadcast(bench), "g8")
         .select("doc_id").distinct()
-      docs(s, dir)
+      docsFanned(s, dir)
         .filter(col("doc_id") >= 10)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
@@ -998,7 +1006,7 @@ object DocQueries {
     // come from the same SQL as `decontaminate`, and the two booleans are
     // deterministic because the sketch is hash-based, not randomized.
     "decontaminate_bloom_check" -> { (s, dir) =>
-      val grams = docs(s, dir)
+      val grams = docsFanned(s, dir)
         .withColumn("tk", toks)
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
@@ -1025,7 +1033,7 @@ object DocQueries {
         .select("doc_id").distinct().withColumn("bl", lit(1L))
       val exact = corpus.join(broadcast(bench), "g8")
         .select("doc_id").distinct().withColumn("ex", lit(1L))
-      docs(s, dir).filter(col("doc_id") >= 10).select("doc_id", "source")
+      docsFanned(s, dir).filter(col("doc_id") >= 10).select("doc_id", "source")
         .join(exact, Seq("doc_id"), "left")
         .join(flagged, Seq("doc_id"), "left")
         .groupBy("source")
@@ -1047,7 +1055,7 @@ object DocQueries {
     // 5%. Same shape as `decontaminate` at scale: bench grams broadcast,
     // then ONE keyed agg on doc_id — no self-join, nothing quadratic.
     "decontaminate_overlap" -> { (s, dir) =>
-      val grams = docs(s, dir)
+      val grams = docsFanned(s, dir)
         .withColumn("tk", toks)
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 8))).as("g8"))
@@ -1131,7 +1139,7 @@ object DocQueries {
     // fingerprint set — guaranteed to share a print with any ≥6-token
     // verbatim overlap. Entirely per-row; the output is the joinable
     // fingerprint table.
-    "text_winnow_fingerprint" -> ((s, dir) => winnowFingerprints(docs(s, dir))),
+    "text_winnow_fingerprint" -> ((s, dir) => winnowFingerprints(docsFanned(s, dir))),
 
     // Cross-doc winnowing matches (the MOSS use of the fingerprints): doc
     // pairs sharing ≥ 5 distinct winnow prints — verbatim-overlap
@@ -1147,7 +1155,7 @@ object DocQueries {
       // the winnow pipeline (tokenize → rolling hashes → window minima)
       // feeds BOTH the band join and the per-doc set aggregation —
       // pin the slim (doc_id, fp) frame (Reuse) so it runs once
-      val fps = winnowFingerprints(docs(s, dir)).select("doc_id", "fp")
+      val fps = winnowFingerprints(docsFanned(s, dir)).select("doc_id", "fp")
         .distinct().transform(Reuse.corpus)
       val sets = fps.groupBy("doc_id")
         .agg(sort_array(collect_list(col("fp"))).as("fset"))
@@ -1170,7 +1178,7 @@ object DocQueries {
     // prob with add-one smoothing. Per-gram log-probs round to 6 dp and
     // sum as exact DECIMALs so the fold is order-independent — the same
     // determinism trick as the span hashes.
-    "text_lm_score" -> ((s, dir) => lmScore(docs(s, dir), keepAtMost = 5.36)),
+    "text_lm_score" -> ((s, dir) => lmScore(docsFanned(s, dir), keepAtMost = 5.36)),
 
     // Vocab-size coverage sweep — the tokenizer-design calibration curve:
     // what fraction of corpus token OCCURRENCES the top-k most frequent
@@ -1208,7 +1216,7 @@ object DocQueries {
     // 'tail' via null-comparison semantics — identical in both engines.
     // Exact row-count terciles stay as lm_quality_buckets_exact.
     "lm_quality_buckets" -> { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       val scored = lmScore(d, keepAtMost = 5.36).select("doc_id", "nll")
         .join(d.select("doc_id", "lang"), "doc_id")
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1232,7 +1240,7 @@ object DocQueries {
     // sampled-cutoff form above is the primary at scale.
     "lm_quality_buckets_exact" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
       lmScore(d, keepAtMost = 5.36).select("doc_id", "nll")
         .join(d.select("doc_id", "lang"), "doc_id")
@@ -1305,7 +1313,7 @@ object DocQueries {
     // cutoff. One explode + one partially-aggregated keyed shuffle; the
     // cutoff keeps the result bounded no matter the corpus size.
     "ngram_counts" -> { (s, dir) =>
-      val d = docs(s, dir).withColumn("tk", toks)
+      val d = docsFanned(s, dir).withColumn("tk", toks)
       val grams = (1 to 3).map { n =>
         d.filter(size(col("tk")) >= n)
           .select(lit(n).as("n"),
@@ -1330,7 +1338,7 @@ object DocQueries {
     // counts = the measurement side; top-k totally ordered by
     // (n DESC, g2 ASC) so the LIMIT is stable cross-engine).
     "ngram_heavy_hitters_sketch" -> { (s, dir) =>
-      val grams = docs(s, dir).withColumn("tk", toks)
+      val grams = docsFanned(s, dir).withColumn("tk", toks)
         .filter(size(col("tk")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("tk")) - lit(1)),
           i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("g2"))
@@ -1402,14 +1410,14 @@ object DocQueries {
     // document by how much its hashed-n-gram profile looks like a target
     // corpus (here: the `src0` docs — the "wiki-like" seed of a mixing
     // recipe). See [[dsirWeights]] for the shuffle/broadcast shape.
-    "dsir_importance_weights" -> ((s, dir) => dsirWeights(docs(s, dir))),
+    "dsir_importance_weights" -> ((s, dir) => dsirWeights(docsFanned(s, dir))),
 
     // Gumbel top-k resampling over the DSIR weights — the selection step
     // of the paper: adding iid Gumbel noise to log-weights and taking the
     // top k draws exactly from the softmax of the weights WITHOUT ever
     // normalizing them. Noise comes from an md5 uniform per doc, so the
     // "random" sample is reproducible across engines and retries.
-    "dsir_resample" -> ((s, dir) => dsirResample(docs(s, dir), 50)),
+    "dsir_resample" -> ((s, dir) => dsirResample(docsFanned(s, dir), 50)),
 
     // Pairwise source-corpus overlap via HLL sketches (DataSketches set
     // operations): |A ∩ B| over distinct 5-gram shingles estimated by
@@ -1419,7 +1427,7 @@ object DocQueries {
     // size and the 190 pair combinations never touch the corpus again,
     // where the exact join reshuffles every distinct gram. See
     // [[sourceOverlapSketch]].
-    "source_overlap_sketch" -> ((s, dir) => sourceOverlapSketch(docs(s, dir))),
+    "source_overlap_sketch" -> ((s, dir) => sourceOverlapSketch(docsFanned(s, dir))),
 
     // Quality-curriculum training order: fixed-threshold quality stages
     // (no global quantile sort — thresholds are constants, so staging is
@@ -1438,7 +1446,7 @@ object DocQueries {
     "bpe_learn_merges" -> { (s, dir) =>
       import s.implicits._
       import graft.operators.BpeVocab
-      BpeVocab.learn(BpeVocab.wordFrequencies(docs(s, dir)), BpeMerges)
+      BpeVocab.learn(BpeVocab.wordFrequencies(docsFanned(s, dir)), BpeMerges)
         .map(m => (m.rank, m.left, m.right, m.freq))
         .toDF("rank", "lhs", "rhs", "cnt")
     },
@@ -1471,7 +1479,7 @@ object DocQueries {
     // 100 TB dedup run ends with. One left join of the (small) drop list
     // onto the corpus, one keyed agg.
     "dedup_savings_report" -> { (s, dir) =>
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       val drop = dropList(
         minhashLshPairs(d),
         queries("text_quality")(s, dir).select(col("doc_id"), col("quality_score")))
@@ -1496,7 +1504,7 @@ object DocQueries {
     // against them HELD-OUT, so unseen bigrams genuinely take the
     // backoff path (scoring a corpus with its own counts never would).
     // See [[backoffLm]] for the all-keyed-join scale shape.
-    "text_backoff_lm" -> ((s, dir) => backoffLm(docs(s, dir))),
+    "text_backoff_lm" -> ((s, dir) => backoffLm(docsFanned(s, dir))),
 
     // Language-ID confusion matrix: the n-gram predictor against the
     // labeled lang — the audit a corpus owner reads before trusting any
@@ -1551,7 +1559,7 @@ object DocQueries {
     // string-keyed oracle formulation does.
     "boilerplate_per_source" -> { (s, dir) =>
       val n = 8
-      val d = docs(s, dir)
+      val d = docsFanned(s, dir)
       // cheap projection off the parquet scan — rebuilt per pass rather
       // than pinning an exploded corpus-sized string frame
       def gramStream = d.select(col("doc_id"), col("source"), toks.as("tk"))
@@ -1631,7 +1639,7 @@ object DocQueries {
     // against, and the input to tuning bands/rows). One slim-key agg
     // over the (doc, band, bkey) stream, then a tiny histogram agg.
     "lsh_band_stats" -> { (s, dir) =>
-      minhashBands(minhashSigs(shingled(docs(s, dir))))
+      minhashBands(minhashSigs(shingled(docsFanned(s, dir))))
         .groupBy("band", "bkey")
         .agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("band").cast("long").as("band"), col("bucket_size"))
@@ -1733,7 +1741,7 @@ object DocQueries {
     // dup_ngram_fraction shuffle shape with first-owner semantics.
     "ngram_novelty" -> { (s, dir) =>
       val n = 5
-      val garr = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      val garr = docsFanned(s, dir).select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"),
           array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),

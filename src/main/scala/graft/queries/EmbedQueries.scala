@@ -21,6 +21,13 @@ object EmbedQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Graft.embeddings(s, dir)
 
+  /** Fanned read for the distance-computation-heavy operators (brute/PQ/OPQ
+    * kNN, semantic dedup): per-row vector math funds the fanout exchange;
+    * the light stats/projection queries keep [[emb]] (see
+    * [[graft.core.Graft.table]] for the measured policy).
+    */
+  private def embFanned(s: SparkSession, dir: String): DataFrame = Graft.embeddingsFanned(s, dir)
+
   import graft.functions.VectorExpressions.{dot_product, l2_norm}
 
   /** embedding widened to double + precomputed L2 norm (native loop — the
@@ -215,7 +222,7 @@ object EmbedQueries {
     // Brute-force cosine top-k: broadcast the query vectors, one pass over
     // the corpus, bounded per-query top-k (no corpus-sized rank window).
     "embed_knn_brute" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
+      val e = withNorm(embFanned(s, dir))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = e
@@ -259,7 +266,7 @@ object EmbedQueries {
     // pattern). Both counts share the rounded-cosine basis so
     // found ⊆ truth holds exactly.
     "embed_rp_lsh_recall" -> { (s, dir) =>
-      val e = withNorm(emb(s, dir))
+      val e = withNorm(embFanned(s, dir))
       val found = rpLshPairs(e, params = Some((8, 8))).select("cosine")
       val truth = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
         .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")),
@@ -287,7 +294,7 @@ object EmbedQueries {
 
     // IVF coarse step: per-label centroid (element-wise mean).
     "embed_centroids" -> ((s, dir) =>
-      emb(s, dir)
+      embFanned(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
         // exact-decimal mean (ExactStats): cross-engine ulp-stable
@@ -411,7 +418,7 @@ object EmbedQueries {
     // so the pair join is cell-keyed, and the CC engine is the same
     // large-star/small-star used for text clusters.
     "semdedup_drop" -> { (s, dir) =>
-      val pairs = cellPairs(withNorm(emb(s, dir)), "semdedup_cell_cap")
+      val pairs = cellPairs(withNorm(embFanned(s, dir)), "semdedup_cell_cap")
         .filter(col("cosine") >= 0.5)
         .select("vec_a", "vec_b")
       graft.operators.ConnectedComponents.labels(pairs)._1
@@ -453,7 +460,7 @@ object EmbedQueries {
     // per-subspace lookup tables; ranking uses asymmetric distance (ADC)
     // summed in fixed m-order so both engines fold identically; bounded
     // top-k. The compression cost is measured by embed_pq_recall.
-    "embed_pq_knn" -> ((s, dir) => pqKnnOver(withNorm(emb(s, dir)))),
+    "embed_pq_knn" -> ((s, dir) => pqKnnOver(withNorm(embFanned(s, dir)))),
 
     // OPQ-style rotated PQ: the SAME product quantizer run in the
     // PCA-rotated frame y = V(x−μ). V is orthonormal, so L2 geometry is
@@ -486,7 +493,7 @@ object EmbedQueries {
           min(col("neighbor_id") =!= col("query_id")).as("self_excluded"))
       // derive the row set from the QUERY side so a query with zero
       // neighbors (single-vector corpus) still certifies vacuously true
-      emb(s, dir).filter(col("vec_id") < NumQueries)
+      embFanned(s, dir).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"))
         .join(per, Seq("query_id"), "left")
         .select(col("query_id"),
@@ -521,7 +528,7 @@ object EmbedQueries {
     // codes); here both constituents and their composition are
     // oracle-checked end to end.
     "embed_ivfpq_knn" -> { (s, dir) =>
-      val e     = withNorm(emb(s, dir))
+      val e     = withNorm(embFanned(s, dir))
       val cents = graft.operators.IvfIndex.labelCentroids(e)
       val qd = e.filter(col("vec_id") < NumQueries)
         .crossJoin(broadcast(pqCodebook(e)))
@@ -774,7 +781,7 @@ object EmbedQueries {
       // materialize (a pin here is 2B rows at 100×); exploded
       // rows flow straight into topKPerQuery's map-side partial
       // aggregation, which bounds the shuffle at O(k) per query
-      val pairs = cellPairs(withNorm(emb(s, dir)), "knn_graph_cap")
+      val pairs = cellPairs(withNorm(embFanned(s, dir)), "knn_graph_cap")
       val directed = pairs
         .select(explode(array(
           struct(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),

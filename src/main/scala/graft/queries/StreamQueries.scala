@@ -29,6 +29,11 @@ object StreamQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Graft.events(s, dir)
 
+  /** Fanned read for the flatbuffer encode→decode roundtrips whose per-row
+    * UDF work funds the fanout exchange (see [[graft.core.Graft.table]]).
+    */
+  private def evFanned(s: SparkSession, dir: String): DataFrame = Graft.eventsFanned(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1 — source routing (src/Stream/SourceFilter.cpp:75-78): plain
     // predicates that push down to the parquet scan.
@@ -163,7 +168,7 @@ object StreamQueries {
     // (src/WriterModule/tdct/tdct_Writer.cpp:67-83).
     "w8_tdct_explode" -> ((s, dir) =>
       Graft
-        .documents(s, dir)
+        .documentsFanned(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))),
 
     // D1/D2 — FlatBuffers decode: encode each event as a real f144 wire
@@ -256,7 +261,7 @@ object StreamQueries {
       val enc = udf((src: String, ts: Long, v: Double) =>
         graft.functions.FbEncoders.ad00(src, ts, Seq(2L, 3L),
           (0 until 6).map(i => v + i), "float64"))
-      ev(s, dir)
+      evFanned(s, dir)
         .select(col("event_id"),
           enc(concat(lit("cam-"), col("user_id")), col("ts"), col("value")).as("buf"))
         .select(col("event_id"), graft.functions.Decode.decode_ad00(col("buf")).as("d"))
@@ -273,7 +278,7 @@ object StreamQueries {
         graft.functions.FbEncoders.da00(src, ts, Seq(
           graft.functions.FbEncoders.Da00Var("signal", "K", "", Seq("x"),
             Seq(3L), "int32", (0 until 3).map(i => math.floor(v) + i)))))
-      ev(s, dir)
+      evFanned(s, dir)
         .select(col("event_id"),
           enc(concat(lit("user-"), col("user_id")), col("ts"), col("value")).as("buf"))
         .select(col("event_id"), graft.functions.Decode.decode_da00(col("buf")).as("d"))
