@@ -96,6 +96,13 @@ object Bench {
     // A/B the scan fanout (Graft.FanoutConfKey): SPARK_GRAFT_FANOUT=off
     sys.env.get("SPARK_GRAFT_FANOUT")
       .foreach(m => spark.conf.set(graft.core.Graft.FanoutConfKey, m))
+    // generic runtime-conf A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     val meter = new ByteMeter
     spark.sparkContext.addSparkListener(meter)

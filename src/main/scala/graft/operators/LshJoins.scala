@@ -43,6 +43,29 @@ object LshJoins {
     */
   val DefaultMaxBucket = 4096
 
+  /** Pin the band exchange at the session's static shuffle width so AQE
+    * cannot coalesce it down (an explicit user numPartitions is exempt
+    * from CoalesceShufflePartitions). The within-bucket pair generation +
+    * verify downstream of this exchange is CPU-bound per ROW-PAIR
+    * (quadratic in bucket size), so AQE's bytes-based coalescing — built
+    * for shuffle-read-bound stages — can under-parallelize it: every
+    * ≥1 MB partition looks "big enough" by bytes while carrying seconds
+    * of pair-verify CPU. OPT-IN per call site (`pinned = true`), because
+    * the r15 A/B showed it only pays when the bucket key is COARSE (few
+    * buckets × big quadratic pairing — the IVF `label` cell joins:
+    * embed_knn_graph 0.70×, embed_neardup_cosine 0.68×, semdedup_drop
+    * 0.81× min-over-5); fine-grained band keys (minhash/simhash/winnow
+    * bands) measured 1.1–1.4× SLOWER pinned — their exchanges were never
+    * the bottleneck and the fixed 32-task width just adds scheduling.
+    * At deployment scale the pinned width is exactly what the exchange
+    * had before coalescing, sized per cluster by
+    * spark.sql.shuffle.partitions — not a local constant.
+    */
+  private def pinWidth(banded: DataFrame, bucket: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val width = banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (width > 0) banded.repartition(width, bucket: _*) else banded
+  }
+
   /** Candidate pairs `(bucketCols…, outA, outB)` with `outA < outB` from
     * a slim banded frame `(bucketCols…, idCol)`. One keyed shuffle on the
     * bucket key (the window and the self-join share it); hot buckets
@@ -114,12 +137,13 @@ object LshJoins {
       outA: String,
       outB: String,
       maxBucket: Int = DefaultMaxBucket,
-      tag: String = "lsh_cap"): DataFrame = {
+      tag: String = "lsh_cap",
+      pinned: Boolean = false): DataFrame = {
     val bucket = bucketCols.map(col)
     val wAll = Window.partitionBy(bucket: _*)
     // the anchor's payload rides inside the min-struct: id leads and ids
     // are unique, so the struct ordering never compares the payload fields
-    val annotated = banded
+    val annotated = (if (pinned) pinWidth(banded, bucket) else banded)
       .withColumn("__bsz", count(lit(1)).over(wAll))
       .withColumn("__anchor",
         min(struct((col(idCol) +: payloadCols.map(col)): _*)).over(wAll))

@@ -200,7 +200,11 @@ object DocQueries {
     // deviate most from the blend). Word-keyed shuffles only; the
     // source-total and corpus-total frames are tiny and broadcast.
     "source_unigram_kl" -> { (s, dir) =>
-      val sc = docsFanned(s, dir).select(col("source"), explode(toks).as("w"))
+      // NOT fanned: the r14 A/B suggested a win but the r15 same-host
+      // three-arm run measured the opposite (0.33 s plain / 0.51-0.52 s
+      // fanned) — the single tokenize+explode here feeds a map-side
+      // partial agg that is already cheap, and the exchange tax dominates
+      val sc = docs(s, dir).select(col("source"), explode(toks).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       val st = sc.groupBy("source").agg(sum("c").as("n_src"))
       val cc = sc.groupBy("w").agg(sum("c").as("cw"))

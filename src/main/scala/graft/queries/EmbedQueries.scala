@@ -65,7 +65,12 @@ object EmbedQueries {
       .cappedBandPairsWithPayload(
         e.select(col("label"), col("vec_id"), col("v"), col("nrm")),
         Seq("label"), "vec_id", Seq("v", "nrm"), "vec_a", "vec_b",
-        maxBucket, tag)
+        maxBucket, tag,
+        // label is a ~10-value cell key: the within-cell pairing is the
+        // quadratic CPU stage AQE's byte-based coalescing starves — pin
+        // the cell exchange at the static shuffle width (see
+        // LshJoins.pinWidth; measured 0.68-0.81x on the three consumers)
+        pinned = true)
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cosine"))
@@ -127,7 +132,9 @@ object EmbedQueries {
         val mu   = graft.functions.VectorMomentsAgg.mean(m, d).toSeq
         val vall = vecs.map(_.toSeq).toSeq
         val vmu  = vall.map(row => row.zip(mu).map { case (a, b) => a * b }.sum)
-        emb(s, dir).select(col("vec_id"), col("label"),
+        // fanned: the 64×64 matvec per row funds the exchange (three-arm
+        // A/B: embed_opq_knn 1.14 s gated / 0.76 s with this read fanned)
+        embFanned(s, dir).select(col("vec_id"), col("label"),
           mat_vec_affine(transform(col("embedding"), _.cast("double")), vall, vmu)
             .as("v"))
           .withColumn("nrm", l2_norm(col("v")))
@@ -287,7 +294,7 @@ object EmbedQueries {
     // same large-star/small-star engine as dedup_clusters) over the
     // RP-LSH verified pairs — the embedding-side canonical-group step.
     "embed_dup_clusters" -> { (s, dir) =>
-      val pairs = rpLshPairs(withNorm(emb(s, dir))).select("vec_a", "vec_b")
+      val pairs = rpLshPairs(withNorm(embFanned(s, dir))).select("vec_a", "vec_b")
       graft.operators.ConnectedComponents.labels(pairs)._1
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
     },
@@ -434,7 +441,7 @@ object EmbedQueries {
     // summation order, so the quantized scores are bit-deterministic.
     // Quantization quality vs exact is measured by embed_sq8_recall.
     "embed_sq8_knn" -> { (s, dir) =>
-      val coded = sq8Codes(emb(s, dir))
+      val coded = sq8Codes(embFanned(s, dir))
       val q = coded.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("cq").as("qc"), col("nrm").as("qn"))
       topKPerQuery(
