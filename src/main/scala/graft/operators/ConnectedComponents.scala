@@ -37,28 +37,47 @@ object ConnectedComponents {
       // count below materializes it in the same job. Reliable checkpoint
       // when a checkpoint dir is set (cluster), executor-local otherwise.
       .transform(g => Reuse.lineageCut(g, eager = false))
-    var curCount  = cur.count()
+    var (curCount, curDigest) = countAndDigest(cur)
     var converged = curCount == 0L
     var rounds    = 0
     while (!converged) {
       require(rounds < maxRounds,
         s"large/small-star not converged after $rounds rounds — graph bug?")
-      // LAZY checkpoint: the count below materializes it in the same
-      // job, so a round costs one job (+ the set-equality probe only
-      // when the counts match)
+      // LAZY checkpoint: the count+digest below materializes it in the
+      // same job, so a round costs one job (+ the exact set-equality
+      // probe only when BOTH the count and the digest match)
       val next = Reuse.lineageCut(smallStar(largeStar(cur)), eager = false)
-      val nextCount = next.count()
-      // distinct sets of equal size are equal iff the difference is empty
-      converged = nextCount == curCount &&
+      val (nextCount, nextDigest) = countAndDigest(next)
+      // Distinct sets of equal size are equal iff the difference is
+      // empty. The order-independent xor digest rides the SAME agg job
+      // as the count and LOSSLESSLY gates the except: unequal digests
+      // PROVE the sets differ (so the except job is skipped on rounds
+      // where the edge count has plateaued but labels still move), while
+      // equal count+digest still runs the exact probe — a digest
+      // collision costs one redundant except, never a wrong answer.
+      converged = nextCount == curCount && nextDigest == curDigest &&
         next.except(cur).isEmpty
       cur = next
       curCount = nextCount
+      curDigest = nextDigest
       rounds += 1
     }
     val labels = cur.select(col("u").as("id"), col("v").as("label"))
       .unionByName(cur.select(col("v").as("id"), col("v").as("label")))
       .distinct()
     (labels, rounds)
+  }
+
+  /** (edge count, order-independent xxhash64-xor digest) of a distinct
+    * edge set, in one agg job. The digest's only use is PROVING
+    * inequality (see the loop) — equality always falls through to the
+    * exact `except` probe, so a collision can never change the result.
+    */
+  private def countAndDigest(e: DataFrame): (Long, Long) = {
+    val row = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)).as("c"), expr("bit_xor(h)").as("d"))
+      .head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** For each node u: connect every strictly-larger neighbor to
