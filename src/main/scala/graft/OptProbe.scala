@@ -61,6 +61,17 @@ object OptProbe {
       .foreach(m => spark.conf.set(graft.core.Graft.FanoutConfKey, m))
     val meter = new StageMeter
     spark.sparkContext.addSparkListener(meter)
+    // The noop save runs its OWN QueryExecution (a write command wrapping
+    // the df's plan) — df.queryExecution is never executed, so reading
+    // df.queryExecution.executedPlan shows `isFinalPlan=false` and none
+    // of the AQE-final nodes (ReusedExchange, AQEShuffleRead). Capture
+    // the final plan from the listener instead.
+    @volatile var finalPlan: String = "(no execution captured)"
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        finalPlan = qe.executedPlan.toString
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -83,8 +94,8 @@ object OptProbe {
         println(f"${r.id}%6d ${r.wallMs}%8d ${r.tasks}%6d ${r.cpuMs}%8d ${r.runMs}%8d ${r.shufReadMB}%8.2f ${r.shufWriteMB}%8.2f ${r.inputMB}%8.2f ${r.spillMB}%6.1f ${r.records}%10d  ${r.name}")
       }
       println(s"----- executed plan ($name) -----")
-      // post-execution: the adaptive plan is final
-      println(df.queryExecution.executedPlan.toString.take(20000))
+      // post-execution: the adaptive plan of the noop write is final
+      println(finalPlan.take(sys.env.getOrElse("SPARK_GRAFT_PROBE_PLAN_CHARS", "20000").toInt))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
