@@ -66,6 +66,24 @@ object LshJoins {
     if (width > 0) banded.repartition(width, bucket: _*) else banded
   }
 
+  /** Width-pinned candidate dedup: `repartition(width, cols) +
+    * dropDuplicates(cols)` in place of a bare `.distinct()`, so the
+    * CPU-heavy verify joins DOWNSTREAM of the dedup run at the session's
+    * static shuffle width instead of whatever AQE's byte-based coalescing
+    * leaves (OptProbe on dedup_containment: the 173k-pair array_intersect
+    * verify ran as ONE 919 ms-CPU task over a 1.6 MB coalesced exchange).
+    * Semantically identical to distinct(). The partial-agg loss is nil
+    * for banded candidates: duplicates of a pair come from DIFFERENT
+    * bands, which never share a band-exchange partition, so map-side
+    * dedup could not collapse them anyway. Width = the deployment's
+    * spark.sql.shuffle.partitions, same argument as [[pinWidth]].
+    */
+  def pinnedPairDedup(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (width > 0) df.repartition(width, cols.map(col): _*).dropDuplicates(cols)
+    else df.dropDuplicates(cols)
+  }
+
   /** Candidate pairs `(bucketCols…, outA, outB)` with `outA < outB` from
     * a slim banded frame `(bucketCols…, idCol)`. One keyed shuffle on the
     * bucket key (the window and the self-join share it); hot buckets

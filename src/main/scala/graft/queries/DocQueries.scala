@@ -2124,7 +2124,10 @@ object DocQueries {
       // reach `need` are dropped BEFORE the distinct shuffle.
       .filter(lit(1) + least(col("na") - col("ia") - 1, col("nb") - col("ib") - 1) >= need)
       .select("doc_a", "doc_b")
-      .distinct()
+      // width-pinned dedup: the staged verify downstream (array_intersect
+      // over every candidate) is the query's hottest CPU and must not run
+      // over a byte-coalesced 1-task exchange — see LshJoins.pinnedPairDedup
+      .transform(d => graft.operators.LshJoins.pinnedPairDedup(d, Seq("doc_a", "doc_b")))
     // Staged verify. Stage 1 intersects the 64-bit HASH arrays (slim:
     // ~8 B/gram vs the ~20 B/char string shingles the exact verify
     // carries): whenever hashing is injective on doc_a's shingles
@@ -2204,6 +2207,10 @@ object DocQueries {
       .cappedBandPairs(minhashBands(sig), Seq("band", "bkey"), "doc_id",
         "doc_a", "doc_b", maxBucket, tag)
       .select("doc_a", "doc_b")
+      // plain distinct — NOT width-pinned: the minhash candidate set is
+      // small (hundreds of pairs) and its Jaccard verify cheap, so the
+      // pin's extra exchange + fixed-width tasks measured 1.1-1.5x SLOWER
+      // across the minhash family (r15 A/B), unlike containmentPairs
       .distinct()
 
   /** Exact Jaccard over banded candidates from a PRE-CHECKPOINTED shingle
