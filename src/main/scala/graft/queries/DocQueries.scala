@@ -2024,7 +2024,14 @@ object DocQueries {
     // TWICE (measured: the two 712k-record gram stages in the r14
     // lm_quality_buckets profile). With the filter stated on the shared
     // base, both branches are identical and AQE's ReusedExchange
-    // collapses the second pass.
+    // collapses the second pass (plans/r15/lm_quality_buckets_executed_
+    // after.txt shows the 4 ReusedExchange nodes).
+    // KEY INVARIANT (ADVICE r14): "vacuous" holds only while the driver's
+    // documents table never carries a null doc_id — if that drifts, this
+    // filter would silently drop the null-keyed score group and diverge
+    // from the oracle. Graft.schemaCanary prints each table's physical
+    // schema per run, so a nullability/type drift of documents.doc_id
+    // surfaces as one readable line there before 30 opaque hash failures.
     val base = d.select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 3 && col("doc_id").isNotNull)
     // grams as packed byte codes from ONE native pass
